@@ -1,0 +1,152 @@
+"""Configuration for audio-mps-tpu.
+
+Mirrors the reference's two-tier config (reference: train.py:15-44 —
+``tf.flags`` for run-level choices + ``tf.contrib.training.HParams`` for model
+hyperparameters with ``--hparams="k=v,..."`` overrides), collapsed into two
+frozen dataclasses with the same override capability.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+
+def _coerce(value: str, target_type):
+    """Coerce a CLI string to the type of an existing dataclass field."""
+    if target_type is bool:
+        if value.lower() in ("true", "1", "yes"):
+            return True
+        if value.lower() in ("false", "0", "no"):
+            return False
+        raise ValueError(f"cannot parse bool from {value!r}")
+    if target_type is Optional[int] or target_type == Optional[int]:
+        return None if value.lower() in ("none", "null", "") else int(value)
+    return target_type(value)
+
+
+@dataclass(frozen=True)
+class CMPSConfig:
+    """Model hyperparameters.
+
+    Defaults mirror the reference HParams (reference: train.py:41-43):
+    ``minibatch_size=8, bond_dim=8, delta_t=1/16000, sigma=1e-4,
+    h_reg=200/(pi*16000)^2, r_reg=0.1, initial_rank=None, A=100,
+    learning_rate=1e-3``.
+    """
+
+    minibatch_size: int = 8
+    bond_dim: int = 8
+    delta_t: float = 1.0 / 16000.0
+    sigma: float = 1e-4
+    h_reg: float = 200.0 / (math.pi * 16000.0) ** 2
+    r_reg: float = 0.1
+    initial_rank: Optional[int] = None
+    A: float = 100.0
+    learning_rate: float = 1e-3
+
+    # --- TPU-native knobs (no reference counterpart) ---
+    # Chunk length for the time scan: the T-axis loop is a scan-of-scans with
+    # `jax.checkpoint` on the inner chunk, bounding BPTT memory over T=2^16
+    # (the reference fully unrolls BPTT: model.py:140, train.py:91 TODO).
+    scan_chunk: int = 256
+    # Clamp the argument of -log(1+u) at this floor. The reference silently
+    # NaNs when 1+u <= 0 (model.py:169-170); we clamp by default. Set <= 0 to
+    # reproduce reference behaviour exactly.
+    log_eps: float = 1e-8
+    # Trace/norm floor for per-step renormalization (reference model.py:198-203,
+    # model.py:327-334 use 1e-12).
+    norm_eps: float = 1e-12
+
+    def parse(self, overrides: str) -> "CMPSConfig":
+        """Apply a comma-separated ``k=v,...`` override string.
+
+        Mirrors ``HParams.parse`` (reference: train.py:44).
+        Returns a new config; unknown keys raise.
+        """
+        if not overrides:
+            return self
+        fields = {f.name: f for f in dataclasses.fields(self)}
+        updates = {}
+        for item in overrides.split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:
+                raise ValueError(f"override {item!r} is not of the form k=v")
+            k, v = item.split("=", 1)
+            k = k.strip()
+            if k not in fields:
+                raise ValueError(f"unknown hyperparameter {k!r}")
+            updates[k] = _coerce(v.strip(), _FIELD_TYPES[k])
+        return dataclasses.replace(self, **updates)
+
+
+# Concrete runtime types for parse(); dataclass .type may be a string under
+# `from __future__ import annotations`.
+_FIELD_TYPES = {
+    "minibatch_size": int,
+    "bond_dim": int,
+    "delta_t": float,
+    "sigma": float,
+    "h_reg": float,
+    "r_reg": float,
+    "initial_rank": Optional[int],
+    "A": float,
+    "learning_rate": float,
+    "scan_chunk": int,
+    "log_eps": float,
+    "norm_eps": float,
+}
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Run-level flags (reference: train.py:18-33, sample.py:10-14)."""
+
+    mps_model: str = "psi_mps"          # {"rho_mps", "psi_mps"}
+    dataset: str = "damped_sine"        # {"damped_sine", "guitar", "organ", "nsynth"}
+    sample_duration: int = 2 ** 16
+    sample_rate: int = 16000
+    visualize: bool = True
+    num_samples: int = 3
+    hparams: str = ""                   # k=v,... override string
+    datadir: str = "./data"
+    logdir: str = "./logging/audio_mps"
+    # Training-loop controls (reference used tf.contrib.training.train with
+    # save_checkpoint_secs=60 and an unbounded step count: train.py:93-94).
+    max_steps: int = 0                  # 0 = run forever
+    checkpoint_secs: float = 60.0
+    summary_every: int = 10
+    seed: int = 0
+
+    def run_logdir(self, cfg: CMPSConfig) -> str:
+        """Run-parameterized logdir (reference: train.py:94)."""
+        return (f"{self.logdir}/{self.dataset}/"
+                f"{cfg.bond_dim}_{cfg.delta_t}_{cfg.minibatch_size}")
+
+
+def parse_argv(argv, run: RunConfig = RunConfig()) -> RunConfig:
+    """Parse ``--key=value`` style args into a RunConfig."""
+    fields = {f.name: f for f in dataclasses.fields(RunConfig)}
+    types = {
+        "mps_model": str, "dataset": str, "sample_duration": int,
+        "sample_rate": int, "visualize": bool, "num_samples": int,
+        "hparams": str, "datadir": str, "logdir": str, "max_steps": int,
+        "checkpoint_secs": float, "summary_every": int, "seed": int,
+    }
+    updates = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            continue
+        body = arg[2:]
+        if "=" not in body:
+            k, v = body, "true"
+        else:
+            k, v = body.split("=", 1)
+        if k in fields:
+            updates[k] = _coerce(v, types[k])
+        else:
+            raise ValueError(f"unknown flag --{k}")
+    return dataclasses.replace(run, **updates)

@@ -1,0 +1,248 @@
+"""Functional cMPS model API: losses, samplers, trajectory diagnostics.
+
+Pure functions over parameter pytrees — the JAX-native equivalent of the
+reference's graph-building class methods (reference: model.py:55-334).
+Time is a `lax.scan`; batch is native batching; BPTT memory over T = 2^16 is
+bounded by a scan-of-scans with `jax.checkpoint` on the inner chunk (the
+reference fully unrolls the 65535-step fold: model.py:140-141).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CMPSConfig
+from ..ops.complexing import cadjoint, cmatmul
+from . import cell
+from .cell import CellConstants, make_constants
+
+
+# ---------------------------------------------------------------------------
+# Initial states
+# ---------------------------------------------------------------------------
+
+def psi0(params, cfg: CMPSConfig):
+    """Normalized initial pure state [D] (reference: model.py:214-222)."""
+    pr, pi = params.psi_x[None, :], params.psi_y[None, :]
+    pr, pi = cell.normalize_psi(pr, pi, cfg.norm_eps)
+    return pr[0], pi[0]
+
+
+def rho0(params, cfg: CMPSConfig):
+    """``rho_0 = W^dag W / tr`` [D,D] (reference: model.py:118-130)."""
+    wr, wi = params.Wx, params.Wy
+    ar, ai = cadjoint(wr, wi)
+    rr, ri = cmatmul(ar, ai, wr, wi)
+    tr = jnp.trace(rr)
+    return rr / tr, ri / tr
+
+
+def _tile(x, n):
+    return jnp.broadcast_to(x[None], (n,) + x.shape)
+
+
+# ---------------------------------------------------------------------------
+# Chunked remat scan over time
+# ---------------------------------------------------------------------------
+
+def chunked_scan(step, carry, xs, chunk: int, remat: bool = True):
+    """Scan `step` over leading axis of `xs` with bounded-BPTT chunking.
+
+    Full chunks run as an outer scan of `jax.checkpoint`-wrapped inner scans
+    (memory O(T/chunk + chunk) instead of O(T)); the remainder runs as a
+    plain scan so no masking is needed.
+    """
+    T = xs.shape[0]
+
+    def plain(carry, xs_):
+        return jax.lax.scan(lambda c, x: (step(c, x), None), carry, xs_)[0]
+
+    if chunk is None or chunk <= 1 or T <= chunk:
+        return plain(carry, xs)
+
+    n_full = T // chunk
+    inner = jax.checkpoint(plain) if remat else plain
+    main = xs[: n_full * chunk].reshape((n_full, chunk) + xs.shape[1:])
+    carry = jax.lax.scan(lambda c, xc: (inner(c, xc), None), carry, main)[0]
+    if T % chunk:
+        carry = plain(carry, xs[n_full * chunk:])
+    return carry
+
+
+def _increments(signals):
+    """Waveform -> time-major increments [T-1, B]
+    (reference: model.py:138-139)."""
+    return (signals[:, 1:] - signals[:, :-1]).T
+
+
+# ---------------------------------------------------------------------------
+# NLL losses
+# ---------------------------------------------------------------------------
+
+def rho_nll(params, cfg: CMPSConfig, signals):
+    """Mean NLL of a batch of waveforms [B,T] under the mixed-state model
+    (reference: model.py:132-142)."""
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)
+    B = signals.shape[0]
+    rr, ri = rho0(params, cfg)
+    carry = (_tile(rr, B), _tile(ri, B), jnp.zeros((B,), signals.dtype))
+    step = partial(cell.rho_loss_step, cc, cfg)
+    _, _, loss = chunked_scan(step, carry, incs, cfg.scan_chunk)
+    return jnp.mean(loss)
+
+
+def psi_nll(params, cfg: CMPSConfig, signals):
+    """Mean NLL under the pure-state model (reference: model.py:257-267)."""
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)
+    B = signals.shape[0]
+    pr, pi = psi0(params, cfg)
+    carry = (_tile(pr, B), _tile(pi, B), jnp.zeros((B,), signals.dtype))
+    step = partial(cell.psi_loss_step, cc, cfg)
+    _, _, loss = chunked_scan(step, carry, incs, cfg.scan_chunk)
+    return jnp.mean(loss)
+
+
+def regularized_loss(nll, params, cfg: CMPSConfig):
+    """``total = nll + h_reg ||freqs||^2 + r_reg ||R||^2``
+    (reference: train.py:55-60)."""
+    Rr, Ri = cell.effective_R(params)
+    r_sq = jnp.sum(Rr * Rr + Ri * Ri)
+    h_sq = jnp.sum(params.freqs ** 2)
+    return nll + cfg.h_reg * h_sq + cfg.r_reg * r_sq, (h_sq, r_sq)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (Euler–Maruyama SDE, reference: model.py:103-112, 242-251)
+# ---------------------------------------------------------------------------
+
+def _sample_noise(cfg: CMPSConfig, key, num_samples: int, length: int, temp):
+    std = cfg.sigma * jnp.sqrt(temp * cfg.delta_t)
+    return std * jax.random.normal(key, (length, num_samples), jnp.float32)
+
+
+def sample_rho(params, cfg: CMPSConfig, key, num_samples: int, length: int,
+               temp=1.0):
+    """Generate waveforms [num_samples, length]. Carry-only scan — unlike the
+    reference, intermediate ancillas are not materialized
+    (reference TODO at model.py:110)."""
+    cc = make_constants(params, cfg)
+    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    rr, ri = rho0(params, cfg)
+    carry = (_tile(rr, num_samples), _tile(ri, num_samples))
+
+    def step(c, z):
+        c2, (inc, _state) = cell.rho_sample_step(cc, cfg, c, z)
+        return c2, inc
+
+    _, incs = jax.lax.scan(step, carry, noise)
+    return cc.A * jnp.cumsum(incs, axis=0).T
+
+
+def sample_psi(params, cfg: CMPSConfig, key, num_samples: int, length: int,
+               temp=1.0):
+    cc = make_constants(params, cfg)
+    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    pr, pi = psi0(params, cfg)
+    carry = (_tile(pr, num_samples), _tile(pi, num_samples))
+
+    def step(c, z):
+        c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, z)
+        return c2, inc
+
+    _, incs = jax.lax.scan(step, carry, noise)
+    return cc.A * jnp.cumsum(incs, axis=0).T
+
+
+# ---------------------------------------------------------------------------
+# Trajectory diagnostics (reference: model.py:76-101, 231-240)
+# ---------------------------------------------------------------------------
+
+def _lab_rotate_rho_traj(params, cfg: CMPSConfig, rr, ri):
+    """Back-rotate a rotating-frame rho trajectory [T,B,D,D] into the lab
+    frame: rho_lab(t_n) = rho~ .* E(t_n), E_ij = exp(i (f_i - f_j) n dt)."""
+    T = rr.shape[0]
+    f = params.freqs
+    t = jnp.arange(T, dtype=jnp.float32) * cfg.delta_t
+    df = f[:, None] - f[None, :]
+    ang = t[:, None, None] * df[None]            # [T,D,D]
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    c, s = c[:, None], s[:, None]                # broadcast over batch
+    return rr * c - ri * s, rr * s + ri * c
+
+
+def _lab_rotate_psi_traj(params, cfg: CMPSConfig, pr, pi):
+    """psi_lab(t_n) = phases(t_n) .* psi~, phases = exp(i f t_n)."""
+    T = pr.shape[0]
+    t = jnp.arange(T, dtype=jnp.float32) * cfg.delta_t
+    ang = t[:, None] * params.freqs[None]        # [T,D]
+    c, s = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
+    return pr * c - pi * s, pr * s + pi * c
+
+
+def rho_evolve_with_data(params, cfg: CMPSConfig, signals):
+    """Full rho trajectory [B, T-1, D, D] (as a real/imag pair) under a data
+    batch [B,T] (reference: model.py:76-85)."""
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)
+    B = signals.shape[0]
+    rr, ri = rho0(params, cfg)
+    carry = (_tile(rr, B), _tile(ri, B), jnp.zeros((B,), signals.dtype))
+    step = partial(cell.rho_evolve_step, cc, cfg)
+    _, (tr_r, tr_i) = jax.lax.scan(step, carry, incs)
+    tr_r, tr_i = _lab_rotate_rho_traj(params, cfg, tr_r, tr_i)
+    return jnp.swapaxes(tr_r, 0, 1), jnp.swapaxes(tr_i, 0, 1)
+
+
+def psi_evolve_with_data(params, cfg: CMPSConfig, signals):
+    """Full psi trajectory [B, T-1, D] pair (reference: model.py:231-240)."""
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)
+    B = signals.shape[0]
+    pr, pi = psi0(params, cfg)
+    carry = (_tile(pr, B), _tile(pi, B), jnp.zeros((B,), signals.dtype))
+    step = partial(cell.psi_evolve_step, cc, cfg)
+    _, (tr_r, tr_i) = jax.lax.scan(step, carry, incs)
+    tr_r, tr_i = _lab_rotate_psi_traj(params, cfg, tr_r, tr_i)
+    return jnp.swapaxes(tr_r, 0, 1), jnp.swapaxes(tr_i, 0, 1)
+
+
+def rho_evolve_with_sampling(params, cfg: CMPSConfig, key, num_samples: int,
+                             length: int, temp=1.0):
+    """rho trajectory under ancestral sampling [N, length, D, D] pair
+    (reference: model.py:87-93)."""
+    cc = make_constants(params, cfg)
+    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    rr, ri = rho0(params, cfg)
+    carry = (_tile(rr, num_samples), _tile(ri, num_samples))
+
+    def step(c, z):
+        c2, (_inc, state) = cell.rho_sample_step(cc, cfg, c, z)
+        return c2, state
+
+    _, (tr_r, tr_i) = jax.lax.scan(step, carry, noise)
+    tr_r, tr_i = _lab_rotate_rho_traj(params, cfg, tr_r, tr_i)
+    return jnp.swapaxes(tr_r, 0, 1), jnp.swapaxes(tr_i, 0, 1)
+
+
+def purity(params, cfg: CMPSConfig, key, num_samples: int, length: int,
+           temp=1.0):
+    """``tr(rho^2)`` along sampled trajectories [N, length]
+    (reference: model.py:95-101). Frame-invariant, so computed directly on
+    the rotating-frame states."""
+    cc = make_constants(params, cfg)
+    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    rr, ri = rho0(params, cfg)
+    carry = (_tile(rr, num_samples), _tile(ri, num_samples))
+
+    def step(c, z):
+        c2, (_inc, (sr, si)) = cell.rho_sample_step(cc, cfg, c, z)
+        p = (jnp.einsum('bij,bji->b', sr, sr, precision='highest')
+             - jnp.einsum('bij,bji->b', si, si, precision='highest'))
+        return c2, p
+
+    _, p = jax.lax.scan(step, carry, noise)
+    return p.T

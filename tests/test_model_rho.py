@@ -1,0 +1,166 @@
+"""RhoCMPS tests: ports of the reference suite (reference:
+tests/test_model.py:31-103) plus the new-framework anchors — rotating-frame
+vs lab-frame equivalence, chunked-scan invariance, and gradient checks that
+the reference lacks (SURVEY.md §4 gaps)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_mps_tpu import CMPSConfig, RhoCMPS
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models import cell, core
+from audio_mps_tpu.models.params import init_rho
+
+HP = CMPSConfig(minibatch_size=8, bond_dim=7, delta_t=1 / 16000, sigma=1e-4,
+                initial_rank=None, A=100.0,
+                h_reg=2 / (np.pi * 16000) ** 2, r_reg=2 / (np.pi * 16000))
+T_SHORT = 2 ** 8
+
+
+def small_data(T=T_SHORT, B=HP.minibatch_size):
+    return damped_sine_batch(jax.random.PRNGKey(1), B, T, HP.delta_t)
+
+
+def test_R_has_no_diagonal_elements():
+    # reference tests/test_model.py:19-25
+    model = RhoCMPS(HP)
+    np.testing.assert_allclose(np.diag(model.R), np.zeros(HP.bond_dim))
+
+
+def test_loss_not_nan():
+    # reference tests/test_model.py:33-39
+    model = RhoCMPS(HP, data_iterator=small_data())
+    assert np.isfinite(float(model.loss))
+
+
+def test_rho0_is_density_matrix():
+    # reference tests/test_model.py:41-48
+    model = RhoCMPS(HP)
+    rho0 = model.rho_0
+    np.testing.assert_allclose(np.trace(rho0).real, 1.0, rtol=1e-5)
+    np.testing.assert_allclose(rho0, rho0.conj().T, atol=1e-6)
+    evals = np.linalg.eigvalsh(rho0)
+    assert (evals > -1e-6).all()
+
+
+def test_rho_evolved_with_data_remains_normalized():
+    # reference tests/test_model.py:50-57
+    model = RhoCMPS(HP, data_iterator=small_data())
+    traj = model.rho_evolve_with_data()
+    traces = np.trace(traj, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(traces.real, np.ones_like(traces.real),
+                               rtol=1e-5)
+    assert np.abs(traces.imag).max() < 1e-5
+
+
+def test_rho_evolved_sampling_remains_normalized():
+    # reference tests/test_model.py:59-67
+    model = RhoCMPS(HP)
+    traj = model.rho_evolve_with_sampling(num_samples=5, length=T_SHORT)
+    traces = np.trace(traj, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(traces.real, np.ones((5, T_SHORT)), rtol=1e-4)
+
+
+def test_trivial_update_of_ancilla():
+    # reference tests/test_model.py:69-83: H=R=0 => one update is identity
+    model = RhoCMPS(HP, freqs_in=np.zeros(HP.bond_dim, np.float32),
+                    R_in=np.zeros((HP.bond_dim, HP.bond_dim), np.complex64))
+    rho0 = model.rho_0
+    B = HP.minibatch_size
+    rr = jnp.broadcast_to(jnp.asarray(rho0.real), (B,) + rho0.shape)
+    ri = jnp.broadcast_to(jnp.asarray(rho0.imag), (B,) + rho0.shape)
+    signal = jnp.asarray(np.random.RandomState(0).rand(B).astype(np.float32))
+    nr, ni = cell.lab_update_ancilla_rho(model.params, HP, rr, ri, signal, 0.0)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(rr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(ri), atol=1e-6)
+
+
+def test_qubit_sampling_shape():
+    # reference tests/test_model.py:85-103: two-level analytic fixture
+    hp = dataclasses.replace(HP, bond_dim=2, sigma=1.0, A=1.0)
+    R = np.array([[0, 1], [0, 0]], dtype=np.complex64)
+    freqs = np.array([10.0, -10.0], dtype=np.float32)
+    qubit = RhoCMPS(hp, R_in=R, freqs_in=freqs)
+    waveform = qubit.sample(num_samples=2, length=512)
+    assert waveform.shape == (2, 512)
+    assert np.isfinite(waveform).all()
+
+
+# ---------------------------------------------------------------------------
+# New-framework anchors (beyond the reference suite)
+# ---------------------------------------------------------------------------
+
+def _lab_frame_nll(params, cfg, signals):
+    """Direct transcription of the reference foldl semantics using the
+    lab-frame single-step functions, carrying (rho, loss, t)."""
+    incs = (signals[:, 1:] - signals[:, :-1]).T
+    B = signals.shape[0]
+    rr, ri = core.rho0(params, cfg)
+    rr = jnp.broadcast_to(rr, (B,) + rr.shape)
+    ri = jnp.broadcast_to(ri, (B,) + ri.shape)
+
+    def step(carry, inc):
+        rr, ri, loss, t = carry
+        rr2, ri2 = cell.lab_update_ancilla_rho(params, cfg, rr, ri, inc, t)
+        e = cell.lab_expectation_rho(params, rr2, ri2, t)
+        loss = loss + cell.nll_increment(e, inc / params.A, cfg.log_eps)
+        rr2, ri2 = cell.normalize_rho(rr2, ri2, cfg.norm_eps)
+        return (rr2, ri2, loss, t + cfg.delta_t), None
+
+    (rr, ri, loss, _), _ = jax.lax.scan(
+        step, (rr, ri, jnp.zeros((B,)), 0.0), incs)
+    return jnp.mean(loss)
+
+
+def test_rotating_frame_matches_lab_frame():
+    """The rotating-frame hot path must agree with the direct (reference
+    semantics) lab-frame evolution."""
+    params = init_rho(jax.random.PRNGKey(3), HP)
+    data = small_data()
+    cfg = dataclasses.replace(HP, scan_chunk=0)
+    fast = float(core.rho_nll(params, cfg, data))
+    ref = float(_lab_frame_nll(params, cfg, data))
+    np.testing.assert_allclose(fast, ref, rtol=2e-4)
+
+
+def test_chunked_scan_matches_plain():
+    params = init_rho(jax.random.PRNGKey(4), HP)
+    data = small_data()
+    plain = float(core.rho_nll(params, dataclasses.replace(HP, scan_chunk=0),
+                               data))
+    # chunk not dividing T-1=255 exercises the tail path
+    chunked = float(core.rho_nll(
+        params, dataclasses.replace(HP, scan_chunk=64), data))
+    np.testing.assert_allclose(chunked, plain, rtol=1e-6)
+
+
+def test_gradients_finite_and_chunk_invariant():
+    params = init_rho(jax.random.PRNGKey(5), HP)
+    data = small_data()
+    g_plain = jax.grad(core.rho_nll)(
+        params, dataclasses.replace(HP, scan_chunk=0), data)
+    g_chunk = jax.grad(core.rho_nll)(
+        params, dataclasses.replace(HP, scan_chunk=64), data)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_chunk)):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_purity_bounds():
+    model = RhoCMPS(HP)
+    p = model.purity(num_samples=3, length=64)
+    assert p.shape == (3, 64)
+    d = HP.bond_dim
+    assert (p > 1.0 / d - 1e-5).all() and (p < 1.0 + 1e-4).all()
+
+
+def test_sample_reproducible_with_key():
+    model = RhoCMPS(HP)
+    key = jax.random.PRNGKey(7)
+    w1 = model.sample(2, 128, key=key)
+    w2 = model.sample(2, 128, key=key)
+    np.testing.assert_array_equal(w1, w2)
