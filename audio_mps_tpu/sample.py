@@ -1,0 +1,115 @@
+"""Standalone sampling CLI — the real implementation of the reference's
+stub (reference: sample.py:18-19 defines flags but ``main`` is ``pass``; the
+actual restore-and-sample flow only exists in the reference notebook,
+cells 33-37).
+
+    python -m audio_mps_tpu.sample --modeldir=<run logdir> \
+        --mps_model=psi_mps --num_samples=3 --sample_duration=65536 \
+        --temperature=1.0 --out=samples.npz
+
+Restores the latest Orbax checkpoint written by train.py and generates
+waveforms fully on-device.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import jax
+import numpy as np
+
+from .config import CMPSConfig, _coerce
+from .models import core
+from .training import Checkpointer, init_params_for, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    modeldir: str = ""
+    mps_model: str = "psi_mps"
+    hparams: str = ""
+    sample_duration: int = 2 ** 16
+    sample_rate: int = 16000
+    num_samples: int = 3
+    temperature: float = 1.0
+    seed: int = 0
+    out: str = "samples.npz"
+    wav: bool = True
+
+
+_TYPES = {"modeldir": str, "mps_model": str, "hparams": str,
+          "sample_duration": int, "sample_rate": int, "num_samples": int,
+          "temperature": float, "seed": int, "out": str, "wav": bool}
+
+
+def parse_args(argv) -> SampleConfig:
+    sc = SampleConfig()
+    updates = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            continue
+        body = arg[2:]
+        k, v = (body.split("=", 1) if "=" in body else (body, "true"))
+        if k not in _TYPES:
+            raise ValueError(f"unknown flag --{k}")
+        updates[k] = _coerce(v, _TYPES[k])
+    return dataclasses.replace(sc, **updates)
+
+
+def write_wav(path: str, waveform: np.ndarray, sample_rate: int):
+    """Minimal 16-bit PCM WAV writer (stdlib only)."""
+    import struct
+    import wave
+    w = np.asarray(waveform, dtype=np.float64)
+    peak = np.abs(w).max()
+    if peak > 0:
+        w = w / peak
+    pcm = (w * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def sample(sc: SampleConfig, verbose: bool = True):
+    if not sc.modeldir:
+        raise ValueError("--modeldir is required (the run logdir written by "
+                         "train.py)")
+    cfg = CMPSConfig().parse(sc.hparams)
+    key = jax.random.PRNGKey(sc.seed)
+    key, ikey, skey = jax.random.split(key, 3)
+
+    params = init_params_for(sc.mps_model, ikey, cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    ckpt = Checkpointer(os.path.join(sc.modeldir, "checkpoints"))
+    params, _, step = ckpt.restore(params, opt_state)
+    if step == 0 and verbose:
+        print("warning: no checkpoint found, sampling from random init",
+              flush=True)
+
+    fn = core.sample_rho if sc.mps_model == "rho_mps" else core.sample_psi
+    waves = np.asarray(fn(params, cfg, skey, sc.num_samples,
+                          sc.sample_duration, sc.temperature))
+    if sc.out:
+        np.savez(sc.out, samples=waves, step=step)
+        if verbose:
+            print(f"wrote {sc.out}: {waves.shape} (checkpoint step {step})",
+                  flush=True)
+    if sc.wav:
+        base = os.path.splitext(sc.out or "samples.npz")[0]
+        for i, w in enumerate(waves):
+            write_wav(f"{base}_{i}.wav", w, sc.sample_rate)
+        if verbose:
+            print(f"wrote {len(waves)} wav files at {base}_*.wav", flush=True)
+    return waves
+
+
+def main(argv=None):
+    sample(parse_args(sys.argv[1:] if argv is None else argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Training CLI — the primary entry point (reference: train.py).
+
+    python -m audio_mps_tpu.train --mps_model=psi_mps --dataset=damped_sine \
+        --hparams="bond_dim=8,learning_rate=0.001" --logdir=./logging
+
+Builds data -> model -> total loss (+ h_reg/r_reg, reference: train.py:55-60)
+-> Adam -> managed loop with 60 s checkpointing into the run-parameterized
+logdir ``{logdir}/{dataset}/{bond_dim}_{delta_t}_{minibatch_size}``
+(reference: train.py:93-94), TensorBoard summaries in all four reference
+modalities (reference: train.py:62-85), and restore-on-restart.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import summaries as summaries_lib
+from .config import CMPSConfig, RunConfig, parse_argv
+from .data import get_audio
+from .models import core
+from .training import (Checkpointer, init_params_for, make_optimizer,
+                       make_train_step)
+
+
+def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
+    """Run the training loop; returns (params, final metrics)."""
+    cfg = cfg if cfg is not None else CMPSConfig().parse(run.hparams)
+    key = jax.random.PRNGKey(run.seed)   # reference seeds TF with 0: train.py:13
+    key, init_key = jax.random.split(key)
+
+    data_iter = get_audio(run.datadir, run.dataset, cfg,
+                          sample_duration=run.sample_duration, seed=run.seed)
+
+    params = init_params_for(run.mps_model, init_key, cfg)
+    optimizer, step_fn = make_train_step(run.mps_model, cfg)
+    opt_state = optimizer.init(params)
+
+    logdir = run.run_logdir(cfg)
+    ckpt = Checkpointer(logdir + "/checkpoints",
+                        save_secs=run.checkpoint_secs)
+    params, opt_state, start_step = ckpt.restore(params, opt_state)
+    writer = summaries_lib.make_writer(logdir)
+
+    sample_fn = (core.sample_rho if run.mps_model == "rho_mps"
+                 else core.sample_psi)
+    metrics = {}
+    step = start_step
+    try:
+        while run.max_steps <= 0 or step < run.max_steps:
+            batch = jnp.asarray(next(data_iter))
+            params, opt_state, metrics = step_fn(params, opt_state, batch)
+            step += 1
+
+            if step % run.summary_every == 0 or step == start_step + 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                if verbose:
+                    print(f"step {step}: loss={m['model_loss']:.6f} "
+                          f"total={m['total_loss']:.6f}", flush=True)
+                samples = None
+                if run.visualize and run.num_samples > 0 and writer is not None:
+                    key, skey = jax.random.split(key)
+                    samples = sample_fn(params, cfg, skey, run.num_samples,
+                                        run.sample_duration)
+                summaries_lib.write_step_summaries(
+                    writer, step, m, cfg, run, params=params,
+                    data=np.asarray(batch), samples=samples)
+            ckpt.maybe_save(step, params, opt_state)
+    except KeyboardInterrupt:
+        if verbose:
+            print("interrupted; saving final checkpoint", flush=True)
+    finally:
+        ckpt.maybe_save(step, params, opt_state, force=True)
+        ckpt.close()
+        if writer is not None:
+            writer.close()
+    return params, metrics
+
+
+def main(argv=None):
+    run = parse_argv(sys.argv[1:] if argv is None else argv)
+    train(run)
+
+
+if __name__ == "__main__":
+    main()

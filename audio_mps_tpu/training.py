@@ -1,0 +1,128 @@
+"""Training subsystem: jitted Adam step, Orbax checkpoint/resume.
+
+The TPU-native replacement for ``tf.contrib.training.train`` +
+``AdamOptimizer`` (reference: train.py:88-94): a donated, jitted
+``value_and_grad`` step through the chunked time scan, Optax Adam, and
+Orbax checkpointing with the reference's time-based cadence (60 s,
+reference: train.py:93) plus restore-on-restart (the reference's managed
+session behaviour; SURVEY.md §5 checkpoint/resume).
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import CMPSConfig
+from .models import core
+from .models.params import init_psi, init_rho
+
+
+def nll_fn_for(mps_model: str):
+    if mps_model == "rho_mps":
+        return core.rho_nll
+    if mps_model == "psi_mps":
+        return core.psi_nll
+    raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+
+
+def init_params_for(mps_model: str, key, cfg: CMPSConfig, **warm):
+    if mps_model == "rho_mps":
+        return init_rho(key, cfg, **warm)
+    if mps_model == "psi_mps":
+        return init_psi(key, cfg, **warm)
+    raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+
+
+def make_optimizer(cfg: CMPSConfig):
+    """Adam at the reference learning rate (reference: train.py:88-89)."""
+    return optax.adam(cfg.learning_rate)
+
+
+def make_loss_fn(mps_model: str, cfg: CMPSConfig):
+    nll = nll_fn_for(mps_model)
+
+    def loss_fn(params, batch):
+        model_loss = nll(params, cfg, batch)
+        total, (h_sq, r_sq) = core.regularized_loss(model_loss, params, cfg)
+        return total, {"model_loss": model_loss, "total_loss": total,
+                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
+                       "A": params.A}
+    return loss_fn
+
+
+def make_train_step(mps_model: str, cfg: CMPSConfig, optimizer=None):
+    """Returns (optimizer, jitted step). step(params, opt_state, batch) ->
+    (params, opt_state, metrics)."""
+    optimizer = optimizer or make_optimizer(cfg)
+    loss_fn = make_loss_fn(mps_model, cfg)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return optimizer, step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (Orbax)
+# ---------------------------------------------------------------------------
+
+class Checkpointer:
+    """Orbax-backed checkpoint/resume of (params, opt_state, step).
+
+    Time-based save cadence mirrors the reference's
+    ``save_checkpoint_secs=60`` (reference: train.py:93).
+    """
+
+    def __init__(self, directory: str, save_secs: float = 60.0,
+                 max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+        self.save_secs = save_secs
+        self._last_save = time.time()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, params, opt_state) -> Tuple[object, object, int]:
+        """Restore the latest checkpoint into the given (abstract or
+        concrete) param/opt_state structures; returns (params, opt_state,
+        step). If no checkpoint exists, returns inputs and step 0."""
+        step = self.manager.latest_step()
+        if step is None:
+            return params, opt_state, 0
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+            {"params": params, "opt_state": opt_state})
+        restored = self.manager.restore(
+            step, args=self._ocp.args.StandardRestore(abstract))
+        return restored["params"], restored["opt_state"], step
+
+    def maybe_save(self, step: int, params, opt_state, force: bool = False):
+        now = time.time()
+        if force or (now - self._last_save) >= self.save_secs:
+            self.manager.save(step, args=self._ocp.args.StandardSave(
+                {"params": params, "opt_state": opt_state}))
+            self.manager.wait_until_finished()
+            self._last_save = now
+            return True
+        return False
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()
