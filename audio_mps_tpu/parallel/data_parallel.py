@@ -1,0 +1,94 @@
+"""Data-parallel training over an ICI mesh.
+
+The natural scaling strategy for cMPS training (SURVEY.md §2.4): the model
+state is tiny (a few D x D matrices) while the work per example is a 2^16-
+step scan, so replicate parameters, shard the batch over the ``data`` mesh
+axis, and reduce gradients with an explicit ``psum_scatter``-free ``pmean``
+over ICI inside ``shard_map``. This is the TPU-native equivalent of the
+BASELINE "D=128 data-parallel training across chips" config
+(BASELINE.json configs[4]); the reference itself has no distribution at all.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import CMPSConfig
+from ..models import core
+from ..training import make_loss_fn, make_optimizer
+from .mesh import DATA_AXIS
+
+
+def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
+                       optimizer=None, axis: str = DATA_AXIS):
+    """Build (optimizer, jitted_sharded_step).
+
+    step(params, opt_state, batch[B_global, T]) -> (params, opt_state,
+    metrics); params/opt_state replicated, batch sharded over `axis`.
+    Per-device grads are averaged with `jax.lax.pmean` (an XLA all-reduce
+    riding ICI); the optimizer update runs redundantly-replicated, which is
+    optimal at this parameter scale (a few KB).
+    """
+    optimizer = optimizer or make_optimizer(cfg)
+    loss_fn = make_loss_fn(mps_model, cfg)
+
+    def local_step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None)),
+        out_specs=(P(), P(), P()),
+        check_rep=False)
+
+    step = jax.jit(sharded, donate_argnums=(0, 1))
+    return optimizer, step
+
+
+def make_dp_sample(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
+                   axis: str = DATA_AXIS):
+    """Sharded ancestral sampling: samples split across chips (generation is
+    irreducibly serial in time — throughput comes from batching across the
+    mesh, SURVEY.md §7 hard parts)."""
+    fn = core.sample_rho if mps_model == "rho_mps" else core.sample_psi
+
+    def build(num_samples: int, length: int, temp: float = 1.0):
+        n_dev = mesh.devices.size
+        if num_samples % n_dev:
+            raise ValueError(f"num_samples={num_samples} must divide over "
+                             f"{n_dev} devices")
+        local_n = num_samples // n_dev
+
+        def local(params, key):
+            idx = jax.lax.axis_index(axis)
+            key = jax.random.fold_in(key, idx)
+            return fn(params, cfg, key, local_n, length, temp)
+
+        sharded = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                            out_specs=P(axis, None), check_rep=False)
+        return jax.jit(sharded)
+
+    return build
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree replicated over the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place a [B, ...] batch sharded over the mesh's data axis."""
+    s = NamedSharding(mesh, P(axis, *(None,) * (batch.ndim - 1)))
+    return jax.device_put(batch, s)

@@ -1,15 +1,22 @@
 """Test harness: run on CPU with 8 virtual devices so multi-chip sharding
-is exercised without TPU hardware (the standard JAX pattern — SURVEY.md §4)."""
+is exercised without TPU hardware (the standard JAX pattern — SURVEY.md §4).
+
+Note: the session's sitecustomize registers the axon TPU backend and imports
+jax before pytest starts, so plain env vars are too late — use
+jax.config.update, and set XLA_FLAGS before the CPU backend initializes.
+"""
 import os
 
-# The session environment pins JAX_PLATFORMS=axon (one real TPU chip);
-# tests must run hermetically on a virtual 8-device CPU mesh, so override.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
