@@ -124,13 +124,12 @@ def _sample_noise(cfg: CMPSConfig, key, num_samples: int, length: int, temp):
     return std * jax.random.normal(key, (length, num_samples), jnp.float32)
 
 
-def sample_rho(params, cfg: CMPSConfig, key, num_samples: int, length: int,
-               temp=1.0):
-    """Generate waveforms [num_samples, length]. Carry-only scan — unlike the
-    reference, intermediate ancillas are not materialized
-    (reference TODO at model.py:110)."""
+def sample_rho_with_noise(params, cfg: CMPSConfig, noise):
+    """Generate waveforms [N, T] from given noise [T, N] (the SDE driving
+    terms). Carry-only scan — unlike the reference, intermediate ancillas
+    are not materialized (reference TODO at model.py:110)."""
     cc = make_constants(params, cfg)
-    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    num_samples = noise.shape[1]
     rr, ri = rho0(params, cfg)
     carry = (_tile(rr, num_samples), _tile(ri, num_samples))
 
@@ -142,10 +141,16 @@ def sample_rho(params, cfg: CMPSConfig, key, num_samples: int, length: int,
     return cc.A * jnp.cumsum(incs, axis=0).T
 
 
-def sample_psi(params, cfg: CMPSConfig, key, num_samples: int, length: int,
+def sample_rho(params, cfg: CMPSConfig, key, num_samples: int, length: int,
                temp=1.0):
-    cc = make_constants(params, cfg)
+    """(reference: model.py:103-112)"""
     noise = _sample_noise(cfg, key, num_samples, length, temp)
+    return sample_rho_with_noise(params, cfg, noise)
+
+
+def sample_psi_with_noise(params, cfg: CMPSConfig, noise):
+    cc = make_constants(params, cfg)
+    num_samples = noise.shape[1]
     pr, pi = psi0(params, cfg)
     carry = (_tile(pr, num_samples), _tile(pi, num_samples))
 
@@ -155,6 +160,13 @@ def sample_psi(params, cfg: CMPSConfig, key, num_samples: int, length: int,
 
     _, incs = jax.lax.scan(step, carry, noise)
     return cc.A * jnp.cumsum(incs, axis=0).T
+
+
+def sample_psi(params, cfg: CMPSConfig, key, num_samples: int, length: int,
+               temp=1.0):
+    """(reference: model.py:242-251)"""
+    noise = _sample_noise(cfg, key, num_samples, length, temp)
+    return sample_psi_with_noise(params, cfg, noise)
 
 
 # ---------------------------------------------------------------------------

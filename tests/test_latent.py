@@ -1,0 +1,70 @@
+"""Latent-conditioned cMPS tests (the reference's follow_vae.py is broken
+WIP — these pin the working rebuild)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models.latent import (decode_psi0, elbo_loss, encode,
+                                         init_latent, sample_latent)
+
+CFG = CMPSConfig(minibatch_size=4, bond_dim=4, scan_chunk=64)
+T = 256
+
+
+def _data(B=4):
+    return damped_sine_batch(jax.random.PRNGKey(1), B, T, CFG.delta_t)
+
+
+def test_encoder_shapes_and_kl_nonneg():
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=6)
+    mu, lv = encode(params, _data())
+    assert mu.shape == (4, 6) and lv.shape == (4, 6)
+    loss, aux = elbo_loss(params, CFG, _data(), jax.random.PRNGKey(2))
+    assert float(aux["kl"]) >= 0.0
+    assert np.isfinite(float(loss))
+
+
+def test_decoded_psi0_normalized():
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=6)
+    z = jax.random.normal(jax.random.PRNGKey(3), (5, 6))
+    pr, pi = decode_psi0(params, z, CFG)
+    norms = np.sqrt(np.asarray((pr ** 2 + pi ** 2).sum(-1)))
+    np.testing.assert_allclose(norms, np.ones(5), rtol=1e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["log", "quadratic"])
+def test_elbo_trains(loss_type):
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4, hidden=32)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    data = _data()
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (loss, aux), grads = jax.value_and_grad(
+            elbo_loss, has_aux=True)(params, CFG, data, key,
+                                     loss_type=loss_type)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_prior_sampling():
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4)
+    w = sample_latent(params, CFG, jax.random.PRNGKey(5), 3, 128)
+    assert w.shape == (3, 128)
+    assert np.isfinite(np.asarray(w)).all()
+    # different latents -> different waveforms
+    assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))

@@ -1,0 +1,66 @@
+"""Pallas fused-scan kernels vs the XLA scan path (interpret mode on CPU;
+the same kernels compile to Mosaic on TPU — bench.py exercises that)."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models import core
+from audio_mps_tpu.models.params import init_psi, init_rho
+from audio_mps_tpu.ops.pallas_scan import (psi_nll_pallas, psi_sample_pallas,
+                                           rho_nll_pallas, rho_sample_pallas)
+
+HP = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+T = 300   # deliberately not a multiple of the kernel chunk
+
+
+def _data():
+    return damped_sine_batch(jax.random.PRNGKey(1), 4, T, HP.delta_t)
+
+
+def test_psi_nll_kernel_matches_core():
+    params = init_psi(jax.random.PRNGKey(3), HP)
+    ref = float(core.psi_nll(params, HP, _data()))
+    pal = float(psi_nll_pallas(params, HP, _data(), chunk=128,
+                               interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rho_nll_kernel_matches_core():
+    params = init_rho(jax.random.PRNGKey(4), HP)
+    ref = float(core.rho_nll(params, HP, _data()))
+    pal = float(rho_nll_pallas(params, HP, _data(), chunk=128,
+                               interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_rho_nll_kernel_low_rank():
+    hp = dataclasses.replace(HP, initial_rank=3)
+    params = init_rho(jax.random.PRNGKey(5), hp)
+    ref = float(core.rho_nll(params, hp, _data()))
+    pal = float(rho_nll_pallas(params, hp, _data(), chunk=64,
+                               interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("rank", [None, 3])
+def test_rho_sampler_kernel_matches_core(rank):
+    hp = dataclasses.replace(HP, initial_rank=rank)
+    params = init_rho(jax.random.PRNGKey(6), hp)
+    noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(9), (T, 4))
+    ref = np.asarray(core.sample_rho_with_noise(params, hp, noise))
+    pal = np.asarray(rho_sample_pallas(params, hp, noise, chunk=128,
+                                       interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_psi_sampler_kernel_matches_core():
+    params = init_psi(jax.random.PRNGKey(7), HP)
+    noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(9), (T, 4))
+    ref = np.asarray(core.sample_psi_with_noise(params, HP, noise))
+    pal = np.asarray(psi_sample_pallas(params, HP, noise, chunk=128,
+                                       interpret=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-5)
