@@ -59,7 +59,11 @@ try:  # C-accelerated implementation if present (it is, via google-cloud deps)
     def crc32c(data: bytes) -> int:
         return int(google_crc32c.value(data))
 except Exception:  # pragma: no cover - environment-dependent
-    crc32c = _crc32c_py
+    try:
+        from ..native import crc32c as _native_crc32c, available as _nat_ok
+        crc32c = _native_crc32c if _nat_ok() else _crc32c_py
+    except Exception:
+        crc32c = _crc32c_py
 
 
 def masked_crc(data: bytes) -> int:
@@ -309,13 +313,27 @@ def decode_example(buf: bytes) -> Dict[str, FeatureValue]:
 # Audio-level convenience (the reference's on-disk schema)
 # ---------------------------------------------------------------------------
 
+def _extract_audio(rec: bytes):
+    """Pull the `audio` float_list out of one serialized Example, using the
+    native C++ scanner when available (audio_mps_tpu/native/tfrec.cc)."""
+    try:
+        from .. import native
+        audio = native.parse_float_feature(rec, "audio")
+        if audio is not None:
+            return audio
+        if native.available():
+            return None   # native parsed the record and found no feature
+    except Exception:
+        pass
+    return decode_example(rec).get("audio")
+
+
 def read_audio_tfrecords(path: str, sample_duration: int = None) -> np.ndarray:
     """Load every ``audio`` feature from a TFRecord file into [N, T] float32
     (the reference's parse of audio-only records: data.py:31-34)."""
     rows = []
     for rec in read_records(path):
-        ex = decode_example(rec)
-        audio = ex.get("audio")
+        audio = _extract_audio(rec)
         if audio is None:
             continue
         audio = np.asarray(audio, dtype=np.float32)
