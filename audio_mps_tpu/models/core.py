@@ -94,6 +94,58 @@ def rho_nll(params, cfg: CMPSConfig, signals):
     return jnp.mean(loss)
 
 
+def rho_nll_factor(params, cfg: CMPSConfig, signals):
+    """Mean NLL under the mixed-state model, evolving the purification
+    factor G (rho = G^dag G — the exact form of the reference's
+    rho_0 = W^dag W / tr, model.py:118-130) instead of rho itself.
+
+    Mathematically identical to `rho_nll` (the Kraus update factorizes
+    exactly: rho'' = U rho U^dag <=> G'' = G U^dag) at half the matmul
+    FLOPs and with better conditioning; pinned equal by tests. This is the
+    training-default implementation; `rho_nll` remains as the literal
+    reference-shaped transcription.
+    """
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)                       # [T-1, B]
+    B = signals.shape[0]
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    gr = _tile(wr * inv0, B)                          # [B, r, D]
+    gi = _tile(wi * inv0, B)
+    # constants: U^dag applied from the right; X for the expectation
+    cdr, cdi = cc.Cr.T, -cc.Ci.T
+    rdr, rdi = cc.Rr.T, -cc.Ri.T
+    mm = partial(jnp.matmul, precision="highest")
+
+    def step(carry, inc):
+        gr, gi, loss = carry
+        s = (inc / cc.A)[:, None, None]
+        a1r = mm(gr, cdr) - mm(gi, cdi)
+        a1i = mm(gr, cdi) + mm(gi, cdr)
+        a2r = mm(gr, rdr) - mm(gi, rdi)
+        a2i = mm(gr, rdi) + mm(gi, rdr)
+        yr = a1r + s * a2r
+        yi = a1i + s * a2i
+        # e = Re tr(X rho'') = sum Re(G'' . conj(G'' @ X))
+        gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
+        gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
+        e = jnp.sum(yr * gxr + yi * gxi, axis=(1, 2))
+        loss = loss + cell.nll_increment(e, s[:, 0, 0], cfg.log_eps)
+        tr = jnp.sum(yr * yr + yi * yi, axis=(1, 2), keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))
+        yr = yr * inv
+        yi = yi * inv
+        # rotate: G <- G P (column scale by exp(i f dt))
+        nr = yr * cc.p_c - yi * cc.p_s
+        ni = yr * cc.p_s + yi * cc.p_c
+        return (nr, ni, loss)
+
+    carry = (gr, gi, jnp.zeros((B,), signals.dtype))
+    _, _, loss = chunked_scan(step, carry, incs, cfg.scan_chunk)
+    return jnp.mean(loss)
+
+
 def psi_nll(params, cfg: CMPSConfig, signals):
     """Mean NLL under the pure-state model (reference: model.py:257-267)."""
     cc = make_constants(params, cfg)

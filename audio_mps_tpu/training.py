@@ -25,7 +25,9 @@ from .models.params import init_psi, init_rho
 
 def nll_fn_for(mps_model: str):
     if mps_model == "rho_mps":
-        return core.rho_nll
+        # factor evolution: same value as core.rho_nll (pinned by tests),
+        # half the matmul FLOPs
+        return core.rho_nll_factor
     if mps_model == "psi_mps":
         return core.psi_nll
     raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")

@@ -1,0 +1,3 @@
+from .linalg import symmetrize
+
+__all__ = ["symmetrize"]

@@ -164,3 +164,27 @@ def test_sample_reproducible_with_key():
     w1 = model.sample(2, 128, key=key)
     w2 = model.sample(2, 128, key=key)
     np.testing.assert_array_equal(w1, w2)
+
+
+def test_factor_nll_matches_matrix():
+    """Purification-factor evolution == density-matrix evolution (value and
+    gradients); the factor form is the training default."""
+    params = init_rho(jax.random.PRNGKey(6), HP)
+    data = small_data()
+    m = float(core.rho_nll(params, HP, data))
+    f = float(core.rho_nll_factor(params, HP, data))
+    np.testing.assert_allclose(f, m, rtol=1e-5)
+    gm = jax.grad(core.rho_nll)(params, HP, data)
+    gf = jax.grad(core.rho_nll_factor)(params, HP, data)
+    for a, b in zip(jax.tree.leaves(gm), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_factor_nll_low_rank():
+    hp = dataclasses.replace(HP, initial_rank=2)
+    params = init_rho(jax.random.PRNGKey(7), hp)
+    data = small_data()
+    np.testing.assert_allclose(float(core.rho_nll_factor(params, hp, data)),
+                               float(core.rho_nll(params, hp, data)),
+                               rtol=1e-5)

@@ -24,7 +24,7 @@ def _data():
 def test_psi_nll_kernel_matches_core():
     params = init_psi(jax.random.PRNGKey(3), HP)
     ref = float(core.psi_nll(params, HP, _data()))
-    pal = float(psi_nll_pallas(params, HP, _data(), chunk=128,
+    pal = float(psi_nll_pallas(params, HP, _data(), unroll=16,
                                interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
 
@@ -32,7 +32,7 @@ def test_psi_nll_kernel_matches_core():
 def test_rho_nll_kernel_matches_core():
     params = init_rho(jax.random.PRNGKey(4), HP)
     ref = float(core.rho_nll(params, HP, _data()))
-    pal = float(rho_nll_pallas(params, HP, _data(), chunk=128,
+    pal = float(rho_nll_pallas(params, HP, _data(), unroll=16,
                                interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
 
@@ -41,7 +41,7 @@ def test_rho_nll_kernel_low_rank():
     hp = dataclasses.replace(HP, initial_rank=3)
     params = init_rho(jax.random.PRNGKey(5), hp)
     ref = float(core.rho_nll(params, hp, _data()))
-    pal = float(rho_nll_pallas(params, hp, _data(), chunk=64,
+    pal = float(rho_nll_pallas(params, hp, _data(), unroll=8,
                                interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-6)
 
@@ -52,7 +52,7 @@ def test_rho_sampler_kernel_matches_core(rank):
     params = init_rho(jax.random.PRNGKey(6), hp)
     noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(9), (T, 4))
     ref = np.asarray(core.sample_rho_with_noise(params, hp, noise))
-    pal = np.asarray(rho_sample_pallas(params, hp, noise, chunk=128,
+    pal = np.asarray(rho_sample_pallas(params, hp, noise, unroll=16,
                                        interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-5)
 
@@ -61,6 +61,6 @@ def test_psi_sampler_kernel_matches_core():
     params = init_psi(jax.random.PRNGKey(7), HP)
     noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(9), (T, 4))
     ref = np.asarray(core.sample_psi_with_noise(params, HP, noise))
-    pal = np.asarray(psi_sample_pallas(params, HP, noise, chunk=128,
+    pal = np.asarray(psi_sample_pallas(params, HP, noise, unroll=16,
                                        interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-5)

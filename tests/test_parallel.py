@@ -73,3 +73,50 @@ def test_dp_sample_sharded():
 
     with pytest.raises(ValueError):
         build(num_samples=3, length=64)
+
+
+def test_time_pipeline_matches_single_device():
+    """Temporal pipeline parallelism: NLL over an S-stage time mesh must
+    equal the plain single-device scan."""
+    from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
+                                                      psi_nll_pipelined,
+                                                      rho_nll_pipelined)
+    import dataclasses
+    from audio_mps_tpu.models.params import init_psi, init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=8, scan_chunk=0)
+    T = 8 * 32 + 1          # T-1 divisible by 8 stages
+    data = damped_sine_batch(jax.random.PRNGKey(2), 8, T, cfg.delta_t)
+    mesh = make_time_mesh(8)
+
+    pp = init_psi(jax.random.PRNGKey(0), cfg)
+    ref = float(_core.psi_nll(pp, cfg, data))
+    pipe = float(psi_nll_pipelined(pp, cfg, data, mesh, num_microbatches=4))
+    np.testing.assert_allclose(pipe, ref, rtol=1e-5)
+
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    pipe = float(rho_nll_pipelined(pr, cfg, data, mesh, num_microbatches=2))
+    np.testing.assert_allclose(pipe, ref, rtol=1e-5)
+
+
+def test_time_pipeline_gradients():
+    from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
+                                                      psi_nll_pipelined)
+    import dataclasses
+    from audio_mps_tpu.models.params import init_psi
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 4 * 16 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(4)
+    pp = init_psi(jax.random.PRNGKey(0), cfg)
+    g_ref = jax.grad(_core.psi_nll)(pp, cfg, data)
+    g_pipe = jax.jit(jax.grad(
+        lambda p: psi_nll_pipelined(p, cfg, data, mesh,
+                                    num_microbatches=2)))(pp)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-6)
