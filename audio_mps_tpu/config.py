@@ -120,6 +120,10 @@ class RunConfig:
     checkpoint_secs: float = 60.0
     summary_every: int = 10
     seed: int = 0
+    # Profiling (SURVEY.md §5: the reference has no tracing; the TPU plan
+    # is jax.profiler traces). 0 disables; N captures steps [2, 2+N) into
+    # {logdir}/profile for TensorBoard's trace viewer.
+    profile_steps: int = 0
 
     def run_logdir(self, cfg: CMPSConfig) -> str:
         """Run-parameterized logdir (reference: train.py:94)."""
@@ -135,6 +139,7 @@ def parse_argv(argv, run: RunConfig = RunConfig()) -> RunConfig:
         "sample_rate": int, "visualize": bool, "num_samples": int,
         "hparams": str, "datadir": str, "logdir": str, "max_steps": int,
         "checkpoint_secs": float, "summary_every": int, "seed": int,
+        "profile_steps": int,
     }
     updates = {}
     for arg in argv:

@@ -170,6 +170,8 @@ def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
     loss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         in_specs=[
             pl.BlockSpec((unroll, B), lambda i: (i, 0)),
             _full((D, B)), _full((D, B)),
@@ -300,6 +302,8 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
     loss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         in_specs=[
             pl.BlockSpec((unroll, BR), lambda i: (i, 0)),
             _full((D, BR)), _full((D, BR)),
@@ -412,6 +416,8 @@ def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         in_specs=[
             pl.BlockSpec((unroll, N), lambda i: (i, 0)),
             _full((D, N)), _full((D, N)),
@@ -537,6 +543,8 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         in_specs=[
             pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
             _full((D, NR)), _full((D, NR)),

@@ -49,8 +49,16 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                  else core.sample_psi)
     metrics = {}
     step = start_step
+    profiling = False
     try:
         while run.max_steps <= 0 or step < run.max_steps:
+            # jax.profiler trace of a few steps (SURVEY.md §5 tracing plan)
+            if run.profile_steps > 0 and step == start_step + 2:
+                jax.profiler.start_trace(logdir + "/profile")
+                profiling = True
+            if profiling and step >= start_step + 2 + run.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             batch = jnp.asarray(next(data_iter))
             params, opt_state, metrics = step_fn(params, opt_state, batch)
             step += 1
@@ -73,6 +81,8 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
         if verbose:
             print("interrupted; saving final checkpoint", flush=True)
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         ckpt.maybe_save(step, params, opt_state, force=True)
         ckpt.close()
         if writer is not None:

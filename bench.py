@@ -1,12 +1,20 @@
 """Benchmark harness — prints ONE JSON line.
 
-Metric: audio frames/sec/chip for a full training step (fwd + BPTT + Adam)
-at bond dimension D=64 (the BASELINE.json north-star; the reference
-publishes no numbers, BASELINE.md, so the baseline here is a direct
-transcription of the reference semantics — lab-frame per-step phase
-computation exactly as model.py:172-187 — run on the same chip with the
-same chunked-remat scan; vs_baseline is the speedup of the optimized
-rotating-frame path over that transcription).
+Primary metric: audio frames/sec/chip for a full training step (forward +
+BPTT + Adam) at bond dimension D=64, batch 8 (the BASELINE.json
+north-star). The reference publishes no numbers (BASELINE.md), so
+`vs_baseline` compares against a direct transcription of the reference
+semantics — lab-frame per-step phase recomputation exactly as
+model.py:172-196 — run on the same chip with the same chunked-remat scan.
+The optimized path is the rotating-frame purification-factor scan
+(models/core.py:rho_nll_factor), the training default.
+
+Also reported in `detail`: sampler throughput (samples x steps / sec) and
+the psi-model training rate.
+
+Timing uses host readbacks — on this backend `block_until_ready` returns
+before remote execution finishes (a ~700x undercount; see
+.claude/skills/verify/SKILL.md).
 
 Usage: python bench.py [--quick]
 """
@@ -19,13 +27,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from audio_mps_tpu.config import CMPSConfig
 from audio_mps_tpu.data import damped_sine_batch
 from audio_mps_tpu.models import cell, core
-from audio_mps_tpu.models.params import init_rho
+from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.training import make_train_step
-import optax
 
 
 def lab_frame_nll(params, cfg, signals):
@@ -45,14 +53,13 @@ def lab_frame_nll(params, cfg, signals):
         rr2, ri2 = cell.normalize_rho(rr2, ri2, cfg.norm_eps)
         return (rr2, ri2, loss, t + cfg.delta_t), None
 
+    def plain(c, xs):
+        return jax.lax.scan(step, c, xs)[0]
+
     carry = (rr, ri, jnp.zeros((B,)), jnp.float32(0.0))
     T = incs.shape[0]
     chunk = cfg.scan_chunk
     n_full = T // chunk
-
-    def plain(c, xs):
-        return jax.lax.scan(step, c, xs)[0]
-
     inner = jax.checkpoint(plain)
     main = incs[: n_full * chunk].reshape((n_full, chunk, B))
     carry = jax.lax.scan(lambda c, xc: (inner(c, xc), None), carry, main)[0]
@@ -80,21 +87,26 @@ def make_lab_train_step(cfg):
 
 
 def _sync(tree):
-    """Force full execution. On the axon backend `block_until_ready` can
-    return before remote execution finishes; a host readback is the only
-    reliable barrier, so sum a leaf onto the host."""
-    leaves = jax.tree.leaves(tree)
-    return float(jnp.sum(leaves[0]))
+    """Host readback = the only reliable execution barrier on axon."""
+    return float(jnp.sum(jax.tree.leaves(tree)[0]))
 
 
-def time_step(step, params, opt_state, batch, iters):
-    # warmup/compile
+def time_train_step(step, params, opt_state, batch, iters):
     params, opt_state, out = step(params, opt_state, batch)
-    _sync((params, out))
+    _sync((params,))
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, out = step(params, opt_state, batch)
-    _sync((params, out))
+    _sync((params,))
+    return (time.perf_counter() - t0) / iters
+
+
+def time_fn(f, *args, iters=3):
+    _sync(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -106,18 +118,50 @@ def main():
     iters = 2 if quick else 3
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
 
-    params = init_rho(jax.random.PRNGKey(0), cfg)
     batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
 
-    # Optimized path (rotating frame)
-    _, fast_step = make_train_step("rho_mps", cfg)
-    opt = optax.adam(cfg.learning_rate)
-    t_fast = time_step(fast_step, params, opt.init(params), batch, iters)
+    # Optimized training path (rotating frame, purification factor)
+    params = init_rho(jax.random.PRNGKey(0), cfg)
+    opt, fast_step = make_train_step("rho_mps", cfg)
+    t_fast = time_train_step(fast_step, params, opt.init(params), batch,
+                             iters)
 
-    # Reference-transcription baseline (lab frame)
-    _, lab_step = make_lab_train_step(cfg)
+    # psi-model training rate
+    psi_params = init_psi(jax.random.PRNGKey(0), cfg)
+    opt_p, psi_step = make_train_step("psi_mps", cfg)
+    t_psi = time_train_step(psi_step, psi_params, opt_p.init(psi_params),
+                            batch, iters)
+
+    # Reference-transcription baseline (lab frame, density matrix)
     params2 = init_rho(jax.random.PRNGKey(0), cfg)
-    t_lab = time_step(lab_step, params2, opt.init(params2), batch, iters)
+    opt2, lab_step = make_lab_train_step(cfg)
+    t_lab = time_train_step(lab_step, params2, opt2.init(params2), batch,
+                            iters)
+
+    # Sampler throughput (XLA scan path), N=8 parallel chains
+    params3 = init_rho(jax.random.PRNGKey(0), cfg)
+    noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(2), (T, B))
+    samp = jax.jit(lambda p, z: core.sample_rho_with_noise(p, cfg, z))
+    t_samp = time_fn(samp, params3, noise, iters=iters)
+
+    # Pallas fused kernels (forward NLL + sampler). NOTE: the first Mosaic
+    # compile in a session costs ~3 min on this backend; subsequent ~1 s.
+    kernel_detail = {}
+    try:
+        from audio_mps_tpu.ops.pallas_scan import (rho_nll_pallas,
+                                                   rho_sample_pallas)
+        knll = jax.jit(partial(rho_nll_pallas, cfg=cfg, interpret=False))
+        t_knll = time_fn(lambda b: knll(params3, signals=b), batch,
+                         iters=iters)
+        ksam = jax.jit(partial(rho_sample_pallas, cfg=cfg, interpret=False))
+        t_ksam = time_fn(lambda z: ksam(params3, noise=z), noise,
+                         iters=iters)
+        kernel_detail = {
+            "pallas_nll_fwd_ms": round(t_knll * 1e3, 2),
+            "pallas_sampler_steps_per_sec": round(B * T / t_ksam, 1),
+        }
+    except Exception as e:   # keep bench robust on non-TPU backends
+        kernel_detail = {"pallas_error": str(e)[:120]}
 
     frames_per_sec = B * T / t_fast
     baseline_fps = B * T / t_lab
@@ -128,9 +172,12 @@ def main():
         "vs_baseline": round(frames_per_sec / baseline_fps, 3),
         "detail": {
             "bond_dim": D, "batch": B, "T": T,
-            "step_ms_optimized": round(t_fast * 1e3, 2),
-            "step_ms_reference_transcription": round(t_lab * 1e3, 2),
+            "train_step_ms_rho_factor": round(t_fast * 1e3, 2),
+            "train_step_ms_psi": round(t_psi * 1e3, 2),
+            "train_step_ms_reference_transcription": round(t_lab * 1e3, 2),
+            "sampler_steps_per_sec": round(B * T / t_samp, 1),
             "device": str(jax.devices()[0]),
+            **kernel_detail,
         },
     }))
 

@@ -42,3 +42,10 @@ def test_config_parse_overrides():
     assert cfg.learning_rate == 0.01
     assert cfg.initial_rank == 4
     assert cfg.minibatch_size == HP.minibatch_size
+
+
+def test_get_audio_damped_sine_dispatcher():
+    from audio_mps_tpu.data import get_audio
+    it = get_audio("/nonexistent", "damped_sine", HP, sample_duration=256)
+    b = next(it)
+    assert b.shape == (HP.minibatch_size, 256)
