@@ -1,0 +1,803 @@
+"""Fused Pallas forward+backward for cMPS training (custom VJP).
+
+Training is the headline metric (BASELINE.json: frames/sec/chip at D=64
+*training*), and the XLA BPTT path pays the scan-loop overhead twice per
+step. Here the entire forward NLL *and* the entire reverse sweep each run
+as one Pallas kernel:
+
+  - forward kernel = the fused NLL scan (ops/pallas_scan.py semantics),
+    additionally streaming the block-entry ancilla state as checkpoints
+    [n_blocks, D, B];
+  - backward kernel walks the grid in REVERSE, re-runs the K unrolled
+    steps of each block from its checkpoint (store-K-states remat, the
+    standard two-level checkpoint scheme), and applies the hand-derived
+    adjoint of every step, accumulating parameter cotangents (dC, dR,
+    d rotation) in VMEM scratch and streaming the per-step signal
+    cotangent d(se) back out (which carries the gradient of A).
+
+The custom_vjp boundary sits at the *derived constants* (C, R, p, psi0,
+se): everything from the learnable parameters to those constants is plain
+differentiable JAX, so parameter plumbing (R's zero-diagonal gauge, the
+rotating-frame constants, A's appearance inside se = incs/A) is handled by
+autodiff, while the 2x65536-step hot loops are hand-written kernels.
+
+Gradient correctness is pinned against jax.grad of the XLA scan
+(tests/test_pallas_grad.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CMPSConfig
+from ..models import core
+from ..models.cell import make_constants
+
+DEFAULT_UNROLL = 16
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _dot(a, b, precision="highest"):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=precision)
+
+
+def _full(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
+
+
+def _pad_rows(x, t_pad):
+    out = jnp.zeros((t_pad,) + x.shape[1:], x.dtype)
+    return out.at[: x.shape[0]].set(x)
+
+
+# ===========================================================================
+# psi forward (with checkpoints) + backward kernels
+# ===========================================================================
+
+def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps):
+    """One forward step; returns everything the adjoint needs."""
+    g2r = _dot(rr, pr) - _dot(ri, pi_)          # R psi
+    g2i = _dot(rr, pi_) + _dot(ri, pr)
+    g1r = _dot(cr, pr) - _dot(ci, pi_)          # C psi
+    g1i = _dot(cr, pi_) + _dot(ci, pr)
+    yr = g1r + s * g2r
+    yi = g1i + s * g2i
+    rur = _dot(rr, yr) - _dot(ri, yi)           # R psi''
+    rui = _dot(rr, yi) + _dot(ri, yr)
+    e = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
+    arg = jnp.maximum(1.0 + e * s, log_eps)
+    n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+    tyr = yr * inv
+    tyi = yi * inv
+    npr = tyr * pc + tyi * ps                   # rotate by conj(p)
+    npi = tyi * pc - tyr * ps
+    return dict(g2r=g2r, g2i=g2i, yr=yr, yi=yi, rur=rur, rui=rui, e=e,
+                arg=arg, n2=n2, inv=inv, tyr=tyr, tyi=tyi, npr=npr, npi=npi)
+
+
+def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
+    log_eps = max(cfg.log_eps, 1e-30)
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, s0r_ref, s0i_ref, cr_ref, ci_ref, rr_ref, ri_ref,
+               pc_ref, ps_ref,
+               loss_ref, ckr_ref, cki_ref,
+               pr_s, pi_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            pr_s[:] = s0r_ref[:]
+            pi_s[:] = s0i_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        cr, ci = cr_ref[:], ci_ref[:]
+        rr, ri = rr_ref[:], ri_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+
+        pr, pi_ = pr_s[:], pi_s[:]
+        # checkpoint = block-entry state
+        ckr_ref[0] = pr
+        cki_ref[0] = pi_
+        acc = acc_s[:]
+        for k in range(unroll):
+            s = se_ref[k:k + 1, :]
+            f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
+                              log_eps, norm_eps)
+            live = (i * unroll + k) < total
+            acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+            pr = jnp.where(live, f["npr"], pr)
+            pi_ = jnp.where(live, f["npi"], pi_)
+
+        pr_s[:] = pr
+        pi_s[:] = pi_
+        acc_s[:] = acc
+        loss_ref[0] = acc
+
+    return kernel
+
+
+def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         n_blocks: int, inv_batch: float):
+    log_eps = max(cfg.log_eps, 1e-30)
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, ckr_ref, cki_ref, cr_ref, ci_ref, rr_ref, ri_ref,
+               pc_ref, ps_ref,
+               dse_ref, dcr_ref, dci_ref, drr_ref, dri_ref,
+               dpc_ref, dps_ref, dp0r_ref, dp0i_ref,
+               dpr_s, dpi_s, acr_s, aci_s, arr_s, ari_s, apc_s, aps_s):
+        i = pl.program_id(0)          # reversed block: real block = nb-1-i
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            dpr_s[:] = jnp.zeros_like(dpr_s)
+            dpi_s[:] = jnp.zeros_like(dpi_s)
+            acr_s[:] = jnp.zeros_like(acr_s)
+            aci_s[:] = jnp.zeros_like(aci_s)
+            arr_s[:] = jnp.zeros_like(arr_s)
+            ari_s[:] = jnp.zeros_like(ari_s)
+            apc_s[:] = jnp.zeros_like(apc_s)
+            aps_s[:] = jnp.zeros_like(aps_s)
+
+        cr, ci = cr_ref[:], ci_ref[:]
+        rr, ri = rr_ref[:], ri_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+
+        # --- recompute the block forward from its checkpoint, retaining
+        # only the per-step entry states (the rest is recomputed in the
+        # reverse sweep to keep VMEM flat)
+        pr = ckr_ref[0]
+        pi_ = cki_ref[0]
+        states = []
+        for k in range(unroll):
+            s = se_ref[k:k + 1, :]
+            states.append((pr, pi_))
+            f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
+                              log_eps, norm_eps)
+            live = (blk * unroll + k) < total
+            pr = jnp.where(live, f["npr"], pr)
+            pi_ = jnp.where(live, f["npi"], pi_)
+
+        # --- reverse sweep
+        dpr, dpi = dpr_s[:], dpi_s[:]
+        dacr, daci = acr_s[:], aci_s[:]
+        darr, dari = arr_s[:], ari_s[:]
+        dapc, daps = apc_s[:], aps_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[k:k + 1, :]
+            pr0, pi0 = states[k]
+            f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr0, pi0, s,
+                              log_eps, norm_eps)
+            yr, yi = f["yr"], f["yi"]
+            g2r, g2i = f["g2r"], f["g2i"]
+            rur, rui = f["rur"], f["rui"]
+            tyr, tyi = f["tyr"], f["tyi"]
+            inv, n2, arg, e = f["inv"], f["n2"], f["arg"], f["e"]
+
+            # rotate adjoint: np = (tyr*pc+tyi*ps, tyi*pc-tyr*ps)
+            dtyr = dpr * pc - dpi * ps
+            dtyi = dpr * ps + dpi * pc
+            g_dpc = jnp.sum(dpr * tyr + dpi * tyi, axis=1, keepdims=True)
+            g_dps = jnp.sum(dpr * tyi - dpi * tyr, axis=1, keepdims=True)
+            # normalize adjoint: ty = y * inv, inv = rsqrt(max(n2, eps))
+            dyr = dtyr * inv
+            dyi = dtyi * inv
+            dinv = jnp.sum(dtyr * yr + dtyi * yi, axis=0, keepdims=True)
+            dn2 = jnp.where(n2 > norm_eps,
+                            -0.5 * dinv * inv * inv * inv,
+                            jnp.zeros_like(dinv))
+            dyr = dyr + 2.0 * yr * dn2
+            dyi = dyi + 2.0 * yi * dn2
+            # loss adjoint: acc -= log(arg); arg = max(1 + e*s, eps)
+            darg = jnp.where(arg > log_eps,
+                             -inv_batch / arg, jnp.zeros_like(arg))
+            de = darg * s
+            ds = darg * e
+            # e = 2 sum(y . ru)
+            dyr = dyr + 2.0 * de * rur
+            dyi = dyi + 2.0 * de * rui
+            drur = 2.0 * de * yr
+            drui = 2.0 * de * yi
+            # ru = R y adjoint (also accumulates dR)
+            dyr = dyr + _dot(rr.T, drur) + _dot(ri.T, drui)
+            dyi = dyi - _dot(ri.T, drur) + _dot(rr.T, drui)
+            g_drr = _dot(drur, yr.T) + _dot(drui, yi.T)
+            g_dri = _dot(drui, yr.T) - _dot(drur, yi.T)
+            # y = g1 + s*g2
+            dg1r, dg1i = dyr, dyi
+            dg2r = s * dyr
+            dg2i = s * dyi
+            ds = ds + jnp.sum(dyr * g2r + dyi * g2i, axis=0, keepdims=True)
+            # g1 = C p adjoint
+            dprn = _dot(cr.T, dg1r) + _dot(ci.T, dg1i)
+            dpin = -_dot(ci.T, dg1r) + _dot(cr.T, dg1i)
+            g_dcr = _dot(dg1r, pr0.T) + _dot(dg1i, pi0.T)
+            g_dci = _dot(dg1i, pr0.T) - _dot(dg1r, pi0.T)
+            # g2 = R p adjoint
+            dprn = dprn + _dot(rr.T, dg2r) + _dot(ri.T, dg2i)
+            dpin = dpin - _dot(ri.T, dg2r) + _dot(rr.T, dg2i)
+            g_drr = g_drr + _dot(dg2r, pr0.T) + _dot(dg2i, pi0.T)
+            g_dri = g_dri + _dot(dg2i, pr0.T) - _dot(dg2r, pi0.T)
+
+            live = (blk * unroll + k) < total
+            dse_ref[k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dpr = jnp.where(live, dprn, dpr)
+            dpi = jnp.where(live, dpin, dpi)
+            dacr = jnp.where(live, dacr + g_dcr, dacr)
+            daci = jnp.where(live, daci + g_dci, daci)
+            darr = jnp.where(live, darr + g_drr, darr)
+            dari = jnp.where(live, dari + g_dri, dari)
+            dapc = jnp.where(live, dapc + g_dpc, dapc)
+            daps = jnp.where(live, daps + g_dps, daps)
+
+        dpr_s[:] = dpr
+        dpi_s[:] = dpi
+        acr_s[:] = dacr
+        aci_s[:] = daci
+        arr_s[:] = darr
+        ari_s[:] = dari
+        apc_s[:] = dapc
+        aps_s[:] = daps
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dcr_ref[:] = acr_s[:]
+            dci_ref[:] = aci_s[:]
+            drr_ref[:] = arr_s[:]
+            dri_ref[:] = ari_s[:]
+            dpc_ref[:] = apc_s[:]
+            dps_ref[:] = aps_s[:]
+            dp0r_ref[:] = dpr_s[:]
+            dp0i_ref[:] = dpi_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
+                           interpret: bool):
+    """Build the custom-VJP fused NLL for fixed (cfg, shapes)."""
+    D = cfg.bond_dim
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps)
+    bwd_kernel = _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                      1.0 / B)
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                   vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(cr, ci, rr, ri, pc, ps, s0r, s0i, se):
+        loss, ckr, cki = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((unroll, B), lambda i: (i, 0)),
+                _full((D, B)), _full((D, B)),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D, B), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D, B), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, B), jnp.float32),
+                pltpu.VMEM((D, B), jnp.float32),
+                pltpu.VMEM((1, B), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se, s0r, s0i, cr, ci, rr, ri, pc, ps)
+        return jnp.mean(loss[-1, 0]), (ckr, cki)
+
+    def run_bwd(cr, ci, rr, ri, pc, ps, se, ckr, cki):
+        rev = lambda i: (n_blocks - 1 - i, 0)
+        rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((unroll, B), rev),
+                pl.BlockSpec((1, D, B), rev3),
+                pl.BlockSpec((1, D, B), rev3),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+            ],
+            out_specs=[
+                pl.BlockSpec((unroll, B), rev),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+                _full((D, B)), _full((D, B)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t_pad, B), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                jax.ShapeDtypeStruct((D, B), jnp.float32),
+                jax.ShapeDtypeStruct((D, B), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, B), jnp.float32),
+                pltpu.VMEM((D, B), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, 1), jnp.float32),
+                pltpu.VMEM((D, 1), jnp.float32),
+            ],
+            compiler_params=sem_bwd,
+            interpret=interpret,
+        )(se, ckr, cki, cr, ci, rr, ri, pc, ps)
+        return outs
+
+    @jax.custom_vjp
+    def fused(cr, ci, rr, ri, pc, ps, s0r, s0i, se):
+        return run_fwd(cr, ci, rr, ri, pc, ps, s0r, s0i, se)[0]
+
+    def fused_fwd(cr, ci, rr, ri, pc, ps, s0r, s0i, se):
+        loss, (ckr, cki) = run_fwd(cr, ci, rr, ri, pc, ps, s0r, s0i, se)
+        return loss, (cr, ci, rr, ri, pc, ps, se, ckr, cki)
+
+    def fused_bwd(res, g):
+        cr, ci, rr, ri, pc, ps, se, ckr, cki = res
+        (dse, dcr, dci, drr, dri, dpc, dps, dp0r, dp0i) = run_bwd(
+            cr, ci, rr, ri, pc, ps, se, ckr, cki)
+        return (g * dcr, g * dci, g * drr, g * dri, g * dpc, g * dps,
+                g * dp0r, g * dp0i, g * dse)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
+    """Pick the unroll so the reverse sweep's live intermediates (~40
+    [D, cols] arrays per step empirically) fit the raised VMEM ceiling."""
+    if unroll is not None:
+        return unroll
+    per_step = 40 * D * cols * 4
+    return int(max(2, min(DEFAULT_UNROLL, (80 << 20) // max(per_step, 1))))
+
+
+def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
+                             unroll: Optional[int] = None,
+                             interpret: Optional[bool] = None):
+    """Differentiable fused NLL: semantics of core.psi_nll with forward AND
+    backward as single Pallas kernels. Gradients flow to every parameter
+    (A via the signal scaling, R/C/freqs via the derived constants,
+    psi_0 via the initial state) — the derivation chain outside the
+    kernels is ordinary JAX."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    unroll = auto_unroll(D, B, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = _pad_rows(incs, t_pad)
+    pr0, pi0 = core.psi0(params, cfg)
+    s0r = jnp.broadcast_to(pr0[:, None], (D, B))
+    s0i = jnp.broadcast_to(pi0[:, None], (D, B))
+
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret)
+    return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
+                 cc.p_c[:, None], cc.p_s[:, None], s0r, s0i, se)
+
+
+# ===========================================================================
+# rho (purification factor) forward + backward kernels
+# ===========================================================================
+
+def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
+                  log_eps, norm_eps):
+    """One factor-form forward step (semantics of ops/pallas_scan.py)."""
+    def seg(row):
+        return _dot(_dot(row, z), zt)
+
+    a1r = _dot(ccr, hr) - _dot(cci, hi)
+    a1i = _dot(ccr, hi) + _dot(cci, hr)
+    a2r = _dot(rcr, hr) - _dot(rci, hi)
+    a2i = _dot(rcr, hi) + _dot(rci, hr)
+    yr = a1r + s * a2r
+    yi = a1i + s * a2i
+    gxr = _dot(xtr, yr) - _dot(xti, yi)
+    gxi = _dot(xtr, yi) + _dot(xti, yr)
+    e_part = jnp.sum(yr * gxr + yi * gxi, axis=0, keepdims=True)
+    e_bc = seg(e_part)
+    arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+    tr_part = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+    tr_bc = seg(tr_part)
+    inv = jax.lax.rsqrt(jnp.maximum(tr_bc, norm_eps))
+    tyr = yr * inv
+    tyi = yi * inv
+    nhr = tyr * pc - tyi * ps                   # rotate: H <- P H
+    nhi = tyr * ps + tyi * pc
+    return dict(a2r=a2r, a2i=a2i, yr=yr, yi=yi, gxr=gxr, gxi=gxi,
+                e_bc=e_bc, arg=arg, tr_bc=tr_bc, inv=inv,
+                tyr=tyr, tyi=tyi, nhr=nhr, nhi=nhi)
+
+
+def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         rank: int):
+    log_eps = max(cfg.log_eps, 1e-30)
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, h0r_ref, h0i_ref, ccr_ref, cci_ref, rcr_ref, rci_ref,
+               xtr_ref, xti_ref, pc_ref, ps_ref, z_ref, zt_ref,
+               loss_ref, ckr_ref, cki_ref,
+               hr_s, hi_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            hr_s[:] = h0r_ref[:]
+            hi_s[:] = h0i_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        ccr, cci = ccr_ref[:], cci_ref[:]
+        rcr, rci = rcr_ref[:], rci_ref[:]
+        xtr, xti = xtr_ref[:], xti_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+        z, zt = z_ref[:], zt_ref[:]
+
+        hr, hi = hr_s[:], hi_s[:]
+        ckr_ref[0] = hr
+        cki_ref[0] = hi
+        acc = acc_s[:]
+        for k in range(unroll):
+            s = se_ref[k:k + 1, :]
+            f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
+                              hr, hi, s, log_eps, norm_eps)
+            live = (i * unroll + k) < total
+            acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+            hr = jnp.where(live, f["nhr"], hr)
+            hi = jnp.where(live, f["nhi"], hi)
+
+        hr_s[:] = hr
+        hi_s[:] = hi
+        acc_s[:] = acc
+        loss_ref[0] = _dot(acc, z) * (1.0 / rank)
+
+    return kernel
+
+
+def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         n_blocks: int, inv_batch_rank: float):
+    """inv_batch_rank = 1 / (B * rank): d(mean loss)/d(acc lane)."""
+    log_eps = max(cfg.log_eps, 1e-30)
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, ckr_ref, cki_ref, ccr_ref, cci_ref, rcr_ref, rci_ref,
+               xtr_ref, xti_ref, pc_ref, ps_ref, z_ref, zt_ref,
+               dse_ref, dccr_ref, dcci_ref, drcr_ref, drci_ref,
+               dxtr_ref, dxti_ref, dpc_ref, dps_ref, dh0r_ref, dh0i_ref,
+               dhr_s, dhi_s, accr_s, acci_s, arcr_s, arci_s,
+               axtr_s, axti_s, apc_s, aps_s):
+        i = pl.program_id(0)
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dhr_s, dhi_s, accr_s, acci_s, arcr_s, arci_s,
+                        axtr_s, axti_s, apc_s, aps_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ccr, cci = ccr_ref[:], cci_ref[:]
+        rcr, rci = rcr_ref[:], rci_ref[:]
+        xtr, xti = xtr_ref[:], xti_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z), zt)
+
+        # --- forward recompute of block-entry states
+        hr = ckr_ref[0]
+        hi = cki_ref[0]
+        states = []
+        for k in range(unroll):
+            s = se_ref[k:k + 1, :]
+            states.append((hr, hi))
+            f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
+                              hr, hi, s, log_eps, norm_eps)
+            live = (blk * unroll + k) < total
+            hr = jnp.where(live, f["nhr"], hr)
+            hi = jnp.where(live, f["nhi"], hi)
+
+        # --- reverse sweep
+        dhr, dhi = dhr_s[:], dhi_s[:]
+        g_ccr, g_cci = accr_s[:], acci_s[:]
+        g_rcr, g_rci = arcr_s[:], arci_s[:]
+        g_xtr, g_xti = axtr_s[:], axti_s[:]
+        g_pc, g_ps = apc_s[:], aps_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[k:k + 1, :]
+            hr0, hi0 = states[k]
+            f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
+                              hr0, hi0, s, log_eps, norm_eps)
+            yr, yi = f["yr"], f["yi"]
+            a2r, a2i = f["a2r"], f["a2i"]
+            gxr, gxi = f["gxr"], f["gxi"]
+            tyr, tyi = f["tyr"], f["tyi"]
+            inv, tr_bc, arg, e_bc = (f["inv"], f["tr_bc"], f["arg"],
+                                     f["e_bc"])
+
+            # rotate adjoint: nh = (tyr*pc - tyi*ps, tyr*ps + tyi*pc)
+            dtyr = dhr * pc + dhi * ps
+            dtyi = -dhr * ps + dhi * pc
+            d_pc = jnp.sum(dhr * tyr + dhi * tyi, axis=1, keepdims=True)
+            d_ps = jnp.sum(dhi * tyr - dhr * tyi, axis=1, keepdims=True)
+            # normalize adjoint
+            dyr = dtyr * inv
+            dyi = dtyi * inv
+            dinv = jnp.sum(dtyr * yr + dtyi * yi, axis=0, keepdims=True)
+            dtr_bc = jnp.where(tr_bc > norm_eps,
+                               -0.5 * dinv * inv * inv * inv,
+                               jnp.zeros_like(dinv))
+            dtr_part = seg(dtr_bc)          # seg broadcast is self-adjoint
+            dyr = dyr + 2.0 * yr * dtr_part
+            dyi = dyi + 2.0 * yi * dtr_part
+            # loss adjoint
+            darg = jnp.where(arg > log_eps, -inv_batch_rank / arg,
+                             jnp.zeros_like(arg))
+            de_bc = darg * s
+            ds = darg * e_bc
+            de_part = seg(de_bc)
+            # e_part = sum(y . gx)
+            dyr = dyr + de_part * gxr
+            dyi = dyi + de_part * gxi
+            dgxr = de_part * yr
+            dgxi = de_part * yi
+            # gx = Xt y adjoint
+            dyr = dyr + _dot(xtr.T, dgxr) + _dot(xti.T, dgxi)
+            dyi = dyi - _dot(xti.T, dgxr) + _dot(xtr.T, dgxi)
+            d_xtr = _dot(dgxr, yr.T) + _dot(dgxi, yi.T)
+            d_xti = _dot(dgxi, yr.T) - _dot(dgxr, yi.T)
+            # y = a1 + s*a2
+            da1r, da1i = dyr, dyi
+            da2r = s * dyr
+            da2i = s * dyi
+            ds = ds + jnp.sum(dyr * a2r + dyi * a2i, axis=0, keepdims=True)
+            # a1 = conj(C) h adjoint
+            dhrn = _dot(ccr.T, da1r) + _dot(cci.T, da1i)
+            dhin = -_dot(cci.T, da1r) + _dot(ccr.T, da1i)
+            d_ccr = _dot(da1r, hr0.T) + _dot(da1i, hi0.T)
+            d_cci = _dot(da1i, hr0.T) - _dot(da1r, hi0.T)
+            # a2 = conj(R) h adjoint
+            dhrn = dhrn + _dot(rcr.T, da2r) + _dot(rci.T, da2i)
+            dhin = dhin - _dot(rci.T, da2r) + _dot(rcr.T, da2i)
+            d_rcr = _dot(da2r, hr0.T) + _dot(da2i, hi0.T)
+            d_rci = _dot(da2i, hr0.T) - _dot(da2r, hi0.T)
+
+            live = (blk * unroll + k) < total
+            dse_ref[k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dhr = jnp.where(live, dhrn, dhr)
+            dhi = jnp.where(live, dhin, dhi)
+            g_ccr = jnp.where(live, g_ccr + d_ccr, g_ccr)
+            g_cci = jnp.where(live, g_cci + d_cci, g_cci)
+            g_rcr = jnp.where(live, g_rcr + d_rcr, g_rcr)
+            g_rci = jnp.where(live, g_rci + d_rci, g_rci)
+            g_xtr = jnp.where(live, g_xtr + d_xtr, g_xtr)
+            g_xti = jnp.where(live, g_xti + d_xti, g_xti)
+            g_pc = jnp.where(live, g_pc + d_pc, g_pc)
+            g_ps = jnp.where(live, g_ps + d_ps, g_ps)
+
+        dhr_s[:] = dhr
+        dhi_s[:] = dhi
+        accr_s[:] = g_ccr
+        acci_s[:] = g_cci
+        arcr_s[:] = g_rcr
+        arci_s[:] = g_rci
+        axtr_s[:] = g_xtr
+        axti_s[:] = g_xti
+        apc_s[:] = g_pc
+        aps_s[:] = g_ps
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dccr_ref[:] = accr_s[:]
+            dcci_ref[:] = acci_s[:]
+            drcr_ref[:] = arcr_s[:]
+            drci_ref[:] = arci_s[:]
+            dxtr_ref[:] = axtr_s[:]
+            dxti_ref[:] = axti_s[:]
+            dpc_ref[:] = apc_s[:]
+            dps_ref[:] = aps_s[:]
+            dh0r_ref[:] = dhr_s[:]
+            dh0i_ref[:] = dhi_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
+                           unroll: int, interpret: bool):
+    D = cfg.bond_dim
+    BR = B * rank
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank)
+    bwd_kernel = _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                      1.0 / (B * rank))
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    # the unrolled reverse sweep keeps every step's recompute live; raise
+    # the scoped-VMEM ceiling (v5e has 128 MiB physical VMEM)
+    sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                   vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i, se, z, zt):
+        loss, ckr, cki = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((unroll, BR), lambda i: (i, 0)),
+                _full((D, BR)), _full((D, BR)),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D, BR), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D, BR), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D, BR), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D, BR), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, BR), jnp.float32),
+                pltpu.VMEM((D, BR), jnp.float32),
+                pltpu.VMEM((1, BR), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se, h0r, h0i, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
+        return jnp.mean(loss[-1, 0]), (ckr, cki)
+
+    def run_bwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, se, z, zt, ckr, cki):
+        rev = lambda i: (n_blocks - 1 - i, 0)
+        rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        return pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((unroll, BR), rev),
+                pl.BlockSpec((1, D, BR), rev3),
+                pl.BlockSpec((1, D, BR), rev3),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((unroll, BR), rev),
+                _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
+                _full((D, D)), _full((D, D)),
+                _full((D, 1)), _full((D, 1)),
+                _full((D, BR)), _full((D, BR)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t_pad, BR), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, D), jnp.float32),
+                jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                jax.ShapeDtypeStruct((D, 1), jnp.float32),
+                jax.ShapeDtypeStruct((D, BR), jnp.float32),
+                jax.ShapeDtypeStruct((D, BR), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D, BR), jnp.float32),
+                pltpu.VMEM((D, BR), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, D), jnp.float32),
+                pltpu.VMEM((D, 1), jnp.float32),
+                pltpu.VMEM((D, 1), jnp.float32),
+            ],
+            compiler_params=sem_bwd,
+            interpret=interpret,
+        )(se, ckr, cki, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
+
+    @jax.custom_vjp
+    def fused(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i, se, z, zt):
+        return run_fwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i,
+                       se, z, zt)[0]
+
+    def fused_fwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i, se, z, zt):
+        loss, (ckr, cki) = run_fwd(ccr, cci, rcr, rci, xtr, xti, pc, ps,
+                                   h0r, h0i, se, z, zt)
+        return loss, (ccr, cci, rcr, rci, xtr, xti, pc, ps, se, z, zt,
+                      ckr, cki)
+
+    def fused_bwd(res, g):
+        (ccr, cci, rcr, rci, xtr, xti, pc, ps, se, z, zt, ckr, cki) = res
+        (dse, dccr, dcci, drcr, drci, dxtr, dxti, dpc, dps,
+         dh0r, dh0i) = run_bwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, se,
+                               z, zt, ckr, cki)
+        zero_z = jnp.zeros_like(z)
+        zero_zt = jnp.zeros_like(zt)
+        return (g * dccr, g * dcci, g * drcr, g * drci, g * dxtr, g * dxti,
+                g * dpc, g * dps, g * dh0r, g * dh0i, g * dse,
+                zero_z, zero_zt)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
+                             unroll: Optional[int] = None,
+                             interpret: Optional[bool] = None):
+    """Differentiable fused NLL for the mixed-state model
+    (purification-factor form; semantics of core.rho_nll): forward AND
+    backward as single Pallas kernels. Gradients reach every parameter via
+    the plain-JAX constants chain (W through H0, A through se, R/freqs
+    through conj(C)/conj(R)/X^T/p)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    rank = params.Wx.shape[0]
+    unroll = auto_unroll(D, B * rank, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)
+
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, B))
+    h0i = jnp.tile(wi.T * inv0, (1, B))
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+
+    fused = _rho_fused_nll_factory(cfg, B, T, rank, unroll, interpret)
+    return fused(cc.Cr, -cc.Ci, cc.Rr, -cc.Ri, cc.Xr.T, cc.Xi.T,
+                 cc.p_c[:, None], cc.p_s[:, None], h0r, h0i, se,
+                 zmat, zmat.T)

@@ -23,12 +23,31 @@ from .models import core
 from .models.params import init_psi, init_rho
 
 
-def nll_fn_for(mps_model: str):
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
+    """NLL implementation: `fused=None` auto-selects the Pallas fused
+    forward+backward kernels on TPU (ops/pallas_grad.py; ~3-6x faster
+    training, gradients pinned equal to jax.grad of the scan) and the XLA
+    scan elsewhere."""
+    if fused is None:
+        fused = _on_tpu()
     if mps_model == "rho_mps":
+        if fused:
+            from .ops.pallas_grad import rho_nll_pallas_trainable
+            return rho_nll_pallas_trainable
         # factor evolution: same value as core.rho_nll (pinned by tests),
         # half the matmul FLOPs
         return core.rho_nll_factor
     if mps_model == "psi_mps":
+        if fused:
+            from .ops.pallas_grad import psi_nll_pallas_trainable
+            return psi_nll_pallas_trainable
         return core.psi_nll
     raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
 
@@ -46,8 +65,9 @@ def make_optimizer(cfg: CMPSConfig):
     return optax.adam(cfg.learning_rate)
 
 
-def make_loss_fn(mps_model: str, cfg: CMPSConfig):
-    nll = nll_fn_for(mps_model)
+def make_loss_fn(mps_model: str, cfg: CMPSConfig,
+                 fused: Optional[bool] = None):
+    nll = nll_fn_for(mps_model, fused)
 
     def loss_fn(params, batch):
         model_loss = nll(params, cfg, batch)
@@ -58,11 +78,13 @@ def make_loss_fn(mps_model: str, cfg: CMPSConfig):
     return loss_fn
 
 
-def make_train_step(mps_model: str, cfg: CMPSConfig, optimizer=None):
+def make_train_step(mps_model: str, cfg: CMPSConfig, optimizer=None,
+                    fused: Optional[bool] = None):
     """Returns (optimizer, jitted step). step(params, opt_state, batch) ->
-    (params, opt_state, metrics)."""
+    (params, opt_state, metrics). `fused=None` auto-selects the Pallas
+    fused kernels on TPU."""
     optimizer = optimizer or make_optimizer(cfg)
-    loss_fn = make_loss_fn(mps_model, cfg)
+    loss_fn = make_loss_fn(mps_model, cfg, fused)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):

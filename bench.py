@@ -120,11 +120,17 @@ def main():
 
     batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
 
-    # Optimized training path (rotating frame, purification factor)
+    # Optimized training path: Pallas fused fwd+bwd kernels (auto on TPU)
     params = init_rho(jax.random.PRNGKey(0), cfg)
     opt, fast_step = make_train_step("rho_mps", cfg)
     t_fast = time_train_step(fast_step, params, opt.init(params), batch,
                              iters)
+
+    # XLA-scan training path (factor form) for comparison
+    params_x = init_rho(jax.random.PRNGKey(0), cfg)
+    opt_x, xla_step = make_train_step("rho_mps", cfg, fused=False)
+    t_xla = time_train_step(xla_step, params_x, opt_x.init(params_x), batch,
+                            iters)
 
     # psi-model training rate
     psi_params = init_psi(jax.random.PRNGKey(0), cfg)
@@ -172,7 +178,8 @@ def main():
         "vs_baseline": round(frames_per_sec / baseline_fps, 3),
         "detail": {
             "bond_dim": D, "batch": B, "T": T,
-            "train_step_ms_rho_factor": round(t_fast * 1e3, 2),
+            "train_step_ms_fused": round(t_fast * 1e3, 2),
+            "train_step_ms_xla_factor": round(t_xla * 1e3, 2),
             "train_step_ms_psi": round(t_psi * 1e3, 2),
             "train_step_ms_reference_transcription": round(t_lab * 1e3, 2),
             "sampler_steps_per_sec": round(B * T / t_samp, 1),

@@ -1,0 +1,71 @@
+"""Fused Pallas forward+backward (custom VJP) vs jax.grad of the XLA scan
+(interpret mode; the same kernels are TPU-validated by bench)."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models import core
+from audio_mps_tpu.models.params import init_psi, init_rho
+from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
+                                           rho_nll_pallas_trainable)
+
+HP = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+T = 131   # odd, exercises padding gates in both sweeps
+
+
+def _data():
+    return damped_sine_batch(jax.random.PRNGKey(1), 4, T, HP.delta_t)
+
+
+def _check_grads(g_ref, g_pal, names):
+    for name in names:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_pal, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 1e-4, f"{name}: rel err {rel}"
+
+
+def test_psi_fused_value_and_grads():
+    pp = init_psi(jax.random.PRNGKey(3), HP)
+    v_ref = float(core.psi_nll(pp, HP, _data()))
+    v_pal = float(psi_nll_pallas_trainable(pp, HP, _data(), unroll=16,
+                                           interpret=True))
+    np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
+    g_ref = jax.grad(core.psi_nll)(pp, HP, _data())
+    g_pal = jax.grad(lambda p: psi_nll_pallas_trainable(
+        p, HP, _data(), unroll=16, interpret=True))(pp)
+    _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "psi_x", "psi_y"])
+
+
+@pytest.mark.parametrize("rank", [None, 3])
+def test_rho_fused_value_and_grads(rank):
+    hp = dataclasses.replace(HP, initial_rank=rank)
+    pp = init_rho(jax.random.PRNGKey(3), hp)
+    v_ref = float(core.rho_nll_factor(pp, hp, _data()))
+    v_pal = float(rho_nll_pallas_trainable(pp, hp, _data(), unroll=16,
+                                           interpret=True))
+    np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
+    g_ref = jax.grad(core.rho_nll_factor)(pp, hp, _data())
+    g_pal = jax.grad(lambda p: rho_nll_pallas_trainable(
+        p, hp, _data(), unroll=16, interpret=True))(pp)
+    _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "Wx", "Wy"])
+
+
+def test_fused_train_step_integration():
+    """make_train_step(fused=True) trains in interpret mode on CPU."""
+    from audio_mps_tpu.training import init_params_for, make_train_step
+    cfg = dataclasses.replace(HP, minibatch_size=2, bond_dim=4)
+    params = init_params_for("psi_mps", jax.random.PRNGKey(0), cfg)
+    opt, step = make_train_step("psi_mps", cfg, fused=True)
+    opt_state = opt.init(params)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 2, 65, cfg.delta_t)
+    losses = []
+    for _ in range(8):
+        params, opt_state, m = step(params, opt_state, batch)
+        losses.append(float(m["model_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
