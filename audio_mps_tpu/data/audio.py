@@ -9,9 +9,7 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-import numpy as np
-
-from ..config import CMPSConfig, RunConfig
+from ..config import CMPSConfig
 from .pipeline import ArrayDataset
 from .synthetic import damped_sine_iterator
 from .tfrecord import read_audio_tfrecords

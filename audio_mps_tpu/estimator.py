@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import sys
-from typing import Callable, Iterator, Optional
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from .config import CMPSConfig, _coerce
 from .data import damped_sine_iterator, read_audio_tfrecords
 from .data.pipeline import ArrayDataset
 from .training import (Checkpointer, init_params_for, make_loss_fn,
-                       make_optimizer, make_train_step)
+                       make_train_step)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,8 +10,6 @@ for interactive use, diagnostics, and the test suite.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..config import CMPSConfig
 from ..ops.complexing import cadjoint, cmatmul
 from . import cell
-from .cell import CellConstants, make_constants
+from .cell import make_constants
 
 
 # ---------------------------------------------------------------------------

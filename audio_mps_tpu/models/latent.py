@@ -20,8 +20,6 @@ Architecture (what the WIP sketches, made functional and TPU-native):
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

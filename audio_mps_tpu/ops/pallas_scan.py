@@ -36,7 +36,6 @@ The per-step semantics are bit-for-bit the rotating-frame cell
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

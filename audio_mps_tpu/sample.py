@@ -59,7 +59,6 @@ def parse_args(argv) -> SampleConfig:
 
 def write_wav(path: str, waveform: np.ndarray, sample_rate: int):
     """Minimal 16-bit PCM WAV writer (stdlib only)."""
-    import struct
     import wave
     w = np.asarray(waveform, dtype=np.float64)
     peak = np.abs(w).max()

@@ -12,7 +12,6 @@ modalities (reference: train.py:62-85), and restore-on-restart.
 from __future__ import annotations
 
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +21,7 @@ from . import summaries as summaries_lib
 from .config import CMPSConfig, RunConfig, parse_argv
 from .data import get_audio
 from .models import core
-from .training import (Checkpointer, init_params_for, make_optimizer,
-                       make_train_step)
+from .training import Checkpointer, init_params_for, make_train_step
 
 
 def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
