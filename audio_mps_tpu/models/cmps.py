@@ -109,9 +109,14 @@ class RhoCMPS(CMPS):
                                       num_samples, length, temp))
 
     def sample(self, num_samples: int, length: int, temp: float = 1.0,
-               key=None) -> np.ndarray:
-        """[N, length] waveforms (reference: model.py:103-112)."""
+               key=None, fused: bool = False) -> np.ndarray:
+        """[N, length] waveforms (reference: model.py:103-112).
+        `fused=True` runs the Pallas fused SDE kernel (TPU)."""
         key = key if key is not None else self._next_key()
+        if fused:
+            from ..ops.pallas_scan import rho_sample_pallas_keyed
+            return np.asarray(rho_sample_pallas_keyed(
+                self.params, self.cfg, key, num_samples, length, temp))
         return np.asarray(core.sample_rho(self.params, self.cfg, key,
                                           num_samples, length, temp))
 
@@ -156,9 +161,14 @@ class PsiCMPS(CMPS):
         return to_numpy(pr, pi)
 
     def sample(self, num_samples: int, length: int, temp: float = 1.0,
-               key=None) -> np.ndarray:
-        """[N, length] waveforms (reference: model.py:242-251)."""
+               key=None, fused: bool = False) -> np.ndarray:
+        """[N, length] waveforms (reference: model.py:242-251).
+        `fused=True` runs the Pallas fused SDE kernel (TPU)."""
         key = key if key is not None else self._next_key()
+        if fused:
+            from ..ops.pallas_scan import psi_sample_pallas_keyed
+            return np.asarray(psi_sample_pallas_keyed(
+                self.params, self.cfg, key, num_samples, length, temp))
         return np.asarray(core.sample_psi(self.params, self.cfg, key,
                                           num_samples, length, temp))
 

@@ -77,7 +77,13 @@ def _pad_rows(x, t_pad):
 # ===========================================================================
 
 def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         precision: str):
+                         precision: str, defer_norm: bool = False):
+    """defer_norm: keep the state unnormalized within a block and divide the
+    per-step expectation by the previous step's squared norm instead
+    (e_t = ehat_t / n2hat_{t-1} — exactly the normalized-state value, since
+    the update is linear and the rotation unitary); normalize once at block
+    exit. Removes the normalize+rsqrt from the per-step state dependency
+    chain."""
     log_eps = max(cfg.log_eps, 1e-30)
     norm_eps = cfg.norm_eps
 
@@ -107,31 +113,62 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
         pr, pi_ = pr_s[:], pi_s[:]
         acc = acc_s[:]
-        for k in range(unroll):                       # static unroll
-            s = se_ref[k:k + 1, :]                    # [1, B] static row
-            # psi'' = C psi + s R psi (shared left-GEMMs on columns)
-            g1r = _dot(cr, pr, precision) - _dot(ci, pi_, precision)
-            g1i = _dot(cr, pi_, precision) + _dot(ci, pr, precision)
-            g2r = _dot(rr, pr, precision) - _dot(ri, pi_, precision)
-            g2i = _dot(rr, pi_, precision) + _dot(ri, pr, precision)
-            yr = g1r + s * g2r
-            yi = g1i + s * g2i
-            # e = 2 Re <psi''| R |psi''>
-            rur = _dot(rr, yr, precision) - _dot(ri, yi, precision)
-            rui = _dot(rr, yi, precision) + _dot(ri, yr, precision)
-            e = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
-            arg = jnp.maximum(1.0 + e * s, log_eps)
-            # normalize then rotate by conj(p)
-            n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
-            inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
-            yr = yr * inv
-            yi = yi * inv
-            live = (i * unroll + k) < total           # padding gate
-            acc = jnp.where(live, acc - jnp.log(arg), acc)
-            nr = yr * pc + yi * ps
-            ni = yi * pc - yr * ps
-            pr = jnp.where(live, nr, pr)
-            pi_ = jnp.where(live, ni, pi_)
+        if defer_norm:
+            n2_prev = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[k:k + 1, :]
+                g1r = _dot(cr, pr, precision) - _dot(ci, pi_, precision)
+                g1i = _dot(cr, pi_, precision) + _dot(ci, pr, precision)
+                g2r = _dot(rr, pr, precision) - _dot(ri, pi_, precision)
+                g2i = _dot(rr, pi_, precision) + _dot(ri, pr, precision)
+                yr = g1r + s * g2r
+                yi = g1i + s * g2i
+                # loss path (off the state dependency chain)
+                rur = _dot(rr, yr, precision) - _dot(ri, yi, precision)
+                rui = _dot(rr, yi, precision) + _dot(ri, yr, precision)
+                ehat = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0,
+                                     keepdims=True)
+                n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+                e = ehat / n2_prev
+                arg = jnp.maximum(1.0 + e * s, log_eps)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(arg), acc)
+                # state path: rotate only
+                nr = yr * pc + yi * ps
+                ni = yi * pc - yr * ps
+                pr = jnp.where(live, nr, pr)
+                pi_ = jnp.where(live, ni, pi_)
+                n2_prev = jnp.where(live, n2, n2_prev)
+            # block-exit renormalization
+            inv = jax.lax.rsqrt(jnp.maximum(n2_prev, norm_eps))
+            pr = pr * inv
+            pi_ = pi_ * inv
+        else:
+            for k in range(unroll):                   # static unroll
+                s = se_ref[k:k + 1, :]                # [1, B] static row
+                # psi'' = C psi + s R psi (shared left-GEMMs on columns)
+                g1r = _dot(cr, pr, precision) - _dot(ci, pi_, precision)
+                g1i = _dot(cr, pi_, precision) + _dot(ci, pr, precision)
+                g2r = _dot(rr, pr, precision) - _dot(ri, pi_, precision)
+                g2i = _dot(rr, pi_, precision) + _dot(ri, pr, precision)
+                yr = g1r + s * g2r
+                yi = g1i + s * g2i
+                # e = 2 Re <psi''| R |psi''>
+                rur = _dot(rr, yr, precision) - _dot(ri, yi, precision)
+                rui = _dot(rr, yi, precision) + _dot(ri, yr, precision)
+                e = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
+                arg = jnp.maximum(1.0 + e * s, log_eps)
+                # normalize then rotate by conj(p)
+                n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+                inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+                yr = yr * inv
+                yi = yi * inv
+                live = (i * unroll + k) < total       # padding gate
+                acc = jnp.where(live, acc - jnp.log(arg), acc)
+                nr = yr * pc + yi * ps
+                ni = yi * pc - yr * ps
+                pr = jnp.where(live, nr, pr)
+                pi_ = jnp.where(live, ni, pi_)
 
         pr_s[:] = pr
         pi_s[:] = pi_
@@ -144,7 +181,8 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
 def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
                    unroll: int = DEFAULT_UNROLL,
                    interpret: Optional[bool] = None,
-                   precision: str = "highest"):
+                   precision: str = "highest",
+                   defer_norm: bool = False):
     """Mean NLL [scalar] of waveforms [B, T] under the pure-state model —
     fused Pallas forward (semantics of core.psi_nll / reference
     model.py:257-267)."""
@@ -164,7 +202,8 @@ def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
     s0r = jnp.broadcast_to(pr0[:, None], (D, B))
     s0i = jnp.broadcast_to(pi0[:, None], (D, B))
 
-    kernel = _make_psi_nll_kernel(cfg, unroll, n_steps, precision)
+    kernel = _make_psi_nll_kernel(cfg, unroll, n_steps, precision,
+                                  defer_norm=defer_norm)
 
     loss = pl.pallas_call(
         kernel,
@@ -195,7 +234,11 @@ def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
 # ===========================================================================
 
 def _make_rho_nll_kernel(cfg: CMPSConfig, unroll: int, total: int, rank: int,
-                         precision: str):
+                         precision: str, defer_norm: bool = False):
+    """defer_norm: as in the psi kernel — unnormalized factor within a
+    block, e_t = ehat_t / trhat_{t-1}, per-example scalars kept in [1, B]
+    space (segment sums only, no broadcasts back), one renormalization per
+    block. Exact up to fp rounding; pinned by tests."""
     log_eps = max(cfg.log_eps, 1e-30)
     norm_eps = cfg.norm_eps
 
@@ -230,6 +273,49 @@ def _make_rho_nll_kernel(cfg: CMPSConfig, unroll: int, total: int, rank: int,
 
         hr, hi = hr_s[:], hi_s[:]
         acc = acc_s[:]
+        if defer_norm:
+            # accumulate loss directly per example [1, B]; state stays
+            # unnormalized inside the block
+            acc_b = _dot(acc, z, precision) * (1.0 / rank)
+            tr_prev = jnp.ones_like(acc_b)
+            for k in range(unroll):
+                s = se_ref[k:k + 1, :]
+                a1r = _dot(ccr, hr, precision) - _dot(cci, hi, precision)
+                a1i = _dot(ccr, hi, precision) + _dot(cci, hr, precision)
+                a2r = _dot(rcr, hr, precision) - _dot(rci, hi, precision)
+                a2i = _dot(rcr, hi, precision) + _dot(rci, hr, precision)
+                yr = a1r + s * a2r
+                yi = a1i + s * a2i
+                # loss path, [1, B] space
+                gxr = _dot(xtr, yr, precision) - _dot(xti, yi, precision)
+                gxi = _dot(xtr, yi, precision) + _dot(xti, yr, precision)
+                ehat = _dot(jnp.sum(yr * gxr + yi * gxi, axis=0,
+                                    keepdims=True), z, precision)
+                trhat = _dot(jnp.sum(yr * yr + yi * yi, axis=0,
+                                     keepdims=True), z, precision)
+                s_b = _dot(s, z, precision) * (1.0 / rank)
+                e = ehat / tr_prev
+                arg = jnp.maximum(1.0 + e * s_b, log_eps)
+                live = (i * unroll + k) < total
+                acc_b = jnp.where(live, acc_b - jnp.log(arg), acc_b)
+                tr_prev = jnp.where(live, trhat, tr_prev)
+                # state path: rotate only
+                nr = yr * pc - yi * ps
+                ni = yr * ps + yi * pc
+                hr = jnp.where(live, nr, hr)
+                hi = jnp.where(live, ni, hi)
+            # block-exit renormalization (one broadcast back to lanes)
+            inv_b = jax.lax.rsqrt(jnp.maximum(tr_prev, norm_eps))
+            inv_lanes = _dot(inv_b, zt, precision)
+            hr = hr * inv_lanes
+            hi = hi * inv_lanes
+            hr_s[:] = hr
+            hi_s[:] = hi
+            # keep per-lane acc consistent for the streamed output
+            acc = _dot(acc_b, zt, precision)
+            acc_s[:] = acc
+            loss_ref[0] = acc_b
+            return
         for k in range(unroll):                       # static unroll
             s = se_ref[k:k + 1, :]                    # [1, BR] static row
             # --- G'' = G U^dag  <=>  H'' = conj(U) H
@@ -271,7 +357,8 @@ def _make_rho_nll_kernel(cfg: CMPSConfig, unroll: int, total: int, rank: int,
 def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
                    unroll: int = DEFAULT_UNROLL,
                    interpret: Optional[bool] = None,
-                   precision: str = "highest"):
+                   precision: str = "highest",
+                   defer_norm: bool = False):
     """Mean NLL of waveforms [B, T] under the mixed-state model — fused
     Pallas forward in purification-factor form (semantics of core.rho_nll /
     reference model.py:132-142)."""
@@ -296,7 +383,8 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
     h0i = jnp.tile(wi.T * inv0, (1, B))
     zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
 
-    kernel = _make_rho_nll_kernel(cfg, unroll, n_steps, rank, precision)
+    kernel = _make_rho_nll_kernel(cfg, unroll, n_steps, rank, precision,
+                                  defer_norm=defer_norm)
 
     loss = pl.pallas_call(
         kernel,

@@ -36,11 +36,14 @@ class SampleConfig:
     seed: int = 0
     out: str = "samples.npz"
     wav: bool = True
+    visualize: bool = False      # waveform PNGs (reference sample.py:12)
+    fused: bool = False          # Pallas fused SDE kernel (TPU)
 
 
 _TYPES = {"modeldir": str, "mps_model": str, "hparams": str,
           "sample_duration": int, "sample_rate": int, "num_samples": int,
-          "temperature": float, "seed": int, "out": str, "wav": bool}
+          "temperature": float, "seed": int, "out": str, "wav": bool,
+          "visualize": bool, "fused": bool}
 
 
 def parse_args(argv) -> SampleConfig:
@@ -89,7 +92,14 @@ def sample(sc: SampleConfig, verbose: bool = True):
         print("warning: no checkpoint found, sampling from random init",
               flush=True)
 
-    fn = core.sample_rho if sc.mps_model == "rho_mps" else core.sample_psi
+    if sc.fused:
+        from .ops.pallas_scan import (psi_sample_pallas_keyed,
+                                      rho_sample_pallas_keyed)
+        fn = (rho_sample_pallas_keyed if sc.mps_model == "rho_mps"
+              else psi_sample_pallas_keyed)
+    else:
+        fn = (core.sample_rho if sc.mps_model == "rho_mps"
+              else core.sample_psi)
     waves = np.asarray(fn(params, cfg, skey, sc.num_samples,
                           sc.sample_duration, sc.temperature))
     if sc.out:
@@ -103,6 +113,15 @@ def sample(sc: SampleConfig, verbose: bool = True):
             write_wav(f"{base}_{i}.wav", w, sc.sample_rate)
         if verbose:
             print(f"wrote {len(waves)} wav files at {base}_*.wav", flush=True)
+    if sc.visualize:
+        from .summaries import waveform_figure
+        base = os.path.splitext(sc.out or "samples.npz")[0]
+        for i, w in enumerate(waves):
+            fig = waveform_figure(w, cfg.delta_t)
+            fig.savefig(f"{base}_{i}.png", dpi=100)
+        if verbose:
+            print(f"wrote {len(waves)} waveform plots at {base}_*.png",
+                  flush=True)
     return waves
 
 

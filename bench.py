@@ -162,9 +162,18 @@ def main():
         ksam = jax.jit(partial(rho_sample_pallas, cfg=cfg, interpret=False))
         t_ksam = time_fn(lambda z: ksam(params3, noise=z), noise,
                          iters=iters)
+        # throughput config: batch the sample chains across the full lane
+        # width (generation is serial in time; parallel in chains)
+        n_wide = 128 // max(1, cfg.bond_dim // 8)  # keep VMEM bounded
+        noise_w = 1e-4 * jax.random.normal(jax.random.PRNGKey(3),
+                                           (T, n_wide))
+        t_kwide = time_fn(lambda z: ksam(params3, noise=z), noise_w,
+                          iters=iters)
         kernel_detail = {
             "pallas_nll_fwd_ms": round(t_knll * 1e3, 2),
             "pallas_sampler_steps_per_sec": round(B * T / t_ksam, 1),
+            f"pallas_sampler_steps_per_sec_N{n_wide}":
+                round(n_wide * T / t_kwide, 1),
         }
     except Exception as e:   # keep bench robust on non-TPU backends
         kernel_detail = {"pallas_error": str(e)[:120]}

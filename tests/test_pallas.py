@@ -64,3 +64,24 @@ def test_psi_sampler_kernel_matches_core():
     pal = np.asarray(psi_sample_pallas(params, HP, noise, unroll=16,
                                        interpret=True))
     np.testing.assert_allclose(pal, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("unroll", [16, 64])
+def test_psi_nll_defer_norm_matches(unroll):
+    """Deferred-normalization variant is exact (normalization commutes
+    with the linear update; e_t = ehat_t / n2hat_{t-1})."""
+    params = init_psi(jax.random.PRNGKey(3), HP)
+    ref = float(core.psi_nll(params, HP, _data()))
+    v2 = float(psi_nll_pallas(params, HP, _data(), unroll=unroll,
+                              interpret=True, defer_norm=True))
+    np.testing.assert_allclose(v2, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("rank", [None, 3])
+def test_rho_nll_defer_norm_matches(rank):
+    hp = dataclasses.replace(HP, initial_rank=rank)
+    params = init_rho(jax.random.PRNGKey(4), hp)
+    ref = float(core.rho_nll_factor(params, hp, _data()))
+    v2 = float(rho_nll_pallas(params, hp, _data(), unroll=32,
+                              interpret=True, defer_norm=True))
+    np.testing.assert_allclose(v2, ref, rtol=1e-5, atol=1e-6)
