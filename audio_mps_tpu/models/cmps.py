@@ -46,6 +46,10 @@ class CMPS:
         raise NotImplementedError
 
     # --- reference attribute surface ---------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
     @property
     def A(self):
         return self.params.A
@@ -120,10 +124,6 @@ class RhoCMPS(CMPS):
         return np.asarray(core.sample_rho(self.params, self.cfg, key,
                                           num_samples, length, temp))
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
-
 
 class PsiCMPS(CMPS):
     """Pure-state variant (reference: model.py:206-334).
@@ -172,6 +172,3 @@ class PsiCMPS(CMPS):
         return np.asarray(core.sample_psi(self.params, self.cfg, key,
                                           num_samples, length, temp))
 
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub

@@ -1,0 +1,81 @@
+"""End-to-end integration: the BASELINE.json config shapes on tiny scales.
+
+configs[1]: NSynth TFRecord -> pitch/instrument-filtered ETL -> audio-only
+dataset -> training. configs[2]: sample from the trained checkpoint.
+"""
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from audio_mps_tpu.config import CMPSConfig, RunConfig
+from audio_mps_tpu.data import (NSynthDataset, encode_example, get_audio,
+                                read_audio_tfrecords, write_records)
+
+
+def _make_nsynth_fixture(path, n=24, t=512):
+    rng = np.random.RandomState(0)
+    fams = [b"guitar", b"organ"]
+    recs = []
+    for i in range(n):
+        wave = 0.2 * np.sin(np.linspace(0, 40 + i, t)).astype(np.float32)
+        recs.append(encode_example({
+            "note": np.array([i], np.int64),
+            "pitch": np.array([50 if i % 2 == 0 else 60], np.int64),
+            "sample_rate": np.array([16000], np.int64),
+            "instrument_source_str": [b"acoustic"],
+            "instrument_family_str": [fams[i % 2]],
+            "audio": wave + 0.01 * rng.randn(t).astype(np.float32),
+        }))
+    write_records(path, recs)
+
+
+def test_nsynth_etl_train_sample(tmp_path):
+    # 1. raw NSynth-schema file
+    raw = str(tmp_path / "nsynth-test.tfrecord")
+    _make_nsynth_fixture(raw)
+
+    # 2. ETL: filter organ @ pitch 60 -> audio-only organ.tfrecords
+    # (tools/make_small_dataset.py flow, in-process)
+    ds = NSynthDataset(raw, instrument="organ", pitch=60)
+    audio = ds.load_audio(length=512, max_examples=100)
+    assert audio.shape[0] == 12
+    from audio_mps_tpu.data import write_audio_tfrecords
+    write_audio_tfrecords(str(tmp_path / "organ.tfrecords"), audio)
+
+    # 3. train on it through the real train loop (D=32-analogue, tiny dims)
+    from audio_mps_tpu.train import train
+    run = RunConfig(mps_model="rho_mps", dataset="organ",
+                    datadir=str(tmp_path), sample_duration=512,
+                    max_steps=3, summary_every=10, visualize=False,
+                    num_samples=0, logdir=str(tmp_path / "logs"),
+                    checkpoint_secs=1e9)
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=6, scan_chunk=64)
+    params, metrics = train(run, cfg, verbose=False)
+    assert np.isfinite(float(metrics["model_loss"]))
+
+    # 4. sample from the trained checkpoint (configs[2])
+    from audio_mps_tpu.sample import SampleConfig, sample
+    waves = sample(SampleConfig(modeldir=run.run_logdir(cfg),
+                                mps_model="rho_mps",
+                                hparams="bond_dim=6,minibatch_size=4",
+                                sample_duration=256, num_samples=2,
+                                out=str(tmp_path / "s.npz"), wav=False),
+                   verbose=False)
+    assert waves.shape == (2, 256)
+    assert np.isfinite(waves).all()
+
+
+def test_make_small_dataset_cli(tmp_path):
+    """The ETL tool itself, via its CLI entry."""
+    raw = str(tmp_path / "nsynth-test.tfrecord")
+    _make_nsynth_fixture(raw)
+    out = str(tmp_path / "pitch_50.tfrecords")
+    res = subprocess.run(
+        [sys.executable, "tools/make_small_dataset.py", f"--input={raw}",
+         f"--output={out}", "--pitch=50", "--length=512"],
+        capture_output=True, text=True, cwd=".")
+    assert res.returncode == 0, res.stderr
+    data = read_audio_tfrecords(out)
+    assert data.shape == (12, 512)
