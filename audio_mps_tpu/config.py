@@ -124,6 +124,8 @@ class RunConfig:
     # is jax.profiler traces). 0 disables; N captures steps [2, 2+N) into
     # {logdir}/profile for TensorBoard's trace viewer.
     profile_steps: int = 0
+    # Fused Pallas train kernels: "auto" (TPU only), "true", "false".
+    fused: str = "auto"
 
     def run_logdir(self, cfg: CMPSConfig) -> str:
         """Run-parameterized logdir (reference: train.py:94)."""
@@ -139,7 +141,7 @@ def parse_argv(argv, run: RunConfig = RunConfig()) -> RunConfig:
         "sample_rate": int, "visualize": bool, "num_samples": int,
         "hparams": str, "datadir": str, "logdir": str, "max_steps": int,
         "checkpoint_secs": float, "summary_every": int, "seed": int,
-        "profile_steps": int,
+        "profile_steps": int, "fused": str,
     }
     updates = {}
     for arg in argv:

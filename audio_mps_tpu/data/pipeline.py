@@ -42,3 +42,59 @@ class ArrayDataset:
             stop = (n // b) * b if self.drop_remainder else n
             for i in range(0, stop, b):
                 yield self.data[order[i:i + b]]
+
+
+def iter_audio_tfrecords(path: str, batch_size: int,
+                         sample_duration: int = None,
+                         shuffle_buffer: int = 1024, seed: int = 0,
+                         repeat: bool = True) -> Iterator[np.ndarray]:
+    """Streaming shuffled batches from a (possibly large) audio TFRecord
+    file without loading it into memory: a reservoir-style shuffle buffer
+    over streamed records (the scalable counterpart of ArrayDataset; the
+    reference's datasets are small enough for memory, but full NSynth is
+    not)."""
+    from .tfrecord import read_records, _extract_audio
+
+    rng = np.random.default_rng(seed)
+
+    def records():
+        while True:
+            got = False
+            for rec in read_records(path):
+                audio = _extract_audio(rec)
+                if audio is None:
+                    continue
+                audio = np.asarray(audio, dtype=np.float32)
+                if sample_duration is not None:
+                    if audio.shape[0] < sample_duration:
+                        audio = np.pad(
+                            audio, (0, sample_duration - audio.shape[0]))
+                    else:
+                        audio = audio[:sample_duration]
+                got = True
+                yield audio
+            if not got:
+                raise IOError(f"{path}: no audio records")
+            if not repeat:
+                return
+
+    buf = []
+    batch = []
+    for audio in records():
+        buf.append(audio)
+        if len(buf) < shuffle_buffer:
+            continue
+        idx = rng.integers(len(buf))
+        buf[idx], sample = buf[-1], buf[idx]
+        buf.pop()
+        batch.append(sample)
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []
+    # drain (non-repeat case)
+    rng.shuffle(buf)
+    for sample in buf:
+        batch.append(sample)
+        if len(batch) == batch_size:
+            yield np.stack(batch)
+            batch = []

@@ -92,7 +92,8 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
     log_eps = max(cfg.log_eps, 1e-30)
     norm_eps = cfg.norm_eps
 
-    def kernel(se_ref, s0r_ref, s0i_ref, cr_ref, ci_ref, rr_ref, ri_ref,
+    def kernel(se_ref,               # [1, K, B] signal rows
+               s0r_ref, s0i_ref, cr_ref, ci_ref, rr_ref, ri_ref,
                pc_ref, ps_ref,
                loss_ref, ckr_ref, cki_ref,
                pr_s, pi_s, acc_s):
@@ -114,7 +115,7 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
         cki_ref[0] = pi_
         acc = acc_s[:]
         for k in range(unroll):
-            s = se_ref[k:k + 1, :]
+            s = se_ref[0, k:k + 1, :]
             f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
                               log_eps, norm_eps)
             live = (i * unroll + k) < total
@@ -159,16 +160,18 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         pc, ps = pc_ref[:], ps_ref[:]
 
         # --- recompute the block forward from its checkpoint, retaining
-        # only the per-step entry states (the rest is recomputed in the
-        # reverse sweep to keep VMEM flat)
+        # the per-step entry states and GEMM products (the scalar tail —
+        # e/arg/n2 — is cheap to recompute in the reverse sweep, but the
+        # matmuls are not)
         pr = ckr_ref[0]
         pi_ = cki_ref[0]
-        states = []
+        saved = []
         for k in range(unroll):
-            s = se_ref[k:k + 1, :]
-            states.append((pr, pi_))
+            s = se_ref[0, k:k + 1, :]
             f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
                               log_eps, norm_eps)
+            saved.append((pr, pi_, f["g2r"], f["g2i"], f["yr"], f["yi"],
+                          f["rur"], f["rui"]))
             live = (blk * unroll + k) < total
             pr = jnp.where(live, f["npr"], pr)
             pi_ = jnp.where(live, f["npi"], pi_)
@@ -179,15 +182,15 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         darr, dari = arr_s[:], ari_s[:]
         dapc, daps = apc_s[:], aps_s[:]
         for k in reversed(range(unroll)):
-            s = se_ref[k:k + 1, :]
-            pr0, pi0 = states[k]
-            f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr0, pi0, s,
-                              log_eps, norm_eps)
-            yr, yi = f["yr"], f["yi"]
-            g2r, g2i = f["g2r"], f["g2i"]
-            rur, rui = f["rur"], f["rui"]
-            tyr, tyi = f["tyr"], f["tyi"]
-            inv, n2, arg, e = f["inv"], f["n2"], f["arg"], f["e"]
+            s = se_ref[0, k:k + 1, :]
+            pr0, pi0, g2r, g2i, yr, yi, rur, rui = saved[k]
+            # cheap scalar tail recompute (VPU only)
+            e = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
+            arg = jnp.maximum(1.0 + e * s, log_eps)
+            n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+            tyr = yr * inv
+            tyi = yi * inv
 
             # rotate adjoint: np = (tyr*pc+tyi*ps, tyi*pc-tyr*ps)
             dtyr = dpr * pc - dpi * ps
@@ -235,7 +238,8 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             g_dri = g_dri + _dot(dg2i, pr0.T) - _dot(dg2r, pi0.T)
 
             live = (blk * unroll + k) < total
-            dse_ref[k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
+                                               jnp.zeros_like(ds))
             dpr = jnp.where(live, dprn, dpr)
             dpi = jnp.where(live, dpin, dpi)
             dacr = jnp.where(live, dacr + g_dcr, dacr)
@@ -285,11 +289,12 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
                                    vmem_limit_bytes=100 * 1024 * 1024)
 
     def run_fwd(cr, ci, rr, ri, pc, ps, s0r, s0i, se):
+        se3 = se.reshape(n_blocks, unroll, B)
         loss, ckr, cki = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((unroll, B), lambda i: (i, 0)),
+                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
                 _full((D, B)), _full((D, B)),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
                 _full((D, 1)), _full((D, 1)),
@@ -311,30 +316,30 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
             ],
             compiler_params=sem,
             interpret=interpret,
-        )(se, s0r, s0i, cr, ci, rr, ri, pc, ps)
+        )(se3, s0r, s0i, cr, ci, rr, ri, pc, ps)
         return jnp.mean(loss[-1, 0]), (ckr, cki)
 
     def run_bwd(cr, ci, rr, ri, pc, ps, se, ckr, cki):
-        rev = lambda i: (n_blocks - 1 - i, 0)
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        se3 = se.reshape(n_blocks, unroll, B)
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((unroll, B), rev),
+                pl.BlockSpec((1, unroll, B), rev3),
                 pl.BlockSpec((1, D, B), rev3),
                 pl.BlockSpec((1, D, B), rev3),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
                 _full((D, 1)), _full((D, 1)),
             ],
             out_specs=[
-                pl.BlockSpec((unroll, B), rev),
+                pl.BlockSpec((1, unroll, B), rev3),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
                 _full((D, 1)), _full((D, 1)),
                 _full((D, B)), _full((D, B)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((t_pad, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
@@ -356,8 +361,8 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
             ],
             compiler_params=sem_bwd,
             interpret=interpret,
-        )(se, ckr, cki, cr, ci, rr, ri, pc, ps)
-        return outs
+        )(se3, ckr, cki, cr, ci, rr, ri, pc, ps)
+        return (outs[0].reshape(t_pad, B),) + tuple(outs[1:])
 
     @jax.custom_vjp
     def fused(cr, ci, rr, ri, pc, ps, s0r, s0i, se):
@@ -383,7 +388,7 @@ def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
     [D, cols] arrays per step empirically) fit the raised VMEM ceiling."""
     if unroll is not None:
         return unroll
-    per_step = 40 * D * cols * 4
+    per_step = 56 * D * cols * 4
     return int(max(2, min(DEFAULT_UNROLL, (80 << 20) // max(per_step, 1))))
 
 
@@ -477,7 +482,7 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         cki_ref[0] = hi
         acc = acc_s[:]
         for k in range(unroll):
-            s = se_ref[k:k + 1, :]
+            s = se_ref[0, k:k + 1, :]
             f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
                               hr, hi, s, log_eps, norm_eps)
             live = (i * unroll + k) < total
@@ -523,15 +528,16 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         def seg(row):
             return _dot(_dot(row, z), zt)
 
-        # --- forward recompute of block-entry states
+        # --- forward recompute, retaining entry states + GEMM products
         hr = ckr_ref[0]
         hi = cki_ref[0]
-        states = []
+        saved = []
         for k in range(unroll):
-            s = se_ref[k:k + 1, :]
-            states.append((hr, hi))
+            s = se_ref[0, k:k + 1, :]
             f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
                               hr, hi, s, log_eps, norm_eps)
+            saved.append((hr, hi, f["a2r"], f["a2i"], f["yr"], f["yi"],
+                          f["gxr"], f["gxi"]))
             live = (blk * unroll + k) < total
             hr = jnp.where(live, f["nhr"], hr)
             hi = jnp.where(live, f["nhi"], hi)
@@ -543,16 +549,15 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         g_xtr, g_xti = axtr_s[:], axti_s[:]
         g_pc, g_ps = apc_s[:], aps_s[:]
         for k in reversed(range(unroll)):
-            s = se_ref[k:k + 1, :]
-            hr0, hi0 = states[k]
-            f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
-                              hr0, hi0, s, log_eps, norm_eps)
-            yr, yi = f["yr"], f["yi"]
-            a2r, a2i = f["a2r"], f["a2i"]
-            gxr, gxi = f["gxr"], f["gxi"]
-            tyr, tyi = f["tyr"], f["tyi"]
-            inv, tr_bc, arg, e_bc = (f["inv"], f["tr_bc"], f["arg"],
-                                     f["e_bc"])
+            s = se_ref[0, k:k + 1, :]
+            hr0, hi0, a2r, a2i, yr, yi, gxr, gxi = saved[k]
+            # scalar tail recompute (VPU + two skinny seg matmuls)
+            e_bc = seg(jnp.sum(yr * gxr + yi * gxi, axis=0, keepdims=True))
+            arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+            tr_bc = seg(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
+            inv = jax.lax.rsqrt(jnp.maximum(tr_bc, norm_eps))
+            tyr = yr * inv
+            tyi = yi * inv
 
             # rotate adjoint: nh = (tyr*pc - tyi*ps, tyr*ps + tyi*pc)
             dtyr = dhr * pc + dhi * ps
@@ -602,7 +607,8 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             d_rci = _dot(da2i, hr0.T) - _dot(da2r, hi0.T)
 
             live = (blk * unroll + k) < total
-            dse_ref[k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
+                                               jnp.zeros_like(ds))
             dhr = jnp.where(live, dhrn, dhr)
             dhi = jnp.where(live, dhin, dhi)
             g_ccr = jnp.where(live, g_ccr + d_ccr, g_ccr)
@@ -653,18 +659,19 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
     fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank)
     bwd_kernel = _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
                                       1.0 / (B * rank))
-    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
-    # the unrolled reverse sweep keeps every step's recompute live; raise
-    # the scoped-VMEM ceiling (v5e has 128 MiB physical VMEM)
-    sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
-                                   vmem_limit_bytes=100 * 1024 * 1024)
+    # raised scoped-VMEM ceiling everywhere (v5e has 128 MiB physical
+    # VMEM): the unrolled sweeps keep whole blocks of intermediates live
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=100 * 1024 * 1024)
+    sem_bwd = sem
 
     def run_fwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i, se, z, zt):
+        se3 = se.reshape(n_blocks, unroll, BR)
         loss, ckr, cki = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((unroll, BR), lambda i: (i, 0)),
+                pl.BlockSpec((1, unroll, BR), lambda i: (i, 0, 0)),
                 _full((D, BR)), _full((D, BR)),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
                 _full((D, D)), _full((D, D)),
@@ -688,17 +695,17 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
             ],
             compiler_params=sem,
             interpret=interpret,
-        )(se, h0r, h0i, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
+        )(se3, h0r, h0i, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
         return jnp.mean(loss[-1, 0]), (ckr, cki)
 
     def run_bwd(ccr, cci, rcr, rci, xtr, xti, pc, ps, se, z, zt, ckr, cki):
-        rev = lambda i: (n_blocks - 1 - i, 0)
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
-        return pl.pallas_call(
+        se3 = se.reshape(n_blocks, unroll, BR)
+        outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((unroll, BR), rev),
+                pl.BlockSpec((1, unroll, BR), rev3),
                 pl.BlockSpec((1, D, BR), rev3),
                 pl.BlockSpec((1, D, BR), rev3),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
@@ -707,14 +714,14 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 _full((BR, B)), _full((B, BR)),
             ],
             out_specs=[
-                pl.BlockSpec((unroll, BR), rev),
+                pl.BlockSpec((1, unroll, BR), rev3),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
                 _full((D, D)), _full((D, D)),
                 _full((D, 1)), _full((D, 1)),
                 _full((D, BR)), _full((D, BR)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((t_pad, BR), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, unroll, BR), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
                 jax.ShapeDtypeStruct((D, D), jnp.float32),
@@ -740,7 +747,8 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
             ],
             compiler_params=sem_bwd,
             interpret=interpret,
-        )(se, ckr, cki, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
+        )(se3, ckr, cki, ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt)
+        return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
 
     @jax.custom_vjp
     def fused(ccr, cci, rcr, rci, xtr, xti, pc, ps, h0r, h0i, se, z, zt):

@@ -22,7 +22,8 @@ from .mesh import DATA_AXIS
 
 
 def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
-                       optimizer=None, axis: str = DATA_AXIS):
+                       optimizer=None, axis: str = DATA_AXIS,
+                       fused: bool = False):
     """Build (optimizer, jitted_sharded_step).
 
     step(params, opt_state, batch[B_global, T]) -> (params, opt_state,
@@ -32,7 +33,10 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     optimal at this parameter scale (a few KB).
     """
     optimizer = optimizer or make_optimizer(cfg)
-    loss_fn = make_loss_fn(mps_model, cfg)
+    # fused=False by default: the Pallas kernels inside shard_map are only
+    # exercisable on real multi-chip hardware (single-chip here); the XLA
+    # scan path is the validated multi-chip default.
+    loss_fn = make_loss_fn(mps_model, cfg, fused=fused)
 
     def local_step(params, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(

@@ -79,11 +79,20 @@ def sample(sc: SampleConfig, verbose: bool = True):
     if not sc.modeldir:
         raise ValueError("--modeldir is required (the run logdir written by "
                          "train.py)")
-    cfg = CMPSConfig().parse(sc.hparams)
+    mps_model = sc.mps_model
+    cfg_path = os.path.join(sc.modeldir, "config.json")
+    if not sc.hparams and os.path.exists(cfg_path):
+        import dataclasses as _dc
+        import json as _json
+        saved = _json.load(open(cfg_path))
+        cfg = CMPSConfig(**saved["cfg"])
+        mps_model = saved["run"].get("mps_model", mps_model)
+    else:
+        cfg = CMPSConfig().parse(sc.hparams)
     key = jax.random.PRNGKey(sc.seed)
     key, ikey, skey = jax.random.split(key, 3)
 
-    params = init_params_for(sc.mps_model, ikey, cfg)
+    params = init_params_for(mps_model, ikey, cfg)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     ckpt = Checkpointer(os.path.join(sc.modeldir, "checkpoints"))
@@ -95,10 +104,10 @@ def sample(sc: SampleConfig, verbose: bool = True):
     if sc.fused:
         from .ops.pallas_scan import (psi_sample_pallas_keyed,
                                       rho_sample_pallas_keyed)
-        fn = (rho_sample_pallas_keyed if sc.mps_model == "rho_mps"
+        fn = (rho_sample_pallas_keyed if mps_model == "rho_mps"
               else psi_sample_pallas_keyed)
     else:
-        fn = (core.sample_rho if sc.mps_model == "rho_mps"
+        fn = (core.sample_rho if mps_model == "rho_mps"
               else core.sample_psi)
     waves = np.asarray(fn(params, cfg, skey, sc.num_samples,
                           sc.sample_duration, sc.temperature))

@@ -11,6 +11,9 @@ modalities (reference: train.py:62-85), and restore-on-restart.
 """
 from __future__ import annotations
 
+import dataclasses
+import json
+import os
 import sys
 
 import jax
@@ -34,10 +37,17 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                           sample_duration=run.sample_duration, seed=run.seed)
 
     params = init_params_for(run.mps_model, init_key, cfg)
-    optimizer, step_fn = make_train_step(run.mps_model, cfg)
+    fused = {"auto": None, "true": True, "false": False}[run.fused]
+    optimizer, step_fn = make_train_step(run.mps_model, cfg, fused=fused)
     opt_state = optimizer.init(params)
 
     logdir = run.run_logdir(cfg)
+    os.makedirs(logdir, exist_ok=True)
+    # persist the run+model config so sampling can restore without
+    # re-specifying hparams
+    with open(os.path.join(logdir, "config.json"), "w") as f:
+        json.dump({"cfg": dataclasses.asdict(cfg),
+                   "run": dataclasses.asdict(run)}, f, indent=1)
     ckpt = Checkpointer(logdir + "/checkpoints",
                         save_secs=run.checkpoint_secs)
     params, opt_state, start_step = ckpt.restore(params, opt_state)

@@ -188,3 +188,27 @@ def test_factor_nll_low_rank():
     np.testing.assert_allclose(float(core.rho_nll_factor(params, hp, data)),
                                float(core.rho_nll(params, hp, data)),
                                rtol=1e-5)
+
+
+def test_sampler_statistics_with_zero_R():
+    """With R=0 the drift vanishes and the sampler must reproduce
+    A*cumsum(noise) exactly (Euler-Maruyama semantics, model.py:160-167)."""
+    hp = dataclasses.replace(HP, sigma=1.0, A=2.0)
+    model = RhoCMPS(hp, freqs_in=np.zeros(HP.bond_dim, np.float32),
+                    R_in=np.zeros((HP.bond_dim, HP.bond_dim), np.complex64))
+    noise = jax.random.normal(jax.random.PRNGKey(11), (200, 3)) * 0.1
+    w = np.asarray(core.sample_rho_with_noise(model.params, hp, noise))
+    expected = 2.0 * np.cumsum(np.asarray(noise), axis=0).T
+    np.testing.assert_allclose(w, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_bond_dim_128():
+    """BASELINE configs[4] bond dimension: D=128 trains (tiny T)."""
+    hp = CMPSConfig(minibatch_size=2, bond_dim=128, scan_chunk=16)
+    from audio_mps_tpu.training import init_params_for, make_train_step
+    params = init_params_for("rho_mps", jax.random.PRNGKey(0), hp)
+    opt, step = make_train_step("rho_mps", hp)
+    o = opt.init(params)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 2, 64, hp.delta_t)
+    params, o, m = step(params, o, batch)
+    assert np.isfinite(float(m["model_loss"]))
