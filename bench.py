@@ -31,48 +31,17 @@ import optax
 
 from audio_mps_tpu.config import CMPSConfig
 from audio_mps_tpu.data import damped_sine_batch
-from audio_mps_tpu.models import cell, core
+from audio_mps_tpu.models import core
+from audio_mps_tpu.models.reference_transcription import rho_nll_lab_frame
 from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.training import make_train_step
-
-
-def lab_frame_nll(params, cfg, signals):
-    """Reference-semantics baseline: per-step phases recomputed in the lab
-    frame (as model.py:172-196), same chunked remat scan."""
-    incs = (signals[:, 1:] - signals[:, :-1]).T
-    B = signals.shape[0]
-    rr, ri = core.rho0(params, cfg)
-    rr = jnp.broadcast_to(rr, (B,) + rr.shape)
-    ri = jnp.broadcast_to(ri, (B,) + ri.shape)
-
-    def step(carry, inc):
-        rr, ri, loss, t = carry
-        rr2, ri2 = cell.lab_update_ancilla_rho(params, cfg, rr, ri, inc, t)
-        e = cell.lab_expectation_rho(params, rr2, ri2, t)
-        loss = loss + cell.nll_increment(e, inc / params.A, cfg.log_eps)
-        rr2, ri2 = cell.normalize_rho(rr2, ri2, cfg.norm_eps)
-        return (rr2, ri2, loss, t + cfg.delta_t), None
-
-    def plain(c, xs):
-        return jax.lax.scan(step, c, xs)[0]
-
-    carry = (rr, ri, jnp.zeros((B,)), jnp.float32(0.0))
-    T = incs.shape[0]
-    chunk = cfg.scan_chunk
-    n_full = T // chunk
-    inner = jax.checkpoint(plain)
-    main = incs[: n_full * chunk].reshape((n_full, chunk, B))
-    carry = jax.lax.scan(lambda c, xc: (inner(c, xc), None), carry, main)[0]
-    if T % chunk:
-        carry = plain(carry, incs[n_full * chunk:])
-    return jnp.mean(carry[2])
 
 
 def make_lab_train_step(cfg):
     opt = optax.adam(cfg.learning_rate)
 
     def loss_fn(params, batch):
-        nll = lab_frame_nll(params, cfg, batch)
+        nll = rho_nll_lab_frame(params, cfg, batch)
         total, _ = core.regularized_loss(nll, params, cfg)
         return total
 

@@ -8,7 +8,7 @@ import numpy as np
 
 from audio_mps_tpu import CMPSConfig, PsiCMPS
 from audio_mps_tpu.data import damped_sine_batch
-from audio_mps_tpu.models import cell, core
+from audio_mps_tpu.models import cell, core, reference_transcription
 from audio_mps_tpu.models.params import init_psi
 
 HP = CMPSConfig(minibatch_size=8, bond_dim=7, delta_t=1 / 16000, sigma=1e-4,
@@ -78,32 +78,12 @@ def test_warm_start_psi_in_works():
 # New-framework anchors
 # ---------------------------------------------------------------------------
 
-def _lab_frame_nll(params, cfg, signals):
-    incs = (signals[:, 1:] - signals[:, :-1]).T
-    B = signals.shape[0]
-    pr, pi = core.psi0(params, cfg)
-    pr = jnp.broadcast_to(pr, (B,) + pr.shape)
-    pi = jnp.broadcast_to(pi, (B,) + pi.shape)
-
-    def step(carry, inc):
-        pr, pi, loss, t = carry
-        pr2, pi2 = cell.lab_update_ancilla_psi(params, cfg, pr, pi, inc, t)
-        e = cell.lab_expectation_psi(params, pr2, pi2, t)
-        loss = loss + cell.nll_increment(e, inc / params.A, cfg.log_eps)
-        pr2, pi2 = cell.normalize_psi(pr2, pi2, cfg.norm_eps)
-        return (pr2, pi2, loss, t + cfg.delta_t), None
-
-    (pr, pi, loss, _), _ = jax.lax.scan(
-        step, (pr, pi, jnp.zeros((B,)), 0.0), incs)
-    return jnp.mean(loss)
-
-
 def test_rotating_frame_matches_lab_frame():
     params = init_psi(jax.random.PRNGKey(3), HP)
     data = small_data()
     cfg = dataclasses.replace(HP, scan_chunk=0)
     fast = float(core.psi_nll(params, cfg, data))
-    ref = float(_lab_frame_nll(params, cfg, data))
+    ref = float(reference_transcription.psi_nll_lab_frame(params, cfg, data))
     np.testing.assert_allclose(fast, ref, rtol=2e-4)
 
 

@@ -11,7 +11,7 @@ import pytest
 
 from audio_mps_tpu import CMPSConfig, RhoCMPS
 from audio_mps_tpu.data import damped_sine_batch
-from audio_mps_tpu.models import cell, core
+from audio_mps_tpu.models import cell, core, reference_transcription
 from audio_mps_tpu.models.params import init_rho
 
 HP = CMPSConfig(minibatch_size=8, bond_dim=7, delta_t=1 / 16000, sigma=1e-4,
@@ -93,28 +93,6 @@ def test_qubit_sampling_shape():
 # New-framework anchors (beyond the reference suite)
 # ---------------------------------------------------------------------------
 
-def _lab_frame_nll(params, cfg, signals):
-    """Direct transcription of the reference foldl semantics using the
-    lab-frame single-step functions, carrying (rho, loss, t)."""
-    incs = (signals[:, 1:] - signals[:, :-1]).T
-    B = signals.shape[0]
-    rr, ri = core.rho0(params, cfg)
-    rr = jnp.broadcast_to(rr, (B,) + rr.shape)
-    ri = jnp.broadcast_to(ri, (B,) + ri.shape)
-
-    def step(carry, inc):
-        rr, ri, loss, t = carry
-        rr2, ri2 = cell.lab_update_ancilla_rho(params, cfg, rr, ri, inc, t)
-        e = cell.lab_expectation_rho(params, rr2, ri2, t)
-        loss = loss + cell.nll_increment(e, inc / params.A, cfg.log_eps)
-        rr2, ri2 = cell.normalize_rho(rr2, ri2, cfg.norm_eps)
-        return (rr2, ri2, loss, t + cfg.delta_t), None
-
-    (rr, ri, loss, _), _ = jax.lax.scan(
-        step, (rr, ri, jnp.zeros((B,)), 0.0), incs)
-    return jnp.mean(loss)
-
-
 def test_rotating_frame_matches_lab_frame():
     """The rotating-frame hot path must agree with the direct (reference
     semantics) lab-frame evolution."""
@@ -122,7 +100,7 @@ def test_rotating_frame_matches_lab_frame():
     data = small_data()
     cfg = dataclasses.replace(HP, scan_chunk=0)
     fast = float(core.rho_nll(params, cfg, data))
-    ref = float(_lab_frame_nll(params, cfg, data))
+    ref = float(reference_transcription.rho_nll_lab_frame(params, cfg, data))
     np.testing.assert_allclose(fast, ref, rtol=2e-4)
 
 
