@@ -310,3 +310,119 @@ def purity(params, cfg: CMPSConfig, key, num_samples: int, length: int,
 
     _, p = jax.lax.scan(step, carry, noise)
     return p.T
+
+
+# ---------------------------------------------------------------------------
+# Parallel-in-time NLL (associative scan over transfer operators)
+# ---------------------------------------------------------------------------
+
+def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
+    """Mean NLL via `lax.associative_scan` over per-step transfer operators
+    — O(log T) depth instead of T sequential steps (SURVEY.md §2.4: "an
+    associative scan over unnormalized transfer operators with per-chunk
+    renormalization").
+
+    The purification factor makes this cheap: one step is
+    ``G <- G (U_t^dag P)`` with the constant frame rotation P folded in, so
+    the whole evolution is a PREFIX PRODUCT of D x D complex matrices
+    ``Q_t = M_1 ... M_t`` — batched MXU-saturating matmuls at log depth,
+    not D^2 x D^2 superoperators. Per-combine max-abs rescaling keeps fp32
+    in range (65k-step raw products overflow); the loss is reconstructed
+    exactly from log-scale *differences*:
+
+        e_t = ehat_{X'}(G_0 Q_t) / trhat(G_0 Q_{t-1}) * exp(2(sig_t - sig_{t-1}))
+
+    with X' = P^dag X P absorbing that the reference's expectation is taken
+    *before* the frame rotation. Values/gradients match the sequential
+    factor scan (pinned by tests). Memory is bounded by `time_chunk`
+    (outer chunks stay sequential).
+
+    Measured (v5e, D=8, B=8, T=65536): forward parity with the sequential
+    factor scan (~210 ms both) — the D x D operands pad to (8,128) tiles
+    (16x expansion at D=8), so the log-depth matmuls are HBM-bound, and
+    reverse-mode through `associative_scan` materializes the padded
+    trajectory (keep `time_chunk` <= 1024 for gradients). Its niche is
+    depth, not single-chip throughput: the per-chunk prefix products are
+    the building block for cross-chip time sharding; the fused Pallas
+    kernels (ops/pallas_grad.py) remain the single-chip training path.
+    """
+    cc = make_constants(params, cfg)
+    incs = _increments(signals)                       # [T-1, B]
+    B = signals.shape[0]
+    n_steps = incs.shape[0]
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    g0r = _tile(wr * inv0, B)                         # [B, r, D]
+    g0i = _tile(wi * inv0, B)
+
+    # constant step matrices, rotation folded in: M(s) = (C + s R)^dag P
+    pr_, pi_ = cc.p_c, cc.p_s                        # P = diag(p)
+    cdr = cc.Cr.T * pr_ - (-cc.Ci.T) * pi_           # C^dag P (columns scaled)
+    cdi = cc.Cr.T * pi_ + (-cc.Ci.T) * pr_
+    rdr = cc.Rr.T * pr_ - (-cc.Ri.T) * pi_
+    rdi = cc.Rr.T * pi_ + (-cc.Ri.T) * pr_
+    # X' = P^dag X P: X'_ij = X_ij * exp(i (f_j - f_i) dt)
+    xpr = cc.Xr * cc.phi_c - cc.Xi * cc.phi_s
+    xpi = cc.Xr * cc.phi_s + cc.Xi * cc.phi_c
+
+    mm = partial(jnp.matmul, precision="highest")
+
+    def combine(a, b):
+        ar, ai, asig = a
+        br, bi, bsig = b
+        cr = mm(ar, br) - mm(ai, bi)
+        ci = mm(ar, bi) + mm(ai, br)
+        scale = jnp.maximum(
+            jnp.max(jnp.maximum(jnp.abs(cr), jnp.abs(ci)), axis=(-2, -1),
+                    keepdims=True), 1e-30)
+        return cr / scale, ci / scale, asig + bsig + jnp.log(scale[..., 0, 0])
+
+    def ehat_trhat(gr, gi):
+        """[..., r, D] factor -> (Re tr(X' G^dag G), ||G||_F^2)."""
+        gxr = mm(gr, xpr) - mm(gi, xpi)
+        gxi = mm(gr, xpi) + mm(gi, xpr)
+        e = jnp.sum(gr * gxr + gi * gxi, axis=(-2, -1))
+        tr = jnp.sum(gr * gr + gi * gi, axis=(-2, -1))
+        return e, tr
+
+    def chunk_step(carry, s_chunk):
+        """s_chunk: [Tc, B] signals/A. carry: normalized factor pair."""
+        gr, gi, loss = carry
+        sb = s_chunk[:, :, None, None]
+        mr = cdr[None, None] + sb * rdr[None, None]   # [Tc, B, D, D]
+        mi = cdi[None, None] + sb * rdi[None, None]
+        sig0 = jnp.zeros(s_chunk.shape)
+        qr, qi, sig = jax.lax.associative_scan(combine, (mr, mi, sig0))
+        # all states G_t = G_0 Q_t (times exp(sig_t))
+        gtr = jnp.einsum('brd,tbde->tbre', gr, qr) \
+            - jnp.einsum('brd,tbde->tbre', gi, qi)
+        gti = jnp.einsum('brd,tbde->tbre', gr, qi) \
+            + jnp.einsum('brd,tbde->tbre', gi, qr)
+        ehat, trhat = ehat_trhat(gtr, gti)            # [Tc, B]
+        trhat_prev = jnp.concatenate(
+            [jnp.ones_like(trhat[:1]), trhat[:-1]], axis=0)
+        sig_prev = jnp.concatenate(
+            [jnp.zeros_like(sig[:1]), sig[:-1]], axis=0)
+        e = (ehat / jnp.maximum(trhat_prev, cfg.norm_eps)
+             * jnp.exp(2.0 * (sig - sig_prev)))
+        arg = 1.0 + e * s_chunk
+        if cfg.log_eps > 0:
+            arg = jnp.maximum(arg, cfg.log_eps)
+        loss = loss + jnp.sum(-jnp.log(arg), axis=0)
+        # next-chunk state: normalize the final factor (scale cancels)
+        inv = jax.lax.rsqrt(jnp.maximum(trhat[-1], cfg.norm_eps))
+        gr2 = gtr[-1] * inv[:, None, None]
+        gi2 = gti[-1] * inv[:, None, None]
+        return (gr2, gi2, loss), None
+
+    s_all = incs / cc.A                               # [T-1, B]
+    Tc = min(time_chunk, n_steps)
+    n_full = n_steps // Tc
+    carry = (g0r, g0i, jnp.zeros((B,), signals.dtype))
+    if n_full:
+        main = s_all[: n_full * Tc].reshape(n_full, Tc, B)
+        carry, _ = jax.lax.scan(chunk_step, carry, main)
+    if n_steps % Tc:
+        carry, _ = chunk_step(carry, s_all[n_full * Tc:])
+    return jnp.mean(carry[2])

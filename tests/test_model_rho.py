@@ -190,3 +190,32 @@ def test_bond_dim_128():
     batch = damped_sine_batch(jax.random.PRNGKey(1), 2, 64, hp.delta_t)
     params, o, m = step(params, o, batch)
     assert np.isfinite(float(m["model_loss"]))
+
+
+def test_pscan_matches_sequential():
+    """Parallel-in-time NLL (associative scan over transfer operators) ==
+    sequential factor scan, values and gradients."""
+    params = init_rho(jax.random.PRNGKey(8), HP)
+    data = small_data()
+    cfg = dataclasses.replace(HP, scan_chunk=0)
+    ref = float(core.rho_nll_factor(params, cfg, data))
+    for tc in [32, 300]:
+        v = float(core.rho_nll_pscan(params, cfg, data, time_chunk=tc))
+        np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(core.rho_nll_factor)(params, cfg, data)
+    g_ps = jax.grad(
+        lambda p: core.rho_nll_pscan(p, cfg, data, time_chunk=64))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_pscan_rescaling_under_large_updates():
+    """The per-combine rescaling must keep 65k-step-scale products in fp32
+    range: use a long T with sigma=1 (strong updates)."""
+    hp = dataclasses.replace(HP, sigma=0.5, A=1.0, scan_chunk=0)
+    params = init_rho(jax.random.PRNGKey(9), hp)
+    data = small_data(T=1024) * 0.05
+    ref = float(core.rho_nll_factor(params, hp, data))
+    v = float(core.rho_nll_pscan(params, hp, data, time_chunk=256))
+    np.testing.assert_allclose(v, ref, rtol=1e-4, atol=1e-5)
