@@ -2,15 +2,22 @@
 framework with the capabilities of AustenLamacraft/audio-mps.
 
 Public surface:
-  - CMPSConfig / RunConfig    (config.py — reference HParams + flags)
-  - PsiCMPS / RhoCMPS         (models.cmps — reference model.py classes)
-  - functional core           (models.core — losses, samplers, trajectories)
-  - get_audio                 (data — reference data.py entry point)
+  - CMPSConfig / RunConfig        (config — reference HParams + flags)
+  - PsiCMPS / RhoCMPS             (models.cmps — reference model.py classes)
+  - models.core                   (functional losses/samplers/trajectories,
+                                   incl. factor-form and parallel-in-time)
+  - models.latent                 (latent-conditioned variant)
+  - models.reference_transcription (the lab-frame parity anchor)
+  - ops.pallas_scan / ops.pallas_grad (fused TPU kernels: NLL fwd, SDE
+                                   samplers, custom-VJP training)
+  - parallel                      (data-parallel mesh + temporal pipeline)
+  - data / get_audio              (damped-sine, TFRecord engine, NSynth)
+  - training / estimator / train / sample (loops + CLIs)
 """
 
 from .config import CMPSConfig, RunConfig
-from .models.cmps import CMPS, PsiCMPS, RhoCMPS
 from .models import core
+from .models.cmps import CMPS, PsiCMPS, RhoCMPS
 from .models.params import init_psi, init_rho
 
 __version__ = "0.1.0"

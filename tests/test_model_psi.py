@@ -98,3 +98,19 @@ def test_gradients_finite_and_chunk_invariant():
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_reference_nan_semantics_with_log_eps_zero():
+    """cfg.log_eps <= 0 reproduces the reference's silent NaN when
+    1 + <x> * s/A <= 0 (reference model.py:169-170 has no clamp)."""
+    hp = dataclasses.replace(HP, log_eps=0.0, sigma=1.0, A=0.01,
+                             scan_chunk=0)
+    params = init_psi(jax.random.PRNGKey(3), hp)
+    # huge increments relative to A force the log argument negative
+    data = jnp.asarray(np.linspace(0, 50, 64, dtype=np.float32))[None, :]
+    data = jnp.tile(data, (hp.minibatch_size, 1))
+    loss = float(core.psi_nll(params, hp, data))
+    assert np.isnan(loss)
+    # the default clamp keeps it finite
+    hp2 = dataclasses.replace(hp, log_eps=1e-8)
+    assert np.isfinite(float(core.psi_nll(params, hp2, data)))

@@ -87,3 +87,22 @@ def test_train_cli_end_to_end(tmp_path):
     assert np.isfinite(waves).all()
     assert os.path.exists(out)
     assert os.path.exists(str(tmp_path / "s_0.wav"))
+
+
+def test_sample_cli_restores_config_json(tmp_path):
+    """train persists config.json; sample restores model+hparams from it
+    (no --hparams needed)."""
+    from audio_mps_tpu.train import train
+    from audio_mps_tpu.sample import SampleConfig, sample
+    run = RunConfig(mps_model="rho_mps", dataset="damped_sine",
+                    sample_duration=128, max_steps=2, summary_every=10,
+                    visualize=False, num_samples=0,
+                    logdir=str(tmp_path / "logs"), checkpoint_secs=1e9,
+                    fused="false")
+    cfg = CMPSConfig(minibatch_size=2, bond_dim=5, scan_chunk=32)
+    train(run, cfg, verbose=False)
+    waves = sample(SampleConfig(modeldir=run.run_logdir(cfg),
+                                sample_duration=64, num_samples=2,
+                                out=str(tmp_path / "s.npz"), wav=False),
+                   verbose=False)
+    assert waves.shape == (2, 64)
