@@ -321,8 +321,8 @@ def _extract_audio(rec: bytes):
         audio = native.parse_float_feature(rec, "audio")
         if audio is not None:
             return audio
-        if native.available():
-            return None   # native parsed the record and found no feature
+        # native found no feature (or refused the record): fall through to
+        # the reference pure-Python decoder rather than trusting -1
     except Exception:
         pass
     return decode_example(rec).get("audio")

@@ -86,12 +86,19 @@ class Estimator:
                                   save_secs=0.0)
         self.params, self.opt_state, self.global_step = self._ckpt.restore(
             self.params, self.opt_state)
+        # one persistent iterator per input_fn: re-creating a seeded
+        # iterator every chunk would replay the same batches (the
+        # reference's unseeded shuffle reshuffles per train() call)
+        self._iters = {}
 
     def train(self, input_fn: Callable[[], Iterator], steps: int,
               verbose: bool = False):
         """Train `steps` steps, checkpointing every
-        save_checkpoints_steps."""
-        it = input_fn()
+        save_checkpoints_steps. The iterator persists across calls so
+        chunked training advances through the data."""
+        it = self._iters.get(id(input_fn))
+        if it is None:
+            it = self._iters[id(input_fn)] = input_fn()
         metrics = {}
         for _ in range(steps):
             batch = jnp.asarray(next(it))

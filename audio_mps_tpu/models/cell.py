@@ -270,6 +270,38 @@ def psi_sample_step(cc: CellConstants, cfg: CMPSConfig, carry, noise):
     return (pr2, pi2), (inc, state)
 
 
+def rho_factor_loss_step(cc: CellConstants, cfg: CMPSConfig, carry, inc):
+    """One hot-loop step in purification-factor form (rho = G^dag G evolves
+    as G <- G U^dag — exact, see ops/pallas_scan.py design notes). Shared
+    by core.rho_nll_factor and the temporal pipeline. carry:
+    (gr, gi [B, r, D], loss [B])."""
+    import functools as _ft
+    mm = _ft.partial(jnp.matmul, precision="highest")
+    gr, gi, loss = carry
+    s = (inc / cc.A)[:, None, None]
+    cdr, cdi = cc.Cr.T, -cc.Ci.T
+    rdr, rdi = cc.Rr.T, -cc.Ri.T
+    a1r = mm(gr, cdr) - mm(gi, cdi)
+    a1i = mm(gr, cdi) + mm(gi, cdr)
+    a2r = mm(gr, rdr) - mm(gi, rdi)
+    a2i = mm(gr, rdi) + mm(gi, rdr)
+    yr = a1r + s * a2r
+    yi = a1i + s * a2i
+    # e = Re tr(X rho'') = sum Re(G'' . conj(G'' @ X))
+    gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
+    gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
+    e = jnp.sum(yr * gxr + yi * gxi, axis=(1, 2))
+    loss = loss + nll_increment(e, s[:, 0, 0], cfg.log_eps)
+    tr = jnp.sum(yr * yr + yi * yi, axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))
+    yr = yr * inv
+    yi = yi * inv
+    # rotate: G <- G P (column scale by exp(i f dt))
+    nr = yr * cc.p_c - yi * cc.p_s
+    ni = yr * cc.p_s + yi * cc.p_c
+    return (nr, ni, loss)
+
+
 # ---------------------------------------------------------------------------
 # Lab-frame single steps — the reference-parity/test seam
 # ---------------------------------------------------------------------------

@@ -113,34 +113,7 @@ def rho_nll_factor(params, cfg: CMPSConfig, signals):
     inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
     gr = _tile(wr * inv0, B)                          # [B, r, D]
     gi = _tile(wi * inv0, B)
-    # constants: U^dag applied from the right; X for the expectation
-    cdr, cdi = cc.Cr.T, -cc.Ci.T
-    rdr, rdi = cc.Rr.T, -cc.Ri.T
-    mm = partial(jnp.matmul, precision="highest")
-
-    def step(carry, inc):
-        gr, gi, loss = carry
-        s = (inc / cc.A)[:, None, None]
-        a1r = mm(gr, cdr) - mm(gi, cdi)
-        a1i = mm(gr, cdi) + mm(gi, cdr)
-        a2r = mm(gr, rdr) - mm(gi, rdi)
-        a2i = mm(gr, rdi) + mm(gi, rdr)
-        yr = a1r + s * a2r
-        yi = a1i + s * a2i
-        # e = Re tr(X rho'') = sum Re(G'' . conj(G'' @ X))
-        gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
-        gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
-        e = jnp.sum(yr * gxr + yi * gxi, axis=(1, 2))
-        loss = loss + cell.nll_increment(e, s[:, 0, 0], cfg.log_eps)
-        tr = jnp.sum(yr * yr + yi * yi, axis=(1, 2), keepdims=True)
-        inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))
-        yr = yr * inv
-        yi = yi * inv
-        # rotate: G <- G P (column scale by exp(i f dt))
-        nr = yr * cc.p_c - yi * cc.p_s
-        ni = yr * cc.p_s + yi * cc.p_c
-        return (nr, ni, loss)
-
+    step = partial(cell.rho_factor_loss_step, cc, cfg)
     carry = (gr, gi, jnp.zeros((B,), signals.dtype))
     _, _, loss = chunked_scan(step, carry, incs, cfg.scan_chunk)
     return jnp.mean(loss)
@@ -395,10 +368,9 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
         sig0 = jnp.zeros(s_chunk.shape)
         qr, qi, sig = jax.lax.associative_scan(combine, (mr, mi, sig0))
         # all states G_t = G_0 Q_t (times exp(sig_t))
-        gtr = jnp.einsum('brd,tbde->tbre', gr, qr) \
-            - jnp.einsum('brd,tbde->tbre', gi, qi)
-        gti = jnp.einsum('brd,tbde->tbre', gr, qi) \
-            + jnp.einsum('brd,tbde->tbre', gi, qr)
+        em = partial(jnp.einsum, precision="highest")
+        gtr = em('brd,tbde->tbre', gr, qr) - em('brd,tbde->tbre', gi, qi)
+        gti = em('brd,tbde->tbre', gr, qi) + em('brd,tbde->tbre', gi, qr)
         ehat, trhat = ehat_trhat(gtr, gti)            # [Tc, B]
         trhat_prev = jnp.concatenate(
             [jnp.ones_like(trhat[:1]), trhat[:-1]], axis=0)
@@ -417,6 +389,8 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
         return (gr2, gi2, loss), None
 
     s_all = incs / cc.A                               # [T-1, B]
+    if n_steps == 0:
+        return jnp.zeros((), signals.dtype)
     Tc = min(time_chunk, n_steps)
     n_full = n_steps // Tc
     carry = (g0r, g0i, jnp.zeros((B,), signals.dtype))

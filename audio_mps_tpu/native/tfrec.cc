@@ -9,6 +9,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <algorithm>
 #include <cstring>
 
 namespace {
@@ -75,16 +76,23 @@ struct Cursor {
     return 0;
   }
 
+  bool advance(uint64_t n) {
+    // validate BEFORE pointer arithmetic: a malformed varint length can
+    // otherwise wrap the pointer past `end` (UB + OOB reads)
+    if (!ok || n > size_t(end - p)) return ok = false;
+    p += n;
+    return true;
+  }
+
   bool skip(uint32_t wire) {
     switch (wire) {
       case 0: varint(); return ok;
-      case 1: p += 8; return ok = ok && p <= end;
+      case 1: return advance(8);
       case 2: {
         uint64_t len = varint();
-        p += len;
-        return ok = ok && p <= end;
+        return ok && advance(len);
       }
-      case 5: p += 4; return ok = ok && p <= end;
+      case 5: return advance(4);
       default: return ok = false;
     }
   }
@@ -102,7 +110,7 @@ bool find_field(const uint8_t* p, size_t len, uint32_t field,
     uint32_t f = uint32_t(tag >> 3), wire = uint32_t(tag & 7);
     if (f == field && wire == 2) {
       uint64_t flen = c.varint();
-      if (!c.ok || c.p + flen > c.end) return false;
+      if (!c.ok || flen > size_t(c.end - c.p)) return false;
       *out = c.p;
       *out_len = size_t(flen);
       return true;
@@ -144,7 +152,7 @@ long amt_parse_float_feature(const uint8_t* rec, size_t len,
     uint32_t f = uint32_t(tag >> 3), wire = uint32_t(tag & 7);
     if (f == 1 && wire == 2) {  // Features.feature map entry
       uint64_t elen = c.varint();
-      if (!c.ok || c.p + elen > c.end) return -1;
+      if (!c.ok || elen > size_t(c.end - c.p)) return -1;
       const uint8_t* entry = c.p;
       c.p += elen;
       // map entry: key = field 1 (string), value = field 2 (Feature)
@@ -160,14 +168,32 @@ long amt_parse_float_feature(const uint8_t* rec, size_t len,
       const uint8_t* flist;
       size_t flist_len;
       if (!find_field(feat, feat_len, 2, &flist, &flist_len)) return -1;
-      // FloatList.value = field 1 (packed fixed32)
-      const uint8_t* packed;
-      size_t packed_len;
-      if (!find_field(flist, flist_len, 1, &packed, &packed_len)) return -1;
-      size_t n = packed_len / 4;
-      if (out != nullptr) {
-        if (n > out_cap) n = out_cap;
-        std::memcpy(out, packed, n * 4);
+      // FloatList.value = field 1; protobuf allows any mix of packed
+      // (wire 2) runs and unpacked (wire 5) scalars — concatenate all
+      Cursor fc{flist, flist + flist_len};
+      size_t n = 0;
+      while (fc.ok && fc.p < fc.end) {
+        uint64_t tag = fc.varint();
+        if (!fc.ok) return -1;
+        uint32_t ff = uint32_t(tag >> 3), fw = uint32_t(tag & 7);
+        if (ff == 1 && fw == 2) {
+          uint64_t len = fc.varint();
+          if (!fc.ok || len > size_t(fc.end - fc.p)) return -1;
+          size_t cnt = size_t(len) / 4;
+          if (out != nullptr) {
+            size_t take = (n < out_cap) ? std::min(cnt, out_cap - n) : 0;
+            std::memcpy(out + n, fc.p, take * 4);
+          }
+          n += cnt;
+          fc.advance(len);
+        } else if (ff == 1 && fw == 5) {
+          if (out != nullptr && n < out_cap)
+            std::memcpy(out + n, fc.p, 4);
+          if (!fc.advance(4)) return -1;
+          n += 1;
+        } else if (!fc.skip(fw)) {
+          return -1;
+        }
       }
       return long(n);
     }

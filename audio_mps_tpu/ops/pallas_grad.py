@@ -38,28 +38,13 @@ from ..config import CMPSConfig
 from ..models import core
 from ..models.cell import make_constants
 
-DEFAULT_UNROLL = 16
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:  # pragma: no cover
-        return False
+from .pallas_scan import (DEFAULT_UNROLL, _full, _on_tpu,  # noqa: F401
+                          _pad_rows)
 
 
 def _dot(a, b, precision="highest"):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
                    precision=precision)
-
-
-def _full(shape):
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape))
-
-
-def _pad_rows(x, t_pad):
-    out = jnp.zeros((t_pad,) + x.shape[1:], x.dtype)
-    return out.at[: x.shape[0]].set(x)
 
 
 # ===========================================================================
@@ -89,7 +74,8 @@ def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps):
 
 
 def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref,               # [1, K, B] signal rows
@@ -133,7 +119,8 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
 
 def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                          n_blocks: int, inv_batch: float):
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref, ckr_ref, cki_ref, cr_ref, ci_ref, rr_ref, ri_ref,
@@ -456,7 +443,8 @@ def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
 
 def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                          rank: int):
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref, h0r_ref, h0i_ref, ccr_ref, cci_ref, rcr_ref, rci_ref,
@@ -501,7 +489,8 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                          n_blocks: int, inv_batch_rank: float):
     """inv_batch_rank = 1 / (B * rank): d(mean loss)/d(acc lane)."""
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref, ckr_ref, cki_ref, ccr_ref, cci_ref, rcr_ref, rci_ref,

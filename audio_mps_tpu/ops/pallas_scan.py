@@ -84,7 +84,8 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
     the update is linear and the rotation unitary); normalize once at block
     exit. Removes the normalize+rsqrt from the per-step state dependency
     chain."""
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref,               # [K, B] signal/A rows for this block
@@ -129,7 +130,7 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
                 ehat = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0,
                                      keepdims=True)
                 n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
-                e = ehat / n2_prev
+                e = ehat / jnp.maximum(n2_prev, norm_eps)
                 arg = jnp.maximum(1.0 + e * s, log_eps)
                 live = (i * unroll + k) < total
                 acc = jnp.where(live, acc - jnp.log(arg), acc)
@@ -239,7 +240,8 @@ def _make_rho_nll_kernel(cfg: CMPSConfig, unroll: int, total: int, rank: int,
     block, e_t = ehat_t / trhat_{t-1}, per-example scalars kept in [1, B]
     space (segment sums only, no broadcasts back), one renormalization per
     block. Exact up to fp rounding; pinned by tests."""
-    log_eps = max(cfg.log_eps, 1e-30)
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
     def kernel(se_ref,                 # [K, BR] signal/A rows
@@ -294,7 +296,7 @@ def _make_rho_nll_kernel(cfg: CMPSConfig, unroll: int, total: int, rank: int,
                 trhat = _dot(jnp.sum(yr * yr + yi * yi, axis=0,
                                      keepdims=True), z, precision)
                 s_b = _dot(s, z, precision) * (1.0 / rank)
-                e = ehat / tr_prev
+                e = ehat / jnp.maximum(tr_prev, norm_eps)
                 arg = jnp.maximum(1.0 + e * s_b, log_eps)
                 live = (i * unroll + k) < total
                 acc_b = jnp.where(live, acc_b - jnp.log(arg), acc_b)

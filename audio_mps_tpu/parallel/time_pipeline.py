@@ -144,37 +144,11 @@ def _rho_factor_state0(params, cfg, b):
     return (g0r, g0i)
 
 
-def _rho_factor_step(cc, cfg, carry, inc):
-    """Factor-form loss step (same math as core.rho_nll_factor)."""
-    gr, gi, loss = carry
-    s = (inc / cc.A)[:, None, None]
-    mm = partial(jnp.matmul, precision="highest")
-    cdr, cdi = cc.Cr.T, -cc.Ci.T
-    rdr, rdi = cc.Rr.T, -cc.Ri.T
-    a1r = mm(gr, cdr) - mm(gi, cdi)
-    a1i = mm(gr, cdi) + mm(gi, cdr)
-    a2r = mm(gr, rdr) - mm(gi, rdi)
-    a2i = mm(gr, rdi) + mm(gi, rdr)
-    yr = a1r + s * a2r
-    yi = a1i + s * a2i
-    gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
-    gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
-    e = jnp.sum(yr * gxr + yi * gxi, axis=(1, 2))
-    loss = loss + cell.nll_increment(e, s[:, 0, 0], cfg.log_eps)
-    tr = jnp.sum(yr * yr + yi * yi, axis=(1, 2), keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))
-    yr = yr * inv
-    yi = yi * inv
-    nr = yr * cc.p_c - yi * cc.p_s
-    ni = yr * cc.p_s + yi * cc.p_c
-    return (nr, ni, loss)
-
-
 def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
                       num_microbatches: int = None, axis: str = TIME_AXIS):
     """Mixed-state NLL (purification-factor form) with the time axis
     pipelined over `mesh`. Semantics of core.rho_nll (reference
     model.py:132-142)."""
     M = num_microbatches or signals.shape[0]
-    return _pipeline_nll(_rho_factor_step, _rho_factor_state0, params, cfg,
-                         signals, M, mesh, axis)
+    return _pipeline_nll(cell.rho_factor_loss_step, _rho_factor_state0,
+                         params, cfg, signals, M, mesh, axis)

@@ -27,7 +27,7 @@ from .training import Checkpointer, init_params_for, make_optimizer
 @dataclasses.dataclass(frozen=True)
 class SampleConfig:
     modeldir: str = ""
-    mps_model: str = "psi_mps"
+    mps_model: str = ""       # "" = take from config.json (else psi_mps)
     hparams: str = ""
     sample_duration: int = 2 ** 16
     sample_rate: int = 16000
@@ -81,14 +81,17 @@ def sample(sc: SampleConfig, verbose: bool = True):
                          "train.py)")
     mps_model = sc.mps_model
     cfg_path = os.path.join(sc.modeldir, "config.json")
-    if not sc.hparams and os.path.exists(cfg_path):
-        import dataclasses as _dc
+    if os.path.exists(cfg_path):
         import json as _json
         saved = _json.load(open(cfg_path))
-        cfg = CMPSConfig(**saved["cfg"])
-        mps_model = saved["run"].get("mps_model", mps_model)
+        # saved config is the base; --hparams overrides individual keys;
+        # --mps_model only wins when explicitly given
+        cfg = CMPSConfig(**saved["cfg"]).parse(sc.hparams)
+        if not mps_model:
+            mps_model = saved["run"].get("mps_model", "psi_mps")
     else:
         cfg = CMPSConfig().parse(sc.hparams)
+    mps_model = mps_model or "psi_mps"
     key = jax.random.PRNGKey(sc.seed)
     key, ikey, skey = jax.random.split(key, 3)
 

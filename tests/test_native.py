@@ -54,3 +54,29 @@ def test_read_audio_uses_native(tmp_path):
     np.testing.assert_array_equal(out, waves)
     # native parse of 20 x 16k floats should be well under a second
     assert dt < 2.0
+
+
+def test_parse_split_and_unpacked_float_lists():
+    """protobuf allows the float list as multiple packed runs and/or
+    unpacked wire-5 scalars; the scanner must concatenate all of them
+    (and the pure-Python decoder agrees)."""
+    import struct
+    vals = [1.5, -2.0, 3.25]
+    # FloatList: packed run of 2 + one unpacked scalar
+    fl = (b"\x0a\x08" + struct.pack("<2f", *vals[:2])      # field1 wire2 len8
+          + b"\x0d" + struct.pack("<f", vals[2]))          # field1 wire5
+    feat = b"\x12" + bytes([len(fl)]) + fl                 # Feature.float_list
+    entry = b"\x0a\x05audio" + b"\x12" + bytes([len(feat)]) + feat
+    feats = b"\x0a" + bytes([len(entry)]) + entry
+    rec = b"\x0a" + bytes([len(feats)]) + feats
+    out = native.parse_float_feature(rec, "audio")
+    np.testing.assert_allclose(out, vals)
+    from audio_mps_tpu.data.tfrecord import decode_example
+    np.testing.assert_allclose(decode_example(rec)["audio"], vals)
+
+
+def test_truncated_varint_lengths_rejected():
+    """Oversized length varints must be rejected, not wrap the cursor."""
+    # claims a 2^40-byte features field
+    evil = b"\x0a" + b"\x80\x80\x80\x80\x80\x01"
+    assert native.parse_float_feature(evil, "audio") is None
