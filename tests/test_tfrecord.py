@@ -153,3 +153,19 @@ def test_streaming_iterator(tmp_path):
                                shuffle_buffer=8, repeat=False)
     n = sum(b.shape[0] for b in it2)
     assert n == 50
+
+
+def test_decoder_fuzz_no_crash():
+    """Random garbage must never crash either decoder (worst case: empty
+    or partial dict / None)."""
+    from audio_mps_tpu import native
+    rng = np.random.RandomState(0)
+    for n in [0, 1, 3, 17, 256]:
+        for _ in range(200):
+            buf = rng.bytes(n)
+            try:
+                decode_example(buf)
+            except (IndexError, ValueError):
+                pass   # malformed input may raise, must not hang/crash
+            if native.available():
+                native.parse_float_feature(buf, "audio")
