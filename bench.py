@@ -107,6 +107,17 @@ def main():
     t_psi = time_train_step(psi_step, psi_params, opt_p.init(psi_params),
                             batch, iters)
 
+    # wide-batch throughput config: the fused kernels are latency-bound at
+    # B=8 (8 of 128 lanes), so filling lanes is near-free throughput
+    B_wide = 64
+    cfg_w = CMPSConfig(bond_dim=D, minibatch_size=B_wide, scan_chunk=256)
+    batch_w = damped_sine_batch(jax.random.PRNGKey(1), B_wide, T,
+                                cfg_w.delta_t)
+    psi_params_w = init_psi(jax.random.PRNGKey(0), cfg_w)
+    opt_w, psi_step_w = make_train_step("psi_mps", cfg_w)
+    t_psi_w = time_train_step(psi_step_w, psi_params_w,
+                              opt_w.init(psi_params_w), batch_w, iters)
+
     # Reference-transcription baseline (lab frame, density matrix)
     params2 = init_rho(jax.random.PRNGKey(0), cfg)
     opt2, lab_step = make_lab_train_step(cfg)
@@ -159,6 +170,8 @@ def main():
             "train_step_ms_fused": round(t_fast * 1e3, 2),
             "train_step_ms_xla_factor": round(t_xla * 1e3, 2),
             "train_step_ms_psi": round(t_psi * 1e3, 2),
+            f"train_frames_per_sec_psi_B{B_wide}":
+                round(B_wide * T / t_psi_w, 1),
             "train_step_ms_reference_transcription": round(t_lab * 1e3, 2),
             "sampler_steps_per_sec": round(B * T / t_samp, 1),
             "device": str(jax.devices()[0]),
