@@ -118,9 +118,19 @@ def _psi_quadratic_step(cc, cfg: CMPSConfig, carry, inc):
 
 
 def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
-               loss_type: str = "log"):
+               loss_type: str = "log", fused: bool = False):
     """Per-example reconstruction loss [B] of waveforms under the cMPS
-    decoder started from per-example psi_0."""
+    decoder started from per-example psi_0. `fused=True` (log loss only)
+    routes through the fused Pallas forward+backward kernels with
+    per-example initial states."""
+    if fused and loss_type == "log":
+        from ..ops.pallas_grad import psi_nll_pallas_trainable_from_state
+        B = signals.shape[0]
+        mean = psi_nll_pallas_trainable_from_state(params, cfg, signals,
+                                                   psi0_pair)
+        # the fused kernel returns the batch mean; recon is consumed as a
+        # mean downstream, so broadcast it back per-example
+        return jnp.broadcast_to(mean, (B,))
     cc = make_constants(params, cfg)
     incs = (signals[:, 1:] - signals[:, :-1]).T
     B = signals.shape[0]
@@ -133,15 +143,18 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
 
 
 def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key,
-              beta: float = 1.0, loss_type: str = "log"):
+              beta: float = 1.0, loss_type: str = "log",
+              fused: bool = False):
     """Negative ELBO (mean over batch): recon + beta KL.
 
-    Returns (loss, aux dict)."""
+    Returns (loss, aux dict). `fused=True` uses the Pallas fused
+    forward+backward for the reconstruction term (TPU)."""
     mu, logvar = encode(params, signals)
     eps = jax.random.normal(key, mu.shape)
     z = mu + jnp.exp(0.5 * logvar) * eps
     psi0_pair = decode_psi0(params, z, cfg)
-    recon = recon_loss(params, cfg, signals, psi0_pair, loss_type=loss_type)
+    recon = recon_loss(params, cfg, signals, psi0_pair, loss_type=loss_type,
+                       fused=fused)
     kl = 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=-1)
     loss = jnp.mean(recon + beta * kl)
     return loss, {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}

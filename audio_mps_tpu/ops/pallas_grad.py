@@ -379,6 +379,32 @@ def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
     return int(max(2, min(DEFAULT_UNROLL, (80 << 20) // max(per_step, 1))))
 
 
+def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
+                                        psi0_pair, *,
+                                        unroll: Optional[int] = None,
+                                        interpret: Optional[bool] = None):
+    """Fused NLL with PER-EXAMPLE initial states [B, D] (pair) — the fused
+    backward already produces the initial-state cotangent, so gradients
+    flow into whatever network produced psi0 (used by the latent-
+    conditioned model, models/latent.py). Returns per-batch-mean loss."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    unroll = auto_unroll(D, B, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = _pad_rows(incs, t_pad)
+    pr0, pi0 = psi0_pair                              # [B, D]
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret)
+    return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
+                 cc.p_c[:, None], cc.p_s[:, None], pr0.T, pi0.T, se)
+
+
 def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
                              interpret: Optional[bool] = None):

@@ -68,3 +68,21 @@ def test_prior_sampling():
     assert np.isfinite(np.asarray(w)).all()
     # different latents -> different waveforms
     assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
+
+
+def test_fused_recon_matches_xla():
+    """Latent ELBO through the fused kernel == the XLA scan (value and
+    gradients incl. the encoder/decoder MLPs via the per-example psi0
+    cotangent)."""
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4, hidden=16)
+    data = _data()
+    key = jax.random.PRNGKey(2)
+    l_ref, _ = elbo_loss(params, CFG, data, key)
+    l_fused, _ = elbo_loss(params, CFG, data, key, fused=True)
+    np.testing.assert_allclose(float(l_fused), float(l_ref), rtol=1e-5)
+    g_ref = jax.grad(lambda p: elbo_loss(p, CFG, data, key)[0])(params)
+    g_fus = jax.grad(lambda p: elbo_loss(p, CFG, data, key,
+                                         fused=True)[0])(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
