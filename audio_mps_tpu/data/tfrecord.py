@@ -325,7 +325,10 @@ def _extract_audio(rec: bytes):
         # the reference pure-Python decoder rather than trusting -1
     except Exception:
         pass
-    return decode_example(rec).get("audio")
+    try:
+        return decode_example(rec).get("audio")
+    except (IndexError, ValueError):
+        return None   # proto-malformed record: skip, don't crash the file
 
 
 def read_audio_tfrecords(path: str, sample_duration: int = None) -> np.ndarray:

@@ -96,9 +96,11 @@ class Estimator:
         """Train `steps` steps, checkpointing every
         save_checkpoints_steps. The iterator persists across calls so
         chunked training advances through the data."""
-        it = self._iters.get(id(input_fn))
+        # keyed by the callable object itself (id() of a dead lambda can
+        # be reused by CPython, serving a stale iterator)
+        it = self._iters.get(input_fn)
         if it is None:
-            it = self._iters[id(input_fn)] = input_fn()
+            it = self._iters[input_fn] = input_fn()
         metrics = {}
         for _ in range(steps):
             batch = jnp.asarray(next(it))

@@ -122,7 +122,12 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
     """Per-example reconstruction loss [B] of waveforms under the cMPS
     decoder started from per-example psi_0. `fused=True` (log loss only)
     routes through the fused Pallas forward+backward kernels with
-    per-example initial states."""
+    per-example initial states — NOTE: the fused kernel reduces to the
+    batch mean, so the returned [B] vector holds that mean in every slot
+    (fine for mean-consuming ELBOs; use fused=False for true per-example
+    losses)."""
+    if fused and loss_type != "log":
+        raise ValueError("fused recon supports loss_type='log' only")
     if fused and loss_type == "log":
         from ..ops.pallas_grad import psi_nll_pallas_trainable_from_state
         B = signals.shape[0]

@@ -187,9 +187,10 @@ long amt_parse_float_feature(const uint8_t* rec, size_t len,
           n += cnt;
           fc.advance(len);
         } else if (ff == 1 && fw == 5) {
+          if (size_t(fc.end - fc.p) < 4) return -1;  // before the memcpy
           if (out != nullptr && n < out_cap)
             std::memcpy(out + n, fc.p, 4);
-          if (!fc.advance(4)) return -1;
+          fc.advance(4);
           n += 1;
         } else if (!fc.skip(fw)) {
           return -1;

@@ -17,8 +17,6 @@ tests on the virtual CPU mesh).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
