@@ -120,3 +120,40 @@ def test_time_pipeline_gradients():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-6)
+
+
+def test_time_sharded_pscan_matches_single_device():
+    """Cross-chip time-sharded NLL (blockwise sequence parallelism) ==
+    sequential factor scan, values and gradients."""
+    from audio_mps_tpu.parallel.time_pscan import rho_nll_time_sharded
+    from audio_mps_tpu.parallel.time_pipeline import make_time_mesh
+    import dataclasses
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 8 * 32 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(8)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    v = float(jax.jit(lambda p: rho_nll_time_sharded(p, cfg, data, mesh))(pr))
+    np.testing.assert_allclose(v, ref, rtol=1e-5)
+
+    g_ref = jax.grad(_core.rho_nll_factor)(pr, cfg, data)
+    g_sh = jax.jit(jax.grad(
+        lambda p: rho_nll_time_sharded(p, cfg, data, mesh)))(pr)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_time_sharded_pscan_indivisible_raises():
+    from audio_mps_tpu.parallel.time_pscan import rho_nll_time_sharded
+    from audio_mps_tpu.parallel.time_pipeline import make_time_mesh
+    from audio_mps_tpu.models.params import init_rho
+    mesh = make_time_mesh(8)
+    pr = init_rho(jax.random.PRNGKey(1), CFG)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 8, 200, CFG.delta_t)
+    with pytest.raises(ValueError):
+        rho_nll_time_sharded(pr, CFG, data, mesh)
