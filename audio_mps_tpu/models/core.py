@@ -289,6 +289,20 @@ def purity(params, cfg: CMPSConfig, key, num_samples: int, length: int,
 # Parallel-in-time NLL (associative scan over transfer operators)
 # ---------------------------------------------------------------------------
 
+def _factor_g0(params, cfg: CMPSConfig, B: int):
+    """Initial purification factor [B, r, D]: W-based for the rho family,
+    rank-1 psi^T row for the psi family (a pure state is exactly a rank-1
+    factor: rho = psi psi^dag = G^dag G with G = psi^dag)."""
+    if hasattr(params, "Wx"):
+        wr, wi = params.Wx, params.Wy
+        tr0 = jnp.sum(wr * wr + wi * wi)
+        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+        return _tile(wr * inv0, B), _tile(wi * inv0, B)
+    pr, pi = psi0(params, cfg)
+    # G = psi^dag as a single row: G_{0d} = conj(psi_d)
+    return _tile(pr[None, :], B), _tile(-pi[None, :], B)
+
+
 def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     """Mean NLL via `lax.associative_scan` over per-step transfer operators
     — O(log T) depth instead of T sequential steps (SURVEY.md §2.4: "an
@@ -323,11 +337,7 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     incs = _increments(signals)                       # [T-1, B]
     B = signals.shape[0]
     n_steps = incs.shape[0]
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    g0r = _tile(wr * inv0, B)                         # [B, r, D]
-    g0i = _tile(wi * inv0, B)
+    g0r, g0i = _factor_g0(params, cfg, B)             # [B, r, D]
 
     # constant step matrices, rotation folded in: M(s) = (C + s R)^dag P
     pr_, pi_ = cc.p_c, cc.p_s                        # P = diag(p)
@@ -400,3 +410,9 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     if n_steps % Tc:
         carry, _ = chunk_step(carry, s_all[n_full * Tc:])
     return jnp.mean(carry[2])
+
+
+def psi_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
+    """Parallel-in-time NLL for the pure-state model: identical machinery
+    with the rank-1 factor (see _factor_g0). Same value as psi_nll."""
+    return rho_nll_pscan(params, cfg, signals, time_chunk=time_chunk)

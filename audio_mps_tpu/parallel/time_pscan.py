@@ -52,7 +52,8 @@ def _combine(a, b):
 def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
                          axis: str = TIME_AXIS):
     """Mean NLL of waveforms [B, T] with the time axis sharded over `mesh`
-    (semantics of core.rho_nll_factor / reference model.py:132-142)."""
+    (semantics of core.rho_nll_factor / reference model.py:132-142). Also
+    accepts PsiParams (rank-1 factor; see core._factor_g0)."""
     B, T = signals.shape
     S = mesh.devices.size
     n_steps = T - 1
@@ -60,11 +61,8 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
         raise ValueError(f"T-1={n_steps} steps not divisible by {S} chips")
 
     cc = make_constants(params, cfg)
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    g0r = jnp.broadcast_to(wr * inv0, (B,) + wr.shape)
-    g0i = jnp.broadcast_to(wi * inv0, (B,) + wi.shape)
+    from ..models.core import _factor_g0
+    g0r, g0i = _factor_g0(params, cfg, B)
 
     # constant step matrices with the frame rotation folded in (see
     # core.rho_nll_pscan): M(s) = (C + s R)^dag P;  X' = P^dag X P
@@ -146,3 +144,10 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
                         out_specs=P(axis, None), check_rep=False)
     losses = sharded(incs)                                 # [S, B] (equal rows)
     return jnp.mean(losses[0])
+
+
+def psi_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
+                         axis: str = TIME_AXIS):
+    """Time-sharded NLL for the pure-state model (rank-1 factor; see
+    core._factor_g0)."""
+    return rho_nll_time_sharded(params, cfg, signals, mesh, axis=axis)

@@ -157,3 +157,24 @@ def test_time_sharded_pscan_indivisible_raises():
     data = damped_sine_batch(jax.random.PRNGKey(2), 8, 200, CFG.delta_t)
     with pytest.raises(ValueError):
         rho_nll_time_sharded(pr, CFG, data, mesh)
+
+
+def test_psi_pscan_and_time_sharded_match():
+    """The pure state is a rank-1 purification factor: the parallel-in-time
+    and time-sharded paths must reproduce psi_nll exactly."""
+    import dataclasses
+    from audio_mps_tpu.models.params import init_psi
+    from audio_mps_tpu.models import core as _core
+    from audio_mps_tpu.parallel.time_pscan import psi_nll_time_sharded
+    from audio_mps_tpu.parallel.time_pipeline import make_time_mesh
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 8 * 24 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    pp = init_psi(jax.random.PRNGKey(0), cfg)
+    ref = float(_core.psi_nll(pp, cfg, data))
+    v1 = float(_core.psi_nll_pscan(pp, cfg, data, time_chunk=48))
+    np.testing.assert_allclose(v1, ref, rtol=1e-5)
+    mesh = make_time_mesh(8)
+    v2 = float(jax.jit(lambda p: psi_nll_time_sharded(p, cfg, data, mesh))(pp))
+    np.testing.assert_allclose(v2, ref, rtol=1e-5)
