@@ -58,6 +58,11 @@ class CMPSConfig:
     # Trace/norm floor for per-step renormalization (reference model.py:198-203,
     # model.py:327-334 use 1e-12).
     norm_eps: float = 1e-12
+    # MXU precision for the fused Pallas training kernels: "highest"
+    # (6-pass fp32, exact reference parity — default) or "default"
+    # (bf16 passes: 3.3x faster at D=64, loss rel-err ~1e-3,
+    # grad rel-err ~4e-2 — standard low-precision-training territory).
+    kernel_precision: str = "highest"
 
     def parse(self, overrides: str) -> "CMPSConfig":
         """Apply a comma-separated ``k=v,...`` override string.
@@ -98,6 +103,7 @@ _FIELD_TYPES = {
     "scan_chunk": int,
     "log_eps": float,
     "norm_eps": float,
+    "kernel_precision": str,
 }
 
 

@@ -51,16 +51,19 @@ def _dot(a, b, precision="highest"):
 # psi forward (with checkpoints) + backward kernels
 # ===========================================================================
 
-def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps):
+def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps,
+                  precision="highest"):
     """One forward step; returns everything the adjoint needs."""
-    g2r = _dot(rr, pr) - _dot(ri, pi_)          # R psi
-    g2i = _dot(rr, pi_) + _dot(ri, pr)
-    g1r = _dot(cr, pr) - _dot(ci, pi_)          # C psi
-    g1i = _dot(cr, pi_) + _dot(ci, pr)
+    import functools as _ft
+    _d = _ft.partial(_dot, precision=precision)
+    g2r = _d(rr, pr) - _d(ri, pi_)              # R psi
+    g2i = _d(rr, pi_) + _d(ri, pr)
+    g1r = _d(cr, pr) - _d(ci, pi_)              # C psi
+    g1i = _d(cr, pi_) + _d(ci, pr)
     yr = g1r + s * g2r
     yi = g1i + s * g2i
-    rur = _dot(rr, yr) - _dot(ri, yi)           # R psi''
-    rui = _dot(rr, yi) + _dot(ri, yr)
+    rur = _d(rr, yr) - _d(ri, yi)               # R psi''
+    rui = _d(rr, yi) + _d(ri, yr)
     e = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
     arg = jnp.maximum(1.0 + e * s, log_eps)
     n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
@@ -73,7 +76,8 @@ def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps):
                 arg=arg, n2=n2, inv=inv, tyr=tyr, tyi=tyi, npr=npr, npi=npi)
 
 
-def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
+def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         precision: str = "highest"):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -103,7 +107,7 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
             f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
-                              log_eps, norm_eps)
+                              log_eps, norm_eps, precision)
             live = (i * unroll + k) < total
             acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
             pr = jnp.where(live, f["npr"], pr)
@@ -118,7 +122,8 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int):
 
 
 def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         n_blocks: int, inv_batch: float):
+                         n_blocks: int, inv_batch: float,
+                         precision: str = "highest"):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -156,13 +161,14 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
             f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
-                              log_eps, norm_eps)
+                              log_eps, norm_eps, precision)
             saved.append((pr, pi_, f["g2r"], f["g2i"], f["yr"], f["yi"],
                           f["rur"], f["rui"]))
             live = (blk * unroll + k) < total
             pr = jnp.where(live, f["npr"], pr)
             pi_ = jnp.where(live, f["npi"], pi_)
 
+        _d = functools.partial(_dot, precision=precision)
         # --- reverse sweep
         dpr, dpi = dpr_s[:], dpi_s[:]
         dacr, daci = acr_s[:], aci_s[:]
@@ -204,25 +210,25 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             drur = 2.0 * de * yr
             drui = 2.0 * de * yi
             # ru = R y adjoint (also accumulates dR)
-            dyr = dyr + _dot(rr.T, drur) + _dot(ri.T, drui)
-            dyi = dyi - _dot(ri.T, drur) + _dot(rr.T, drui)
-            g_drr = _dot(drur, yr.T) + _dot(drui, yi.T)
-            g_dri = _dot(drui, yr.T) - _dot(drur, yi.T)
+            dyr = dyr + _d(rr.T, drur) + _d(ri.T, drui)
+            dyi = dyi - _d(ri.T, drur) + _d(rr.T, drui)
+            g_drr = _d(drur, yr.T) + _d(drui, yi.T)
+            g_dri = _d(drui, yr.T) - _d(drur, yi.T)
             # y = g1 + s*g2
             dg1r, dg1i = dyr, dyi
             dg2r = s * dyr
             dg2i = s * dyi
             ds = ds + jnp.sum(dyr * g2r + dyi * g2i, axis=0, keepdims=True)
             # g1 = C p adjoint
-            dprn = _dot(cr.T, dg1r) + _dot(ci.T, dg1i)
-            dpin = -_dot(ci.T, dg1r) + _dot(cr.T, dg1i)
-            g_dcr = _dot(dg1r, pr0.T) + _dot(dg1i, pi0.T)
-            g_dci = _dot(dg1i, pr0.T) - _dot(dg1r, pi0.T)
+            dprn = _d(cr.T, dg1r) + _d(ci.T, dg1i)
+            dpin = -_d(ci.T, dg1r) + _d(cr.T, dg1i)
+            g_dcr = _d(dg1r, pr0.T) + _d(dg1i, pi0.T)
+            g_dci = _d(dg1i, pr0.T) - _d(dg1r, pi0.T)
             # g2 = R p adjoint
-            dprn = dprn + _dot(rr.T, dg2r) + _dot(ri.T, dg2i)
-            dpin = dpin - _dot(ri.T, dg2r) + _dot(rr.T, dg2i)
-            g_drr = g_drr + _dot(dg2r, pr0.T) + _dot(dg2i, pi0.T)
-            g_dri = g_dri + _dot(dg2i, pr0.T) - _dot(dg2r, pi0.T)
+            dprn = dprn + _d(rr.T, dg2r) + _d(ri.T, dg2i)
+            dpin = dpin - _d(ri.T, dg2r) + _d(rr.T, dg2i)
+            g_drr = g_drr + _d(dg2r, pr0.T) + _d(dg2i, pi0.T)
+            g_dri = g_dri + _d(dg2i, pr0.T) - _d(dg2r, pi0.T)
 
             live = (blk * unroll + k) < total
             dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
@@ -261,16 +267,16 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 @functools.lru_cache(maxsize=64)
 def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
-                           interpret: bool):
+                           interpret: bool, precision: str = "highest"):
     """Build the custom-VJP fused NLL for fixed (cfg, shapes)."""
     D = cfg.bond_dim
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps)
+    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision)
     bwd_kernel = _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                      1.0 / B)
+                                      1.0 / B, precision)
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=100 * 1024 * 1024)
@@ -382,7 +388,8 @@ def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
 def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
                                         psi0_pair, *,
                                         unroll: Optional[int] = None,
-                                        interpret: Optional[bool] = None):
+                                        interpret: Optional[bool] = None,
+                                        precision: str = "highest"):
     """Fused NLL with PER-EXAMPLE initial states [B, D] (pair) — the fused
     backward already produces the initial-state cotangent, so gradients
     flow into whatever network produced psi0 (used by the latent-
@@ -400,14 +407,15 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     se = _pad_rows(incs, t_pad)
     pr0, pi0 = psi0_pair                              # [B, D]
-    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret)
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
     return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
                  cc.p_c[:, None], cc.p_s[:, None], pr0.T, pi0.T, se)
 
 
 def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
-                             interpret: Optional[bool] = None):
+                             interpret: Optional[bool] = None,
+                             precision: str = "highest"):
     """Differentiable fused NLL: semantics of core.psi_nll with forward AND
     backward as single Pallas kernels. Gradients flow to every parameter
     (A via the signal scaling, R/C/freqs via the derived constants,
@@ -429,7 +437,7 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     s0r = jnp.broadcast_to(pr0[:, None], (D, B))
     s0i = jnp.broadcast_to(pi0[:, None], (D, B))
 
-    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret)
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
     return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
                  cc.p_c[:, None], cc.p_s[:, None], s0r, s0i, se)
 
@@ -439,19 +447,22 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
 # ===========================================================================
 
 def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
-                  log_eps, norm_eps):
+                  log_eps, norm_eps, precision="highest"):
     """One factor-form forward step (semantics of ops/pallas_scan.py)."""
-    def seg(row):
-        return _dot(_dot(row, z), zt)
+    import functools as _ft
+    _d = _ft.partial(_dot, precision=precision)
 
-    a1r = _dot(ccr, hr) - _dot(cci, hi)
-    a1i = _dot(ccr, hi) + _dot(cci, hr)
-    a2r = _dot(rcr, hr) - _dot(rci, hi)
-    a2i = _dot(rcr, hi) + _dot(rci, hr)
+    def seg(row):
+        return _d(_d(row, z), zt)
+
+    a1r = _d(ccr, hr) - _d(cci, hi)
+    a1i = _d(ccr, hi) + _d(cci, hr)
+    a2r = _d(rcr, hr) - _d(rci, hi)
+    a2i = _d(rcr, hi) + _d(rci, hr)
     yr = a1r + s * a2r
     yi = a1i + s * a2i
-    gxr = _dot(xtr, yr) - _dot(xti, yi)
-    gxi = _dot(xtr, yi) + _dot(xti, yr)
+    gxr = _d(xtr, yr) - _d(xti, yi)
+    gxi = _d(xtr, yi) + _d(xti, yr)
     e_part = jnp.sum(yr * gxr + yi * gxi, axis=0, keepdims=True)
     e_bc = seg(e_part)
     arg = jnp.maximum(1.0 + e_bc * s, log_eps)
@@ -468,7 +479,7 @@ def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
 
 
 def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         rank: int):
+                         rank: int, precision: str = "highest"):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -498,7 +509,7 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
             f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
-                              hr, hi, s, log_eps, norm_eps)
+                              hr, hi, s, log_eps, norm_eps, precision)
             live = (i * unroll + k) < total
             acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
             hr = jnp.where(live, f["nhr"], hr)
@@ -513,7 +524,8 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 
 def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         n_blocks: int, inv_batch_rank: float):
+                         n_blocks: int, inv_batch_rank: float,
+                         precision: str = "highest"):
     """inv_batch_rank = 1 / (B * rank): d(mean loss)/d(acc lane)."""
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
@@ -541,7 +553,8 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         z, zt = z_ref[:], zt_ref[:]
 
         def seg(row):
-            return _dot(_dot(row, z), zt)
+            return _dot(_dot(row, z, precision=precision), zt,
+                        precision=precision)
 
         # --- forward recompute, retaining entry states + GEMM products
         hr = ckr_ref[0]
@@ -550,13 +563,14 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
             f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
-                              hr, hi, s, log_eps, norm_eps)
+                              hr, hi, s, log_eps, norm_eps, precision)
             saved.append((hr, hi, f["a2r"], f["a2i"], f["yr"], f["yi"],
                           f["gxr"], f["gxi"]))
             live = (blk * unroll + k) < total
             hr = jnp.where(live, f["nhr"], hr)
             hi = jnp.where(live, f["nhi"], hi)
 
+        _d = functools.partial(_dot, precision=precision)
         # --- reverse sweep
         dhr, dhi = dhr_s[:], dhi_s[:]
         g_ccr, g_cci = accr_s[:], acci_s[:]
@@ -601,25 +615,25 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             dgxr = de_part * yr
             dgxi = de_part * yi
             # gx = Xt y adjoint
-            dyr = dyr + _dot(xtr.T, dgxr) + _dot(xti.T, dgxi)
-            dyi = dyi - _dot(xti.T, dgxr) + _dot(xtr.T, dgxi)
-            d_xtr = _dot(dgxr, yr.T) + _dot(dgxi, yi.T)
-            d_xti = _dot(dgxi, yr.T) - _dot(dgxr, yi.T)
+            dyr = dyr + _d(xtr.T, dgxr) + _d(xti.T, dgxi)
+            dyi = dyi - _d(xti.T, dgxr) + _d(xtr.T, dgxi)
+            d_xtr = _d(dgxr, yr.T) + _d(dgxi, yi.T)
+            d_xti = _d(dgxi, yr.T) - _d(dgxr, yi.T)
             # y = a1 + s*a2
             da1r, da1i = dyr, dyi
             da2r = s * dyr
             da2i = s * dyi
             ds = ds + jnp.sum(dyr * a2r + dyi * a2i, axis=0, keepdims=True)
             # a1 = conj(C) h adjoint
-            dhrn = _dot(ccr.T, da1r) + _dot(cci.T, da1i)
-            dhin = -_dot(cci.T, da1r) + _dot(ccr.T, da1i)
-            d_ccr = _dot(da1r, hr0.T) + _dot(da1i, hi0.T)
-            d_cci = _dot(da1i, hr0.T) - _dot(da1r, hi0.T)
+            dhrn = _d(ccr.T, da1r) + _d(cci.T, da1i)
+            dhin = -_d(cci.T, da1r) + _d(ccr.T, da1i)
+            d_ccr = _d(da1r, hr0.T) + _d(da1i, hi0.T)
+            d_cci = _d(da1i, hr0.T) - _d(da1r, hi0.T)
             # a2 = conj(R) h adjoint
-            dhrn = dhrn + _dot(rcr.T, da2r) + _dot(rci.T, da2i)
-            dhin = dhin - _dot(rci.T, da2r) + _dot(rcr.T, da2i)
-            d_rcr = _dot(da2r, hr0.T) + _dot(da2i, hi0.T)
-            d_rci = _dot(da2i, hr0.T) - _dot(da2r, hi0.T)
+            dhrn = dhrn + _d(rcr.T, da2r) + _d(rci.T, da2i)
+            dhin = dhin - _d(rci.T, da2r) + _d(rcr.T, da2i)
+            d_rcr = _d(da2r, hr0.T) + _d(da2i, hi0.T)
+            d_rci = _d(da2i, hr0.T) - _d(da2r, hi0.T)
 
             live = (blk * unroll + k) < total
             dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
@@ -664,16 +678,17 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 @functools.lru_cache(maxsize=64)
 def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
-                           unroll: int, interpret: bool):
+                           unroll: int, interpret: bool,
+                           precision: str = "highest"):
     D = cfg.bond_dim
     BR = B * rank
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank)
+    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank, precision)
     bwd_kernel = _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                      1.0 / (B * rank))
+                                      1.0 / (B * rank), precision)
     # raised scoped-VMEM ceiling everywhere (v5e has 128 MiB physical
     # VMEM): the unrolled sweeps keep whole blocks of intermediates live
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -793,7 +808,8 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
 
 def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
-                             interpret: Optional[bool] = None):
+                             interpret: Optional[bool] = None,
+                             precision: str = "highest"):
     """Differentiable fused NLL for the mixed-state model
     (purification-factor form; semantics of core.rho_nll): forward AND
     backward as single Pallas kernels. Gradients reach every parameter via
@@ -820,7 +836,8 @@ def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     h0i = jnp.tile(wi.T * inv0, (1, B))
     zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
 
-    fused = _rho_fused_nll_factory(cfg, B, T, rank, unroll, interpret)
+    fused = _rho_fused_nll_factory(cfg, B, T, rank, unroll, interpret,
+                                   precision)
     return fused(cc.Cr, -cc.Ci, cc.Rr, -cc.Ri, cc.Xr.T, cc.Xi.T,
                  cc.p_c[:, None], cc.p_s[:, None], h0r, h0i, se,
                  zmat, zmat.T)

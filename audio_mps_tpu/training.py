@@ -40,14 +40,22 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
     if mps_model == "rho_mps":
         if fused:
             from .ops.pallas_grad import rho_nll_pallas_trainable
-            return rho_nll_pallas_trainable
+
+            def _rho_fused(params, cfg, signals):
+                return rho_nll_pallas_trainable(
+                    params, cfg, signals, precision=cfg.kernel_precision)
+            return _rho_fused
         # factor evolution: same value as core.rho_nll (pinned by tests),
         # half the matmul FLOPs
         return core.rho_nll_factor
     if mps_model == "psi_mps":
         if fused:
             from .ops.pallas_grad import psi_nll_pallas_trainable
-            return psi_nll_pallas_trainable
+
+            def _psi_fused(params, cfg, signals):
+                return psi_nll_pallas_trainable(
+                    params, cfg, signals, precision=cfg.kernel_precision)
+            return _psi_fused
         return core.psi_nll
     raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
 
