@@ -64,6 +64,12 @@ class CMPSConfig:
     # grad rel-err ~4e-2 — standard low-precision-training territory).
     kernel_precision: str = "highest"
 
+    def __post_init__(self):
+        if self.kernel_precision not in ("highest", "high", "default"):
+            raise ValueError(
+                f"kernel_precision must be 'highest', 'high', or 'default',"
+                f" got {self.kernel_precision!r}")
+
     def parse(self, overrides: str) -> "CMPSConfig":
         """Apply a comma-separated ``k=v,...`` override string.
 

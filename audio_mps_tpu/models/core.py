@@ -289,7 +289,7 @@ def purity(params, cfg: CMPSConfig, key, num_samples: int, length: int,
 # Parallel-in-time NLL (associative scan over transfer operators)
 # ---------------------------------------------------------------------------
 
-def _factor_g0(params, cfg: CMPSConfig, B: int):
+def factor_g0(params, cfg: CMPSConfig, B: int):
     """Initial purification factor [B, r, D]: W-based for the rho family,
     rank-1 psi^T row for the psi family (a pure state is exactly a rank-1
     factor: rho = psi psi^dag = G^dag G with G = psi^dag)."""
@@ -301,6 +301,37 @@ def _factor_g0(params, cfg: CMPSConfig, B: int):
     pr, pi = psi0(params, cfg)
     # G = psi^dag as a single row: G_{0d} = conj(psi_d)
     return _tile(pr[None, :], B), _tile(-pi[None, :], B)
+
+
+def pscan_operators(cc):
+    """Transfer-operator constants for the parallel-in-time formulations:
+    M(s) = (C + s R)^dag P with the frame rotation P folded in, and the
+    conjugated expectation operator X' = P^dag X P (the reference's
+    expectation is taken before the rotation). Shared with
+    parallel/time_pscan.py."""
+    pr_, pi_ = cc.p_c, cc.p_s
+    cdr = cc.Cr.T * pr_ - (-cc.Ci.T) * pi_
+    cdi = cc.Cr.T * pi_ + (-cc.Ci.T) * pr_
+    rdr = cc.Rr.T * pr_ - (-cc.Ri.T) * pi_
+    rdi = cc.Rr.T * pi_ + (-cc.Ri.T) * pr_
+    xpr = cc.Xr * cc.phi_c - cc.Xi * cc.phi_s
+    xpi = cc.Xr * cc.phi_s + cc.Xi * cc.phi_c
+    return (cdr, cdi, rdr, rdi, xpr, xpi)
+
+
+def pscan_combine(a, b):
+    """Max-abs rescaled complex matrix-product combine for associative
+    scans over transfer operators (keeps 65k-step products in fp32
+    range; the accumulated log-scale makes results exact)."""
+    mm = partial(jnp.matmul, precision="highest")
+    ar, ai, asig = a
+    br, bi, bsig = b
+    cr = mm(ar, br) - mm(ai, bi)
+    ci = mm(ar, bi) + mm(ai, br)
+    scale = jnp.maximum(
+        jnp.max(jnp.maximum(jnp.abs(cr), jnp.abs(ci)), axis=(-2, -1),
+                keepdims=True), 1e-30)
+    return cr / scale, ci / scale, asig + bsig + jnp.log(scale[..., 0, 0])
 
 
 def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
@@ -337,29 +368,11 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     incs = _increments(signals)                       # [T-1, B]
     B = signals.shape[0]
     n_steps = incs.shape[0]
-    g0r, g0i = _factor_g0(params, cfg, B)             # [B, r, D]
+    g0r, g0i = factor_g0(params, cfg, B)              # [B, r, D]
 
-    # constant step matrices, rotation folded in: M(s) = (C + s R)^dag P
-    pr_, pi_ = cc.p_c, cc.p_s                        # P = diag(p)
-    cdr = cc.Cr.T * pr_ - (-cc.Ci.T) * pi_           # C^dag P (columns scaled)
-    cdi = cc.Cr.T * pi_ + (-cc.Ci.T) * pr_
-    rdr = cc.Rr.T * pr_ - (-cc.Ri.T) * pi_
-    rdi = cc.Rr.T * pi_ + (-cc.Ri.T) * pr_
-    # X' = P^dag X P: X'_ij = X_ij * exp(i (f_j - f_i) dt)
-    xpr = cc.Xr * cc.phi_c - cc.Xi * cc.phi_s
-    xpi = cc.Xr * cc.phi_s + cc.Xi * cc.phi_c
-
+    cdr, cdi, rdr, rdi, xpr, xpi = pscan_operators(cc)
     mm = partial(jnp.matmul, precision="highest")
-
-    def combine(a, b):
-        ar, ai, asig = a
-        br, bi, bsig = b
-        cr = mm(ar, br) - mm(ai, bi)
-        ci = mm(ar, bi) + mm(ai, br)
-        scale = jnp.maximum(
-            jnp.max(jnp.maximum(jnp.abs(cr), jnp.abs(ci)), axis=(-2, -1),
-                    keepdims=True), 1e-30)
-        return cr / scale, ci / scale, asig + bsig + jnp.log(scale[..., 0, 0])
+    combine = pscan_combine
 
     def ehat_trhat(gr, gi):
         """[..., r, D] factor -> (Re tr(X' G^dag G), ||G||_F^2)."""

@@ -131,8 +131,9 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
     if fused and loss_type == "log":
         from ..ops.pallas_grad import psi_nll_pallas_trainable_from_state
         B = signals.shape[0]
-        mean = psi_nll_pallas_trainable_from_state(params, cfg, signals,
-                                                   psi0_pair)
+        mean = psi_nll_pallas_trainable_from_state(
+            params, cfg, signals, psi0_pair,
+            precision=cfg.kernel_precision)
         # the fused kernel returns the batch mean; recon is consumed as a
         # mean downstream, so broadcast it back per-example
         return jnp.broadcast_to(mean, (B,))

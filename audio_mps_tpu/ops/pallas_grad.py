@@ -54,8 +54,7 @@ def _dot(a, b, precision="highest"):
 def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps,
                   precision="highest"):
     """One forward step; returns everything the adjoint needs."""
-    import functools as _ft
-    _d = _ft.partial(_dot, precision=precision)
+    _d = functools.partial(_dot, precision=precision)
     g2r = _d(rr, pr) - _d(ri, pi_)              # R psi
     g2i = _d(rr, pi_) + _d(ri, pr)
     g1r = _d(cr, pr) - _d(ci, pi_)              # C psi
@@ -449,8 +448,7 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
 def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
                   log_eps, norm_eps, precision="highest"):
     """One factor-form forward step (semantics of ops/pallas_scan.py)."""
-    import functools as _ft
-    _d = _ft.partial(_dot, precision=precision)
+    _d = functools.partial(_dot, precision=precision)
 
     def seg(row):
         return _d(_d(row, z), zt)

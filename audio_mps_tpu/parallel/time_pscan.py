@@ -5,21 +5,23 @@ owns a contiguous chunk of the waveform; all chips work FULLY in parallel
 (no pipeline bubbles) because the cMPS evolution in purification-factor
 form is a product of per-step D x D transfer matrices:
 
-  1. each chip runs a local `associative_scan` over its chunk's transfer
-     matrices (max-abs rescaled, as core.rho_nll_pscan);
+  1. each chip composes its chunk's transfer operators in bounded-memory
+     sub-chunks (`time_chunk` steps per `associative_scan`, rescaled as
+     core.pscan_combine) and saves the per-sub-chunk products;
   2. ONE `all_gather` of the S chunk-products (tiny: S x [B, D, D]) rides
      ICI; every chip forms its entry operator as the exclusive prefix of
      its predecessors' chunk products;
-  3. each chip applies `G_0 @ entry @ local_prefix_t` to get all of its
-     states, evaluates its slice of the loss locally (the log-scale
-     differences make the per-step normalization ratios exact across
-     chunk boundaries), and the per-chip partial losses are `psum`'d.
+  3. each chip walks its sub-chunks sequentially (memory stays bounded),
+     computing per-step prefixes locally and evaluating its slice of the
+     loss (the log-scale differences make the per-step normalization
+     ratios exact across every boundary); partial losses are `psum`'d.
 
 Semantics are identical to core.rho_nll_factor (pinned by tests on the
-virtual CPU mesh). Contrast with parallel/time_pipeline.py: the pipeline
-streams the exact sequential recursion (arbitrary step nonlinearity, M/(M+S-1)
-efficiency); this module exploits the linear-transfer structure for 100%
-parallel efficiency at the cost of one all-gather and rescaled arithmetic.
+virtual CPU mesh), and PsiParams work too (rank-1 factor, core.factor_g0).
+Contrast with parallel/time_pipeline.py: the pipeline streams the exact
+sequential recursion (arbitrary step nonlinearity, M/(M+S-1) efficiency);
+this module exploits the linear-transfer structure for 100% parallel
+efficiency at the cost of one all-gather and rescaled arithmetic.
 """
 from __future__ import annotations
 
@@ -27,117 +29,121 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..config import CMPSConfig
 from ..models.cell import make_constants
+from ..models.core import factor_g0, pscan_combine, pscan_operators
 from .time_pipeline import TIME_AXIS, make_time_mesh  # noqa: F401
 
 _mm = partial(jnp.matmul, precision="highest")
-
-
-def _combine(a, b):
-    ar, ai, asig = a
-    br, bi, bsig = b
-    cr = _mm(ar, br) - _mm(ai, bi)
-    ci = _mm(ar, bi) + _mm(ai, br)
-    scale = jnp.maximum(
-        jnp.max(jnp.maximum(jnp.abs(cr), jnp.abs(ci)), axis=(-2, -1),
-                keepdims=True), 1e-30)
-    return cr / scale, ci / scale, asig + bsig + jnp.log(scale[..., 0, 0])
+_em = partial(jnp.einsum, precision="highest")
 
 
 def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
-                         axis: str = TIME_AXIS):
+                         axis: str = TIME_AXIS, time_chunk: int = 1024):
     """Mean NLL of waveforms [B, T] with the time axis sharded over `mesh`
     (semantics of core.rho_nll_factor / reference model.py:132-142). Also
-    accepts PsiParams (rank-1 factor; see core._factor_g0)."""
+    accepts PsiParams (rank-1 factor). `time_chunk` bounds per-chip memory
+    (at most that many [B, D, D] operators live in one associative scan)."""
     B, T = signals.shape
     S = mesh.devices.size
     n_steps = T - 1
     if n_steps % S:
         raise ValueError(f"T-1={n_steps} steps not divisible by {S} chips")
+    Tc = n_steps // S
+    sub = min(time_chunk, Tc)
+    if Tc % sub:
+        raise ValueError(f"per-chip steps {Tc} not divisible by "
+                         f"time_chunk {sub}")
+    n_sub = Tc // sub
 
     cc = make_constants(params, cfg)
-    from ..models.core import _factor_g0
-    g0r, g0i = _factor_g0(params, cfg, B)
-
-    # constant step matrices with the frame rotation folded in (see
-    # core.rho_nll_pscan): M(s) = (C + s R)^dag P;  X' = P^dag X P
-    pr_, pi_ = cc.p_c, cc.p_s
-    cdr = cc.Cr.T * pr_ - (-cc.Ci.T) * pi_
-    cdi = cc.Cr.T * pi_ + (-cc.Ci.T) * pr_
-    rdr = cc.Rr.T * pr_ - (-cc.Ri.T) * pi_
-    rdi = cc.Rr.T * pi_ + (-cc.Ri.T) * pr_
-    xpr = cc.Xr * cc.phi_c - cc.Xi * cc.phi_s
-    xpi = cc.Xr * cc.phi_s + cc.Xi * cc.phi_c
-
+    g0r, g0i = factor_g0(params, cfg, B)
+    cdr, cdi, rdr, rdi, xpr, xpi = pscan_operators(cc)
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A    # [T-1, B]
 
-    def local(s_chunk):
-        s_chunk = s_chunk                                  # [Tc, B]
+    d = cdr.shape[-1]
+
+    def _apply_g0(er, ei):
+        """G_0 @ E for a [B, D, D] operator (factor [B, r, D])."""
+        gr = _em('brd,bde->bre', g0r, er) - _em('brd,bde->bre', g0i, ei)
+        gi = _em('brd,bde->bre', g0r, ei) + _em('brd,bde->bre', g0i, er)
+        return gr, gi
+
+    def _sub_ops(s_sub):
+        """Per-step transfer operators of one sub-chunk [sub, B, D, D]."""
+        sb = s_sub[:, :, None, None]
+        return (cdr[None, None] + sb * rdr[None, None],
+                cdi[None, None] + sb * rdi[None, None])
+
+    def local(s_chunk):                                    # [Tc, B]
         idx = jax.lax.axis_index(axis)
-        sb = s_chunk[:, :, None, None]
-        mr = cdr[None, None] + sb * rdr[None, None]        # [Tc, B, D, D]
-        mi = cdi[None, None] + sb * rdi[None, None]
-        sig0 = jnp.zeros(s_chunk.shape)
-        qr, qi, sig = jax.lax.associative_scan(_combine, (mr, mi, sig0))
+        subs = s_chunk.reshape(n_sub, sub, B)
 
-        # chunk product -> all chips (one ICI collective)
-        last = (qr[-1], qi[-1], sig[-1])                   # [B, D, D] x2, [B]
-        allr = jax.lax.all_gather(last[0], axis)           # [S, B, D, D]
-        alli = jax.lax.all_gather(last[1], axis)
-        allsig = jax.lax.all_gather(last[2], axis)
+        ident = (jnp.broadcast_to(jnp.eye(d), (B, d, d)),
+                 jnp.zeros((B, d, d)), jnp.zeros((B,)))
 
-        # exclusive prefix of predecessors' chunk products (S is tiny)
-        d = qr.shape[-1]
-        er = jnp.broadcast_to(jnp.eye(d), (B, d, d))
-        ei = jnp.zeros((B, d, d))
-        esig = jnp.zeros((B,))
+        # pass A: per-sub-chunk products (bounded memory)
+        def prod_step(carry, s_sub):
+            mr, mi = _sub_ops(s_sub)
+            qr, qi, sig = jax.lax.associative_scan(
+                pscan_combine, (mr, mi, jnp.zeros(s_sub.shape)))
+            piece = (qr[-1], qi[-1], sig[-1])
+            return pscan_combine(carry, piece), piece
+
+        (totr, toti, totsig), pieces = jax.lax.scan(prod_step, ident, subs)
+
+        # one collective: chunk products to every chip
+        allr = jax.lax.all_gather(totr, axis)              # [S, B, D, D]
+        alli = jax.lax.all_gather(toti, axis)
+        allsig = jax.lax.all_gather(totsig, axis)
 
         def pref_step(carry, x):
             out = carry
-            carry = _combine(carry, x)
-            return carry, out
+            return pscan_combine(carry, x), out
 
         _, (prefr, prefi, prefsig) = jax.lax.scan(
-            pref_step, (er, ei, esig), (allr, alli, allsig))
-        entry_r = prefr[idx]
-        entry_i = prefi[idx]
-        entry_sig = prefsig[idx]
+            pref_step, ident, (allr, alli, allsig))
+        entry = (prefr[idx], prefi[idx], prefsig[idx])
 
-        # global prefix for every local step: entry @ local_prefix
-        gr_t = _mm(entry_r[None], qr) - _mm(entry_i[None], qi)
-        gi_t = _mm(entry_r[None], qi) + _mm(entry_i[None], qr)
-        sig_t = entry_sig[None] + sig                      # [Tc, B]
+        # pass B: walk sub-chunks with the running entry operator
+        def loss_step(carry, xs):
+            (er, ei, esig), loss = carry
+            s_sub, piece = xs
+            mr, mi = _sub_ops(s_sub)
+            qr, qi, sig = jax.lax.associative_scan(
+                pscan_combine, (mr, mi, jnp.zeros(s_sub.shape)))
+            # global prefix for each step: entry @ local_prefix
+            gr_t = _mm(er[None], qr) - _mm(ei[None], qi)
+            gi_t = _mm(er[None], qi) + _mm(ei[None], qr)
+            sig_t = esig[None] + sig                       # [sub, B]
+            str_ = _em('brd,tbde->tbre', g0r, gr_t) \
+                - _em('brd,tbde->tbre', g0i, gi_t)
+            sti = _em('brd,tbde->tbre', g0r, gi_t) \
+                + _em('brd,tbde->tbre', g0i, gr_t)
+            gxr = _mm(str_, xpr) - _mm(sti, xpi)
+            gxi = _mm(str_, xpi) + _mm(sti, xpr)
+            ehat = jnp.sum(str_ * gxr + sti * gxi, axis=(-2, -1))
+            trhat = jnp.sum(str_ * str_ + sti * sti, axis=(-2, -1))
+            # previous-step trace: shift; the first step's predecessor is
+            # the sub-chunk entry state
+            egr, egi = _apply_g0(er, ei)
+            tr_entry = jnp.sum(egr ** 2 + egi ** 2, axis=(-2, -1))
+            trhat_prev = jnp.concatenate([tr_entry[None], trhat[:-1]], 0)
+            sig_prev = jnp.concatenate([esig[None], sig_t[:-1]], 0)
+            e = (ehat / jnp.maximum(trhat_prev, cfg.norm_eps)
+                 * jnp.exp(2.0 * (sig_t - sig_prev)))
+            arg = 1.0 + e * s_sub
+            if cfg.log_eps > 0:
+                arg = jnp.maximum(arg, cfg.log_eps)
+            loss = loss + jnp.sum(-jnp.log(arg), axis=0)
+            entry_next = pscan_combine((er, ei, esig), piece)
+            return (entry_next, loss), None
 
-        em = partial(jnp.einsum, precision="highest")
-        str_ = em('brd,tbde->tbre', g0r, gr_t) - em('brd,tbde->tbre', g0i, gi_t)
-        sti = em('brd,tbde->tbre', g0r, gi_t) + em('brd,tbde->tbre', g0i, gr_t)
-
-        gxr = _mm(str_, xpr) - _mm(sti, xpi)
-        gxi = _mm(str_, xpi) + _mm(sti, xpr)
-        ehat = jnp.sum(str_ * gxr + sti * gxi, axis=(-2, -1))   # [Tc, B]
-        trhat = jnp.sum(str_ * str_ + sti * sti, axis=(-2, -1))
-
-        # previous-step trace: shift within the chunk; the first step's
-        # predecessor is the entry state G_0 @ entry (trace + its logscale)
-        entry_gr = em('brd,bde->bre', g0r, entry_r) \
-            - em('brd,bde->bre', g0i, entry_i)
-        entry_gi = em('brd,bde->bre', g0r, entry_i) \
-            + em('brd,bde->bre', g0i, entry_r)
-        tr_entry = jnp.sum(entry_gr ** 2 + entry_gi ** 2, axis=(-2, -1))
-        trhat_prev = jnp.concatenate([tr_entry[None], trhat[:-1]], axis=0)
-        sig_prev = jnp.concatenate([entry_sig[None], sig_t[:-1]], axis=0)
-
-        e = (ehat / jnp.maximum(trhat_prev, cfg.norm_eps)
-             * jnp.exp(2.0 * (sig_t - sig_prev)))
-        arg = 1.0 + e * s_chunk
-        if cfg.log_eps > 0:
-            arg = jnp.maximum(arg, cfg.log_eps)
-        local_loss = jnp.sum(-jnp.log(arg), axis=0)        # [B]
+        (_, local_loss), _ = jax.lax.scan(
+            loss_step, (entry, jnp.zeros((B,))), (subs, pieces))
         return jax.lax.psum(local_loss, axis)[None]
 
     sharded = shard_map(local, mesh=mesh, in_specs=(P(axis, None),),
@@ -147,7 +153,8 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
 
 
 def psi_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
-                         axis: str = TIME_AXIS):
+                         axis: str = TIME_AXIS, time_chunk: int = 1024):
     """Time-sharded NLL for the pure-state model (rank-1 factor; see
-    core._factor_g0)."""
-    return rho_nll_time_sharded(params, cfg, signals, mesh, axis=axis)
+    core.factor_g0)."""
+    return rho_nll_time_sharded(params, cfg, signals, mesh, axis=axis,
+                                time_chunk=time_chunk)

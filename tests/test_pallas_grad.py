@@ -69,3 +69,25 @@ def test_fused_train_step_integration():
         losses.append(float(m["model_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_kernel_precision_plumbing():
+    """cfg.kernel_precision reaches the fused kernels (on CPU interpret
+    every precision computes identically, so value equality pins the
+    plumbing); invalid values are rejected at config construction."""
+    from audio_mps_tpu.training import make_train_step, init_params_for
+    cfg_hi = dataclasses.replace(HP, minibatch_size=2, bond_dim=4)
+    cfg_bf = dataclasses.replace(cfg_hi, kernel_precision="default")
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 2, 65, cfg_hi.delta_t)
+    outs = {}
+    for name, cfg in [("hi", cfg_hi), ("bf", cfg_bf)]:
+        params = init_params_for("psi_mps", jax.random.PRNGKey(0), cfg)
+        opt, step = make_train_step("psi_mps", cfg, fused=True)
+        _, _, m = step(params, opt.init(params), batch)
+        outs[name] = float(m["model_loss"])
+    np.testing.assert_allclose(outs["bf"], outs["hi"], rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        CMPSConfig(kernel_precision="bf16")
+    with pytest.raises(ValueError):
+        HP.parse("kernel_precision=defualt")
