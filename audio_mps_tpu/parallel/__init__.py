@@ -1,6 +1,6 @@
 from .data_parallel import (make_dp_sample, make_dp_train_step, replicate,
                             shard_batch)
-from .mesh import DATA_AXIS, make_mesh
+from .mesh import DATA_AXIS, ensure_devices, make_mesh
 
 __all__ = ["make_dp_sample", "make_dp_train_step", "replicate",
-           "shard_batch", "DATA_AXIS", "make_mesh"]
+           "shard_batch", "DATA_AXIS", "ensure_devices", "make_mesh"]

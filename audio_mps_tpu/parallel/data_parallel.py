@@ -10,10 +10,13 @@ BASELINE "D=128 data-parallel training across chips" config
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from .compat import shard_map
 
 from ..config import CMPSConfig
 from ..models import core
@@ -23,7 +26,7 @@ from .mesh import DATA_AXIS
 
 def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                        optimizer=None, axis: str = DATA_AXIS,
-                       fused: bool = False):
+                       fused: Optional[bool] = None):
     """Build (optimizer, jitted_sharded_step).
 
     step(params, opt_state, batch[B_global, T]) -> (params, opt_state,
@@ -31,11 +34,14 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     Per-device grads are averaged with `jax.lax.pmean` (an XLA all-reduce
     riding ICI); the optimizer update runs redundantly-replicated, which is
     optimal at this parameter scale (a few KB).
+
+    `fused=None` (default) auto-selects the fused Pallas custom-VJP kernels
+    on TPU — multi-chip training inherits the single-chip fused speedup —
+    and the XLA scan elsewhere; pass an explicit bool to force (fused=True
+    off-TPU runs the kernels in interpret mode, pinned == single-device
+    fused by tests/test_parallel.py).
     """
     optimizer = optimizer or make_optimizer(cfg)
-    # fused=False by default: the Pallas kernels inside shard_map are only
-    # exercisable on real multi-chip hardware (single-chip here); the XLA
-    # scan path is the validated multi-chip default.
     loss_fn = make_loss_fn(mps_model, cfg, fused=fused)
 
     def local_step(params, opt_state, batch):
@@ -51,7 +57,7 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(axis, None)),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check=False)
 
     step = jax.jit(sharded, donate_argnums=(0, 1))
     return optimizer, step
@@ -77,7 +83,7 @@ def make_dp_sample(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
             return fn(params, cfg, key, local_n, length, temp)
 
         sharded = shard_map(local, mesh=mesh, in_specs=(P(), P()),
-                            out_specs=P(axis, None), check_rep=False)
+                            out_specs=P(axis, None), check=False)
         return jax.jit(sharded)
 
     return build

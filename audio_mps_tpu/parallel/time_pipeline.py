@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from .compat import shard_map
 
 from ..config import CMPSConfig
 from ..models import cell, core
@@ -114,7 +114,7 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
         local, mesh=mesh,
         in_specs=(P(None, axis, None, None),),
         out_specs=P(axis),
-        check_rep=False)
+        check=False)
     return jnp.mean(sharded(incs))
 
 

@@ -30,7 +30,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from .compat import shard_map
 
 from ..config import CMPSConfig
 from ..models.cell import make_constants
@@ -147,7 +147,7 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
         return jax.lax.psum(local_loss, axis)[None]
 
     sharded = shard_map(local, mesh=mesh, in_specs=(P(axis, None),),
-                        out_specs=P(axis, None), check_rep=False)
+                        out_specs=P(axis, None), check=False)
     losses = sharded(incs)                                 # [S, B] (equal rows)
     return jnp.mean(losses[0])
 

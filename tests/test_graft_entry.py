@@ -1,0 +1,47 @@
+"""Driver-entry tests: run ``__graft_entry__.dryrun_multichip`` in fresh
+subprocesses WITHOUT the conftest environment, reproducing the harness's
+conditions (round-1 failure mode: MULTICHIP_r01.json ok:false because the
+entry assumed >= 8 devices already existed — VERDICT r1 item 1)."""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    """Environment as the driver would have it: no virtual-device flags,
+    no platform override, repo on PYTHONPATH (never overwritten)."""
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("_AUDIO_MPS_DRYRUN_REEXEC", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run(code: str):
+    return subprocess.run([sys.executable, "-c", code], env=_clean_env(),
+                          cwd=REPO, capture_output=True, text=True,
+                          timeout=900)
+
+
+def test_dryrun_multichip_fresh_subprocess():
+    """Driver conditions: fresh process, dryrun called first. The entry must
+    self-provision the 8-device virtual CPU mesh in-process."""
+    res = _run("import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in res.stdout, res.stdout
+
+
+def test_dryrun_multichip_after_backend_init():
+    """Worst case: a JAX backend was already initialized (e.g. entry() was
+    compile-checked first), so the in-process platform switch is impossible
+    and the entry must fall back to a re-exec'd subprocess."""
+    res = _run(
+        "import jax; jax.devices()\n"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dryrun_multichip(8): ok" in res.stdout, res.stdout

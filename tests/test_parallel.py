@@ -45,6 +45,31 @@ def test_dp_step_matches_single_device(mps_model):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("mps_model", ["psi_mps", "rho_mps"])
+def test_dp_fused_step_matches_single_device_fused(mps_model):
+    """The fused Pallas custom-VJP kernels inside shard_map (interpret mode
+    on the CPU mesh) must reproduce the single-device fused step — this is
+    the multi-chip default on TPU (VERDICT r1 item 2)."""
+    mesh = make_mesh()
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, T, CFG.delta_t)
+
+    opt_s, step_s = make_train_step(mps_model, CFG, fused=True)
+    params = init_params_for(mps_model, jax.random.PRNGKey(0), CFG)
+    p1, o1, m1 = step_s(params, opt_s.init(params), batch)
+
+    opt_d, step_d = make_dp_train_step(mps_model, CFG, mesh, fused=True)
+    params_r = replicate(init_params_for(mps_model, jax.random.PRNGKey(0),
+                                         CFG), mesh)
+    o_d = replicate(opt_d.init(params_r), mesh)
+    p2, o2, m2 = step_d(params_r, o_d, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["model_loss"]),
+                               float(m2["model_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dp_multi_step_stays_replicated():
     mesh = make_mesh()
     mps_model = "psi_mps"
