@@ -139,6 +139,12 @@ class RunConfig:
     # Fused Pallas train kernels: "auto" (TPU only), "true", "false".
     fused: str = "auto"
 
+    def __post_init__(self):
+        if self.fused not in ("auto", "true", "false"):
+            raise ValueError(
+                f"fused must be 'auto', 'true', or 'false', got "
+                f"{self.fused!r}")
+
     def run_logdir(self, cfg: CMPSConfig) -> str:
         """Run-parameterized logdir (reference: train.py:94)."""
         return (f"{self.logdir}/{self.dataset}/"

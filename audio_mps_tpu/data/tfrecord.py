@@ -91,7 +91,10 @@ def read_records(path: str, verify: bool = True) -> Iterator[bytes]:
             payload = f.read(length)
             if len(payload) < length:
                 raise IOError(f"{path}: truncated record payload")
-            data_crc = struct.unpack("<I", f.read(4))[0]
+            crc_bytes = f.read(4)
+            if len(crc_bytes) < 4:
+                raise IOError(f"{path}: truncated record CRC")
+            data_crc = struct.unpack("<I", crc_bytes)[0]
             if verify and masked_crc(payload) != data_crc:
                 raise IOError(f"{path}: corrupt payload CRC")
             yield payload

@@ -1,6 +1,7 @@
 """Data pipeline tests (reference: tests/test_data.py)."""
 import jax
 import numpy as np
+import pytest
 
 from audio_mps_tpu import CMPSConfig
 from audio_mps_tpu.data import damped_sine_batch, damped_sine_iterator
@@ -42,6 +43,15 @@ def test_config_parse_overrides():
     assert cfg.learning_rate == 0.01
     assert cfg.initial_rank == 4
     assert cfg.minibatch_size == HP.minibatch_size
+
+
+def test_run_config_fused_validated_at_construction():
+    from audio_mps_tpu.config import RunConfig, parse_argv
+    with pytest.raises(ValueError, match="fused"):
+        RunConfig(fused="yes")
+    with pytest.raises(ValueError, match="fused"):
+        parse_argv(["--fused=maybe"])
+    assert parse_argv(["--fused=true"]).fused == "true"
 
 
 def test_get_audio_damped_sine_dispatcher():

@@ -36,6 +36,38 @@ def test_loss_not_nan():
     assert np.isfinite(float(model.loss))
 
 
+def test_R_diag_quirk_deviation_confined_to_warm_starts():
+    """Documented parity deviation (PARITY.md): the reference's
+    ``R -= matrix_diag_part(R)`` (reference: model.py:42) broadcasts over
+    the last axis, shifting column j by R_jj everywhere; we zero only the
+    diagonal. The two semantics coincide exactly iff R_in has a zero
+    diagonal — i.e. the deviation is confined to nonzero-diagonal R_in
+    warm starts."""
+    rng = np.random.default_rng(0)
+    d = HP.bond_dim
+    data = small_data()
+
+    def loss_with(R_complex):
+        p = init_rho(jax.random.PRNGKey(0), HP, R_in=R_complex)
+        return float(core.rho_nll(p, HP, data))
+
+    R = (rng.standard_normal((d, d)) + 1j * rng.standard_normal((d, d)))
+    R_refquirk = R - np.diag(R)[None, :]       # the reference's broadcast
+    R_zerodiag = R - np.diag(np.diag(R))       # our semantics
+
+    # nonzero diagonal: the semantics genuinely differ...
+    assert abs(loss_with(R_refquirk) - loss_with(R_zerodiag)) > 1e-6
+    # ...and our effective R depends on R_in only through its off-diagonal
+    # + zeroed diagonal, so feeding R or R_zerodiag is identical
+    np.testing.assert_allclose(loss_with(R), loss_with(R_zerodiag), rtol=0)
+
+    # zero-diagonal warm start: reference quirk is the identity -> semantics
+    # coincide exactly
+    np.testing.assert_allclose(
+        loss_with(R_zerodiag - np.diag(np.diag(R_zerodiag))),
+        loss_with(R_zerodiag), rtol=0)
+
+
 def test_rho0_is_density_matrix():
     # reference tests/test_model.py:41-48
     model = RhoCMPS(HP)

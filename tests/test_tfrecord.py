@@ -37,6 +37,17 @@ def test_corrupt_record_detected(tmp_path):
         list(read_records(path))
 
 
+def test_truncated_between_payload_and_crc(tmp_path):
+    """A file cut between payload and its CRC must raise the module's
+    IOError('truncated record CRC') contract, not struct.error."""
+    path = str(tmp_path / "x.tfrecords")
+    write_records(path, [b"hello world"])
+    raw = open(path, "rb").read()
+    open(path, "wb").write(raw[:-2])  # drop half the payload CRC
+    with pytest.raises(IOError, match="truncated record CRC"):
+        list(read_records(path))
+
+
 def test_example_roundtrip():
     ex = {
         "audio": np.linspace(-1, 1, 640).astype(np.float32),
