@@ -63,12 +63,24 @@ class CMPSConfig:
     # (bf16 passes: 3.3x faster at D=64, loss rel-err ~1e-3,
     # grad rel-err ~4e-2 — standard low-precision-training territory).
     kernel_precision: str = "highest"
+    # Latent-conditioned variant (models/latent.py — the working version of
+    # the reference's follow_vae.py WIP): latent dimension, MLP width, KL
+    # weight, and reconstruction loss ("log" = cMPS NLL, "quadratic" = the
+    # WIP's (signal - <x>)^2/2 option, follow_vae.py:69-70).
+    latent_dim: int = 8
+    latent_hidden: int = 128
+    latent_beta: float = 1.0
+    latent_loss: str = "log"
 
     def __post_init__(self):
         if self.kernel_precision not in ("highest", "high", "default"):
             raise ValueError(
                 f"kernel_precision must be 'highest', 'high', or 'default',"
                 f" got {self.kernel_precision!r}")
+        if self.latent_loss not in ("log", "quadratic"):
+            raise ValueError(
+                f"latent_loss must be 'log' or 'quadratic', got "
+                f"{self.latent_loss!r}")
 
     def parse(self, overrides: str) -> "CMPSConfig":
         """Apply a comma-separated ``k=v,...`` override string.
@@ -110,6 +122,10 @@ _FIELD_TYPES = {
     "log_eps": float,
     "norm_eps": float,
     "kernel_precision": str,
+    "latent_dim": int,
+    "latent_hidden": int,
+    "latent_beta": float,
+    "latent_loss": str,
 }
 
 
@@ -117,7 +133,7 @@ _FIELD_TYPES = {
 class RunConfig:
     """Run-level flags (reference: train.py:18-33, sample.py:10-14)."""
 
-    mps_model: str = "psi_mps"          # {"rho_mps", "psi_mps"}
+    mps_model: str = "psi_mps"          # {"rho_mps", "psi_mps", "latent"}
     dataset: str = "damped_sine"        # {"damped_sine", "guitar", "organ", "nsynth"}
     sample_duration: int = 2 ** 16
     sample_rate: int = 16000

@@ -122,21 +122,16 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
     """Per-example reconstruction loss [B] of waveforms under the cMPS
     decoder started from per-example psi_0. `fused=True` (log loss only)
     routes through the fused Pallas forward+backward kernels with
-    per-example initial states — NOTE: the fused kernel reduces to the
-    batch mean, so the returned [B] vector holds that mean in every slot
-    (fine for mean-consuming ELBOs; use fused=False for true per-example
-    losses)."""
+    per-example initial states; the kernel streams true per-example losses
+    and its VJP takes per-example cotangents, so any weighting (e.g.
+    importance-weighted ELBOs) differentiates correctly."""
     if fused and loss_type != "log":
         raise ValueError("fused recon supports loss_type='log' only")
     if fused and loss_type == "log":
         from ..ops.pallas_grad import psi_nll_pallas_trainable_from_state
-        B = signals.shape[0]
-        mean = psi_nll_pallas_trainable_from_state(
+        return psi_nll_pallas_trainable_from_state(
             params, cfg, signals, psi0_pair,
-            precision=cfg.kernel_precision)
-        # the fused kernel returns the batch mean; recon is consumed as a
-        # mean downstream, so broadcast it back per-example
-        return jnp.broadcast_to(mean, (B,))
+            precision=cfg.kernel_precision, reduce="none")
     cc = make_constants(params, cfg)
     incs = (signals[:, 1:] - signals[:, :-1]).T
     B = signals.shape[0]

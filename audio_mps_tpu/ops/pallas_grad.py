@@ -121,14 +121,17 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 
 def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         n_blocks: int, inv_batch: float,
-                         precision: str = "highest"):
+                         n_blocks: int, precision: str = "highest"):
+    """The backward takes the PER-EXAMPLE loss cotangent g [1, B] as a
+    runtime input (g = grad/B for the batch-mean loss; arbitrary per-example
+    weights for e.g. importance-weighted ELBOs), so parameter cotangents
+    accumulate lane-weighted inside the kernel."""
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
 
-    def kernel(se_ref, ckr_ref, cki_ref, cr_ref, ci_ref, rr_ref, ri_ref,
-               pc_ref, ps_ref,
+    def kernel(se_ref, g_ref, ckr_ref, cki_ref, cr_ref, ci_ref, rr_ref,
+               ri_ref, pc_ref, ps_ref,
                dse_ref, dcr_ref, dci_ref, drr_ref, dri_ref,
                dpc_ref, dps_ref, dp0r_ref, dp0i_ref,
                dpr_s, dpi_s, acr_s, aci_s, arr_s, ari_s, apc_s, aps_s):
@@ -198,9 +201,10 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                             jnp.zeros_like(dinv))
             dyr = dyr + 2.0 * yr * dn2
             dyi = dyi + 2.0 * yi * dn2
-            # loss adjoint: acc -= log(arg); arg = max(1 + e*s, eps)
+            # loss adjoint: acc -= log(arg); arg = max(1 + e*s, eps);
+            # per-lane weighted by the loss cotangent g
             darg = jnp.where(arg > log_eps,
-                             -inv_batch / arg, jnp.zeros_like(arg))
+                             -g_ref[:] / arg, jnp.zeros_like(arg))
             de = darg * s
             ds = darg * e
             # e = 2 sum(y . ru)
@@ -267,7 +271,10 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
 @functools.lru_cache(maxsize=64)
 def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
                            interpret: bool, precision: str = "highest"):
-    """Build the custom-VJP fused NLL for fixed (cfg, shapes)."""
+    """Build the custom-VJP fused NLL for fixed (cfg, shapes). The fused
+    primal returns PER-EXAMPLE losses [B]; its VJP takes the matching [B]
+    cotangent (so both mean losses and per-example consumers — e.g.
+    importance-weighted ELBOs — differentiate correctly)."""
     D = cfg.bond_dim
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
@@ -275,7 +282,7 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
 
     fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision)
     bwd_kernel = _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                      1.0 / B, precision)
+                                      precision)
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=100 * 1024 * 1024)
@@ -309,9 +316,9 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
             compiler_params=sem,
             interpret=interpret,
         )(se3, s0r, s0i, cr, ci, rr, ri, pc, ps)
-        return jnp.mean(loss[-1, 0]), (ckr, cki)
+        return loss[-1, 0], (ckr, cki)
 
-    def run_bwd(cr, ci, rr, ri, pc, ps, se, ckr, cki):
+    def run_bwd(cr, ci, rr, ri, pc, ps, se, ckr, cki, g):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, B)
         outs = pl.pallas_call(
@@ -319,6 +326,7 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((1, unroll, B), rev3),
+                _full((1, B)),
                 pl.BlockSpec((1, D, B), rev3),
                 pl.BlockSpec((1, D, B), rev3),
                 _full((D, D)), _full((D, D)), _full((D, D)), _full((D, D)),
@@ -353,7 +361,7 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
             ],
             compiler_params=sem_bwd,
             interpret=interpret,
-        )(se3, ckr, cki, cr, ci, rr, ri, pc, ps)
+        )(se3, g, ckr, cki, cr, ci, rr, ri, pc, ps)
         return (outs[0].reshape(t_pad, B),) + tuple(outs[1:])
 
     @jax.custom_vjp
@@ -366,10 +374,10 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
 
     def fused_bwd(res, g):
         cr, ci, rr, ri, pc, ps, se, ckr, cki = res
+        # g: per-example loss cotangent [B] -> lane-weighted inside kernel
         (dse, dcr, dci, drr, dri, dpc, dps, dp0r, dp0i) = run_bwd(
-            cr, ci, rr, ri, pc, ps, se, ckr, cki)
-        return (g * dcr, g * dci, g * drr, g * dri, g * dpc, g * dps,
-                g * dp0r, g * dp0i, g * dse)
+            cr, ci, rr, ri, pc, ps, se, ckr, cki, g[None, :])
+        return (dcr, dci, drr, dri, dpc, dps, dp0r, dp0i, dse)
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -388,11 +396,17 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
                                         psi0_pair, *,
                                         unroll: Optional[int] = None,
                                         interpret: Optional[bool] = None,
-                                        precision: str = "highest"):
+                                        precision: str = "highest",
+                                        reduce: str = "mean"):
     """Fused NLL with PER-EXAMPLE initial states [B, D] (pair) — the fused
     backward already produces the initial-state cotangent, so gradients
     flow into whatever network produced psi0 (used by the latent-
-    conditioned model, models/latent.py). Returns per-batch-mean loss."""
+    conditioned model, models/latent.py). ``reduce="mean"`` returns the
+    batch-mean loss; ``reduce="none"`` returns true per-example losses [B]
+    (the kernel VJP takes per-example cotangents, so both differentiate
+    correctly)."""
+    if reduce not in ("mean", "none"):
+        raise ValueError(f"reduce must be 'mean' or 'none', got {reduce!r}")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -407,8 +421,9 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
     se = _pad_rows(incs, t_pad)
     pr0, pi0 = psi0_pair                              # [B, D]
     fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
-    return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
+    loss = fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
                  cc.p_c[:, None], cc.p_s[:, None], pr0.T, pi0.T, se)
+    return jnp.mean(loss) if reduce == "mean" else loss
 
 
 def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
@@ -437,8 +452,8 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     s0i = jnp.broadcast_to(pi0[:, None], (D, B))
 
     fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
-    return fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
-                 cc.p_c[:, None], cc.p_s[:, None], s0r, s0i, se)
+    return jnp.mean(fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
+                          cc.p_c[:, None], cc.p_s[:, None], s0r, s0i, se))
 
 
 # ===========================================================================

@@ -104,7 +104,14 @@ def sample(sc: SampleConfig, verbose: bool = True):
         print("warning: no checkpoint found, sampling from random init",
               flush=True)
 
-    if sc.fused:
+    if mps_model == "latent":
+        if sc.fused:
+            raise ValueError("--fused sampling is not available for the "
+                             "latent variant (the psi_0 batch is "
+                             "per-example); rerun without --fused")
+        from .models.latent import sample_latent
+        fn = sample_latent
+    elif sc.fused:
         from .ops.pallas_scan import (psi_sample_pallas_keyed,
                                       rho_sample_pallas_keyed)
         fn = (rho_sample_pallas_keyed if mps_model == "rho_mps"

@@ -55,6 +55,10 @@ def write_step_summaries(writer, step: int, metrics: dict, cfg, run,
         writer.add_scalar("gr_decay_time", 1.0 / gr_rate, step)
     writer.add_scalar("model_loss", float(metrics["model_loss"]), step)
     writer.add_scalar("total_loss", float(metrics["total_loss"]), step)
+    # latent-variant extras (ELBO decomposition)
+    for k in ("recon", "kl"):
+        if k in metrics:
+            writer.add_scalar(k, float(metrics[k]), step)
 
     if params is not None:
         freqs = np.asarray(params.freqs)

@@ -53,8 +53,13 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
     params, opt_state, start_step = ckpt.restore(params, opt_state)
     writer = summaries_lib.make_writer(logdir)
 
-    sample_fn = (core.sample_rho if run.mps_model == "rho_mps"
-                 else core.sample_psi)
+    if run.mps_model == "latent":
+        from .models.latent import sample_latent
+        sample_fn = sample_latent
+    else:
+        sample_fn = (core.sample_rho if run.mps_model == "rho_mps"
+                     else core.sample_psi)
+    latent = run.mps_model == "latent"
     metrics = {}
     step = start_step
     profiling = False
@@ -68,7 +73,13 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                 jax.profiler.stop_trace()
                 profiling = False
             batch = jnp.asarray(next(data_iter))
-            params, opt_state, metrics = step_fn(params, opt_state, batch)
+            if latent:
+                key, lkey = jax.random.split(key)
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch, lkey)
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch)
             step += 1
 
             if step % run.summary_every == 0 or step == start_step + 1:

@@ -65,7 +65,12 @@ def init_params_for(mps_model: str, key, cfg: CMPSConfig, **warm):
         return init_rho(key, cfg, **warm)
     if mps_model == "psi_mps":
         return init_psi(key, cfg, **warm)
-    raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+    if mps_model == "latent":
+        from .models.latent import init_latent
+        return init_latent(key, cfg, latent_dim=cfg.latent_dim,
+                           hidden=cfg.latent_hidden, **warm)
+    raise ValueError(
+        f"mps_model must be rho_mps, psi_mps, or latent, got {mps_model}")
 
 
 def make_optimizer(cfg: CMPSConfig):
@@ -86,12 +91,45 @@ def make_loss_fn(mps_model: str, cfg: CMPSConfig,
     return loss_fn
 
 
+def make_latent_loss_fn(cfg: CMPSConfig, fused: Optional[bool] = None):
+    """ELBO loss (+ the reference's h/r regularizers) for the
+    latent-conditioned variant; loss_fn(params, batch, key) — the key
+    drives the posterior reparameterization sample."""
+    from .models import latent as latent_lib
+    if fused is None:
+        fused = _on_tpu()
+
+    def loss_fn(params, batch, key):
+        nll, aux = latent_lib.elbo_loss(
+            params, cfg, batch, key, beta=cfg.latent_beta,
+            loss_type=cfg.latent_loss, fused=fused)
+        total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
+        return total, {"model_loss": nll, "total_loss": total,
+                       "recon": aux["recon"], "kl": aux["kl"],
+                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
+                       "A": params.A}
+    return loss_fn
+
+
 def make_train_step(mps_model: str, cfg: CMPSConfig, optimizer=None,
                     fused: Optional[bool] = None):
     """Returns (optimizer, jitted step). step(params, opt_state, batch) ->
-    (params, opt_state, metrics). `fused=None` auto-selects the Pallas
-    fused kernels on TPU."""
+    (params, opt_state, metrics) — except for mps_model="latent", whose
+    step takes an extra PRNG key: step(params, opt_state, batch, key).
+    `fused=None` auto-selects the Pallas fused kernels on TPU."""
     optimizer = optimizer or make_optimizer(cfg)
+    if mps_model == "latent":
+        loss_fn = make_latent_loss_fn(cfg, fused)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def latent_step(params, opt_state, batch, key):
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, metrics
+
+        return optimizer, latent_step
     loss_fn = make_loss_fn(mps_model, cfg, fused)
 
     @partial(jax.jit, donate_argnums=(0, 1))

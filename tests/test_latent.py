@@ -70,6 +70,36 @@ def test_prior_sampling():
     assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
 
 
+def test_fused_recon_per_example_matches_unfused():
+    """recon_loss(fused=True) returns TRUE per-example losses (not a
+    broadcast batch mean), matching fused=False element-wise, and its VJP
+    handles per-example weightings (VERDICT r1 item 5)."""
+    from audio_mps_tpu.models.latent import recon_loss
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4, hidden=16)
+    data = _data()
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 4))
+    from audio_mps_tpu.models.latent import decode_psi0
+    psi0_pair = decode_psi0(params, z, CFG)
+
+    r_ref = np.asarray(recon_loss(params, CFG, data, psi0_pair))
+    r_fus = np.asarray(recon_loss(params, CFG, data, psi0_pair, fused=True))
+    assert r_fus.shape == (4,)
+    assert len(np.unique(r_fus)) > 1, "fused recon collapsed to a broadcast"
+    np.testing.assert_allclose(r_fus, r_ref, rtol=1e-4, atol=1e-6)
+
+    # arbitrary per-example weights differentiate identically through both
+    w = jnp.asarray([0.1, 1.0, 2.0, 0.5])
+
+    def weighted(p, fused):
+        return jnp.sum(w * recon_loss(p, CFG, data, psi0_pair, fused=fused))
+
+    g_ref = jax.grad(lambda p: weighted(p, False))(params)
+    g_fus = jax.grad(lambda p: weighted(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
+
+
 def test_fused_recon_matches_xla():
     """Latent ELBO through the fused kernel == the XLA scan (value and
     gradients incl. the encoder/decoder MLPs via the per-example psi0

@@ -89,6 +89,32 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.exists(str(tmp_path / "s_0.wav"))
 
 
+def test_train_cli_latent_end_to_end(tmp_path):
+    """--mps_model=latent trains end-to-end from the CLI and the sample CLI
+    generates from the prior (VERDICT r1 item 5; reference follow_vae.py is
+    broken WIP)."""
+    from audio_mps_tpu.train import train
+    from audio_mps_tpu.sample import SampleConfig, sample
+    run = RunConfig(mps_model="latent", dataset="damped_sine",
+                    sample_duration=128, max_steps=3, summary_every=2,
+                    visualize=False, num_samples=0,
+                    logdir=str(tmp_path / "logs"), checkpoint_secs=1e9,
+                    fused="false")
+    cfg = CMPSConfig(minibatch_size=2, bond_dim=3, scan_chunk=32,
+                     latent_dim=4, latent_hidden=16)
+    params, metrics = train(run, cfg, verbose=False)
+    assert np.isfinite(float(metrics["model_loss"]))
+    assert "recon" in metrics and "kl" in metrics
+    assert float(metrics["kl"]) >= 0.0
+
+    waves = sample(SampleConfig(modeldir=run.run_logdir(cfg),
+                                sample_duration=64, num_samples=2,
+                                out=str(tmp_path / "s.npz"), wav=False),
+                   verbose=False)
+    assert waves.shape == (2, 64)
+    assert np.isfinite(waves).all()
+
+
 def test_sample_cli_restores_config_json(tmp_path):
     """train persists config.json; sample restores model+hparams from it
     (no --hparams needed)."""
