@@ -154,12 +154,20 @@ class RunConfig:
     profile_steps: int = 0
     # Fused Pallas train kernels: "auto" (TPU only), "true", "false".
     fused: str = "auto"
+    # TFRecord ingestion: "auto" streams files above the size threshold
+    # through the reservoir shuffle (data/pipeline.py) instead of loading
+    # them into host RAM; "true"/"false" force.
+    stream: str = "auto"
 
     def __post_init__(self):
         if self.fused not in ("auto", "true", "false"):
             raise ValueError(
                 f"fused must be 'auto', 'true', or 'false', got "
                 f"{self.fused!r}")
+        if self.stream not in ("auto", "true", "false"):
+            raise ValueError(
+                f"stream must be 'auto', 'true', or 'false', got "
+                f"{self.stream!r}")
 
     def run_logdir(self, cfg: CMPSConfig) -> str:
         """Run-parameterized logdir (reference: train.py:94)."""
@@ -175,7 +183,7 @@ def parse_argv(argv, run: RunConfig = RunConfig()) -> RunConfig:
         "sample_rate": int, "visualize": bool, "num_samples": int,
         "hparams": str, "datadir": str, "logdir": str, "max_steps": int,
         "checkpoint_secs": float, "summary_every": int, "seed": int,
-        "profile_steps": int, "fused": str,
+        "profile_steps": int, "fused": str, "stream": str,
     }
     updates = {}
     for arg in argv:

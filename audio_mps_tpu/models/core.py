@@ -334,7 +334,7 @@ def pscan_combine(a, b):
     return cr / scale, ci / scale, asig + bsig + jnp.log(scale[..., 0, 0])
 
 
-def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
+def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 1024):
     """Mean NLL via `lax.associative_scan` over per-step transfer operators
     — O(log T) depth instead of T sequential steps (SURVEY.md §2.4: "an
     associative scan over unnormalized transfer operators with per-chunk
@@ -357,12 +357,17 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
 
     Measured (v5e, D=8, B=8, T=65536): forward parity with the sequential
     factor scan (~210 ms both) — the D x D operands pad to (8,128) tiles
-    (16x expansion at D=8), so the log-depth matmuls are HBM-bound, and
-    reverse-mode through `associative_scan` materializes the padded
-    trajectory (keep `time_chunk` <= 1024 for gradients). Its niche is
-    depth, not single-chip throughput: the per-chunk prefix products are
-    the building block for cross-chip time sharding; the fused Pallas
-    kernels (ops/pallas_grad.py) remain the single-chip training path.
+    (16x expansion at D=8), so the log-depth matmuls are HBM-bound. Its
+    niche is depth, not single-chip throughput: the per-chunk prefix
+    products are the building block for cross-chip time sharding; the
+    fused Pallas kernels (ops/pallas_grad.py) remain the single-chip
+    training path.
+
+    Differentiable with bounded memory at any T: each `time_chunk`-sized
+    chunk body is `jax.checkpoint`-wrapped, so reverse-mode recomputes one
+    chunk's associative-scan intermediates at a time (live memory
+    O(time_chunk) + carries O(T / time_chunk)) instead of materializing
+    the whole padded trajectory (pinned by a T=8192 gradient test).
     """
     cc = make_constants(params, cfg)
     incs = _increments(signals)                       # [T-1, B]
@@ -417,9 +422,12 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     Tc = min(time_chunk, n_steps)
     n_full = n_steps // Tc
     carry = (g0r, g0i, jnp.zeros((B,), signals.dtype))
+    # remat per chunk: reverse-mode recomputes one chunk's associative-scan
+    # intermediates at a time instead of retaining all of them
+    inner = jax.checkpoint(chunk_step)
     if n_full:
         main = s_all[: n_full * Tc].reshape(n_full, Tc, B)
-        carry, _ = jax.lax.scan(chunk_step, carry, main)
+        carry, _ = jax.lax.scan(inner, carry, main)
     if n_steps % Tc:
         carry, _ = chunk_step(carry, s_all[n_full * Tc:])
     return jnp.mean(carry[2])

@@ -33,8 +33,10 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
     key = jax.random.PRNGKey(run.seed)   # reference seeds TF with 0: train.py:13
     key, init_key = jax.random.split(key)
 
+    stream = {"auto": None, "true": True, "false": False}[run.stream]
     data_iter = get_audio(run.datadir, run.dataset, cfg,
-                          sample_duration=run.sample_duration, seed=run.seed)
+                          sample_duration=run.sample_duration, seed=run.seed,
+                          stream=stream)
 
     params = init_params_for(run.mps_model, init_key, cfg)
     fused = {"auto": None, "true": True, "false": False}[run.fused]

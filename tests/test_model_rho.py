@@ -242,6 +242,23 @@ def test_pscan_matches_sequential():
                                    rtol=5e-3, atol=1e-5)
 
 
+def test_pscan_gradient_long_T_default_chunk_bounded_memory():
+    """jax.grad through rho_nll_pscan at T=8192 with the DEFAULT time_chunk
+    must work (chunk bodies are jax.checkpoint'ed, so reverse-mode
+    recomputes one chunk at a time instead of materializing the padded
+    trajectory — VERDICT r1 item 6) and match the sequential factor scan."""
+    cfg = CMPSConfig(minibatch_size=2, bond_dim=4, scan_chunk=512)
+    params = init_rho(jax.random.PRNGKey(8), cfg)
+    data = damped_sine_batch(jax.random.PRNGKey(1), 2, 8192 + 1, cfg.delta_t)
+    g_ref = jax.jit(jax.grad(
+        lambda p: core.rho_nll_factor(p, cfg, data)))(params)
+    g_ps = jax.jit(jax.grad(
+        lambda p: core.rho_nll_pscan(p, cfg, data)))(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
 def test_pscan_rescaling_under_large_updates():
     """The per-combine rescaling must keep 65k-step-scale products in fp32
     range: use a long T with sigma=1 (strong updates)."""
