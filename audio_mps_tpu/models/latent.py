@@ -131,7 +131,8 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
         from ..ops.pallas_grad import psi_nll_pallas_trainable_from_state
         return psi_nll_pallas_trainable_from_state(
             params, cfg, signals, psi0_pair,
-            precision=cfg.kernel_precision, reduce="none")
+            precision=cfg.kernel_precision, reduce="none",
+            defer_norm=cfg.defer_norm)
     cc = make_constants(params, cfg)
     incs = (signals[:, 1:] - signals[:, :-1]).T
     B = signals.shape[0]

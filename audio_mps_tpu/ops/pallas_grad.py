@@ -75,8 +75,38 @@ def _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s, log_eps, norm_eps,
                 arg=arg, n2=n2, inv=inv, tyr=tyr, tyi=tyi, npr=npr, npi=npi)
 
 
+def _psi_fwd_step_defer(cr, ci, rr, ri, pc, ps, pr, pi_, n2p, s,
+                        log_eps, norm_eps, precision="highest"):
+    """One forward step, DEFERRED normalization: the state stays
+    unnormalized within a block (the update is linear, the rotation
+    unitary), the expectation divides by the previous step's squared norm
+    instead (e = ehat / n2_prev — exactly the normalized-state value), and
+    renormalization happens once at block exit. Removes the per-step
+    rsqrt + 2 [D,B] scalings from the forward state-dependency chain and
+    the per-step normalize adjoint from the backward."""
+    _d = functools.partial(_dot, precision=precision)
+    g2r = _d(rr, pr) - _d(ri, pi_)              # R psi
+    g2i = _d(rr, pi_) + _d(ri, pr)
+    g1r = _d(cr, pr) - _d(ci, pi_)              # C psi
+    g1i = _d(cr, pi_) + _d(ci, pr)
+    yr = g1r + s * g2r
+    yi = g1i + s * g2i
+    rur = _d(rr, yr) - _d(ri, yi)               # R psi''
+    rui = _d(rr, yi) + _d(ri, yr)
+    ehat = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
+    n2p_c = jnp.maximum(n2p, norm_eps)
+    e = ehat / n2p_c
+    arg = jnp.maximum(1.0 + e * s, log_eps)
+    n2 = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)
+    npr = yr * pc + yi * ps                     # rotate by conj(p), no norm
+    npi = yi * pc - yr * ps
+    return dict(g2r=g2r, g2i=g2i, yr=yr, yi=yi, rur=rur, rui=rui,
+                ehat=ehat, e=e, arg=arg, n2=n2, npr=npr, npi=npi)
+
+
 def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         precision: str = "highest"):
+                         precision: str = "highest",
+                         defer_norm: bool = False):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -99,18 +129,37 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         pc, ps = pc_ref[:], ps_ref[:]
 
         pr, pi_ = pr_s[:], pi_s[:]
-        # checkpoint = block-entry state
+        # checkpoint = block-entry state (always normalized: blocks exit
+        # normalized in both modes)
         ckr_ref[0] = pr
         cki_ref[0] = pi_
         acc = acc_s[:]
-        for k in range(unroll):
-            s = se_ref[0, k:k + 1, :]
-            f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
-                              log_eps, norm_eps, precision)
-            live = (i * unroll + k) < total
-            acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-            pr = jnp.where(live, f["npr"], pr)
-            pi_ = jnp.where(live, f["npi"], pi_)
+        if defer_norm:
+            n2_prev = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_fwd_step_defer(cr, ci, rr, ri, pc, ps, pr, pi_,
+                                        n2_prev, s, log_eps, norm_eps,
+                                        precision)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                pr = jnp.where(live, f["npr"], pr)
+                pi_ = jnp.where(live, f["npi"], pi_)
+                n2_prev = jnp.where(live, f["n2"], n2_prev)
+            # block-exit renormalization (rotation is unitary, so the
+            # last step's n2 is the current squared norm)
+            inv = jax.lax.rsqrt(jnp.maximum(n2_prev, norm_eps))
+            pr = pr * inv
+            pi_ = pi_ * inv
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_fwd_step(cr, ci, rr, ri, pc, ps, pr, pi_, s,
+                                  log_eps, norm_eps, precision)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                pr = jnp.where(live, f["npr"], pr)
+                pi_ = jnp.where(live, f["npi"], pi_)
 
         pr_s[:] = pr
         pi_s[:] = pi_
@@ -268,9 +317,167 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
+def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+                               n_blocks: int, precision: str = "highest"):
+    """Deferred-normalization adjoint: the block recompute runs the
+    unnormalized chain from the (normalized) block-entry checkpoint; the
+    block-exit renormalization adjoint seeds (dp, dn2); the reversed sweep
+    carries the squared-norm cotangent dn2 alongside dp and has NO
+    per-step normalize adjoint (the per-step rsqrt chain is gone — the
+    expectation division e = ehat/n2_prev is the only norm coupling)."""
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, g_ref, ckr_ref, cki_ref, cr_ref, ci_ref, rr_ref,
+               ri_ref, pc_ref, ps_ref,
+               dse_ref, dcr_ref, dci_ref, drr_ref, dri_ref,
+               dpc_ref, dps_ref, dp0r_ref, dp0i_ref,
+               dpr_s, dpi_s, acr_s, aci_s, arr_s, ari_s, apc_s, aps_s):
+        i = pl.program_id(0)          # reversed block: real block = nb-1-i
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            dpr_s[:] = jnp.zeros_like(dpr_s)
+            dpi_s[:] = jnp.zeros_like(dpi_s)
+            acr_s[:] = jnp.zeros_like(acr_s)
+            aci_s[:] = jnp.zeros_like(aci_s)
+            arr_s[:] = jnp.zeros_like(arr_s)
+            ari_s[:] = jnp.zeros_like(ari_s)
+            apc_s[:] = jnp.zeros_like(apc_s)
+            aps_s[:] = jnp.zeros_like(aps_s)
+
+        cr, ci = cr_ref[:], ci_ref[:]
+        rr, ri = rr_ref[:], ri_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+
+        # --- recompute the unnormalized block chain from the checkpoint
+        pr = ckr_ref[0]
+        pi_ = cki_ref[0]
+        n2_prev = jnp.ones_like(se_ref[0, 0:1, :])
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _psi_fwd_step_defer(cr, ci, rr, ri, pc, ps, pr, pi_,
+                                    n2_prev, s, log_eps, norm_eps,
+                                    precision)
+            saved.append((pr, pi_, n2_prev, f["g2r"], f["g2i"],
+                          f["yr"], f["yi"], f["rur"], f["rui"]))
+            live = (blk * unroll + k) < total
+            pr = jnp.where(live, f["npr"], pr)
+            pi_ = jnp.where(live, f["npi"], pi_)
+            n2_prev = jnp.where(live, f["n2"], n2_prev)
+
+        _d = functools.partial(_dot, precision=precision)
+        # --- block-exit renormalization adjoint seeds (dp, dn2)
+        dpr_in, dpi_in = dpr_s[:], dpi_s[:]
+        inv = jax.lax.rsqrt(jnp.maximum(n2_prev, norm_eps))
+        dpr = dpr_in * inv
+        dpi = dpi_in * inv
+        dinv = jnp.sum(dpr_in * pr + dpi_in * pi_, axis=0, keepdims=True)
+        dn2 = jnp.where(n2_prev > norm_eps,
+                        -0.5 * dinv * inv * inv * inv,
+                        jnp.zeros_like(dinv))
+
+        dacr, daci = acr_s[:], aci_s[:]
+        darr, dari = arr_s[:], ari_s[:]
+        dapc, daps = apc_s[:], aps_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            pr0, pi0, n2p, g2r, g2i, yr, yi, rur, rui = saved[k]
+            # cheap scalar tail recompute (VPU only)
+            ehat = 2.0 * jnp.sum(yr * rur + yi * rui, axis=0, keepdims=True)
+            n2p_c = jnp.maximum(n2p, norm_eps)
+            e = ehat / n2p_c
+            arg = jnp.maximum(1.0 + e * s, log_eps)
+
+            # rotate adjoint: np = (yr*pc + yi*ps, yi*pc - yr*ps)
+            dyr = dpr * pc - dpi * ps
+            dyi = dpr * ps + dpi * pc
+            g_dpc = jnp.sum(dpr * yr + dpi * yi, axis=1, keepdims=True)
+            g_dps = jnp.sum(dpr * yi - dpi * yr, axis=1, keepdims=True)
+            # n2 = sum(y.y) adjoint (dn2 carried from the NEXT step's
+            # e-division / the block-exit renorm)
+            dyr = dyr + 2.0 * yr * dn2
+            dyi = dyi + 2.0 * yi * dn2
+            # loss adjoint: acc -= log(arg); arg = max(1 + e*s, eps);
+            # e = ehat / max(n2_prev, eps)
+            darg = jnp.where(arg > log_eps,
+                             -g_ref[:] / arg, jnp.zeros_like(arg))
+            de = darg * s
+            ds = darg * e
+            dehat = de / n2p_c
+            dn2_new = jnp.where(n2p > norm_eps,
+                                -de * e / n2p_c, jnp.zeros_like(de))
+            # ehat = 2 sum(y . ru)
+            dyr = dyr + 2.0 * dehat * rur
+            dyi = dyi + 2.0 * dehat * rui
+            drur = 2.0 * dehat * yr
+            drui = 2.0 * dehat * yi
+            # ru = R y adjoint (also accumulates dR)
+            dyr = dyr + _d(rr.T, drur) + _d(ri.T, drui)
+            dyi = dyi - _d(ri.T, drur) + _d(rr.T, drui)
+            g_drr = _d(drur, yr.T) + _d(drui, yi.T)
+            g_dri = _d(drui, yr.T) - _d(drur, yi.T)
+            # y = g1 + s*g2
+            dg1r, dg1i = dyr, dyi
+            dg2r = s * dyr
+            dg2i = s * dyi
+            ds = ds + jnp.sum(dyr * g2r + dyi * g2i, axis=0, keepdims=True)
+            # g1 = C p adjoint
+            dprn = _d(cr.T, dg1r) + _d(ci.T, dg1i)
+            dpin = -_d(ci.T, dg1r) + _d(cr.T, dg1i)
+            g_dcr = _d(dg1r, pr0.T) + _d(dg1i, pi0.T)
+            g_dci = _d(dg1i, pr0.T) - _d(dg1r, pi0.T)
+            # g2 = R p adjoint
+            dprn = dprn + _d(rr.T, dg2r) + _d(ri.T, dg2i)
+            dpin = dpin - _d(ri.T, dg2r) + _d(rr.T, dg2i)
+            g_drr = g_drr + _d(dg2r, pr0.T) + _d(dg2i, pi0.T)
+            g_dri = g_dri + _d(dg2i, pr0.T) - _d(dg2r, pi0.T)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
+                                               jnp.zeros_like(ds))
+            dpr = jnp.where(live, dprn, dpr)
+            dpi = jnp.where(live, dpin, dpi)
+            dn2 = jnp.where(live, dn2_new, dn2)
+            dacr = jnp.where(live, dacr + g_dcr, dacr)
+            daci = jnp.where(live, daci + g_dci, daci)
+            darr = jnp.where(live, darr + g_drr, darr)
+            dari = jnp.where(live, dari + g_dri, dari)
+            dapc = jnp.where(live, dapc + g_dpc, dapc)
+            daps = jnp.where(live, daps + g_dps, daps)
+        # dn2 now sits on the block-entry norm — a constant 1 (the entry
+        # state is normalized): discard.
+
+        dpr_s[:] = dpr
+        dpi_s[:] = dpi
+        acr_s[:] = dacr
+        aci_s[:] = daci
+        arr_s[:] = darr
+        ari_s[:] = dari
+        apc_s[:] = dapc
+        aps_s[:] = daps
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dcr_ref[:] = acr_s[:]
+            dci_ref[:] = aci_s[:]
+            drr_ref[:] = arr_s[:]
+            dri_ref[:] = ari_s[:]
+            dpc_ref[:] = apc_s[:]
+            dps_ref[:] = aps_s[:]
+            dp0r_ref[:] = dpr_s[:]
+            dp0i_ref[:] = dpi_s[:]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=64)
 def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
-                           interpret: bool, precision: str = "highest"):
+                           interpret: bool, precision: str = "highest",
+                           defer_norm: bool = False):
     """Build the custom-VJP fused NLL for fixed (cfg, shapes). The fused
     primal returns PER-EXAMPLE losses [B]; its VJP takes the matching [B]
     cotangent (so both mean losses and per-example consumers — e.g.
@@ -280,9 +487,12 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision)
-    bwd_kernel = _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                      precision)
+    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision,
+                                      defer_norm)
+    bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+                                             precision) if defer_norm else
+                  _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                       precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=100 * 1024 * 1024)
@@ -397,7 +607,8 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
                                         unroll: Optional[int] = None,
                                         interpret: Optional[bool] = None,
                                         precision: str = "highest",
-                                        reduce: str = "mean"):
+                                        reduce: str = "mean",
+                                        defer_norm: bool = False):
     """Fused NLL with PER-EXAMPLE initial states [B, D] (pair) — the fused
     backward already produces the initial-state cotangent, so gradients
     flow into whatever network produced psi0 (used by the latent-
@@ -420,7 +631,8 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     se = _pad_rows(incs, t_pad)
     pr0, pi0 = psi0_pair                              # [B, D]
-    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision,
+                                   defer_norm)
     loss = fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
                  cc.p_c[:, None], cc.p_s[:, None], pr0.T, pi0.T, se)
     return jnp.mean(loss) if reduce == "mean" else loss
@@ -429,7 +641,8 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
 def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
                              interpret: Optional[bool] = None,
-                             precision: str = "highest"):
+                             precision: str = "highest",
+                             defer_norm: bool = False):
     """Differentiable fused NLL: semantics of core.psi_nll with forward AND
     backward as single Pallas kernels. Gradients flow to every parameter
     (A via the signal scaling, R/C/freqs via the derived constants,
@@ -451,7 +664,8 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     s0r = jnp.broadcast_to(pr0[:, None], (D, B))
     s0i = jnp.broadcast_to(pi0[:, None], (D, B))
 
-    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision)
+    fused = _psi_fused_nll_factory(cfg, B, T, unroll, interpret, precision,
+                                   defer_norm)
     return jnp.mean(fused(cc.Cr, cc.Ci, cc.Rr, cc.Ri,
                           cc.p_c[:, None], cc.p_s[:, None], s0r, s0i, se))
 
@@ -491,8 +705,41 @@ def _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi, s,
                 tyr=tyr, tyi=tyi, nhr=nhr, nhi=nhi)
 
 
+def _rho_fwd_step_defer(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt, hr, hi,
+                        trp, s, log_eps, norm_eps, precision="highest"):
+    """One factor-form forward step, DEFERRED normalization (see
+    _psi_fwd_step_defer): the factor stays unnormalized within a block,
+    the expectation divides by the previous step's broadcast trace
+    (e = seg(ehat)/tr_prev — exactly the normalized value), trace
+    renormalization happens once at block exit."""
+    _d = functools.partial(_dot, precision=precision)
+
+    def seg(row):
+        return _d(_d(row, z), zt)
+
+    a1r = _d(ccr, hr) - _d(cci, hi)
+    a1i = _d(ccr, hi) + _d(cci, hr)
+    a2r = _d(rcr, hr) - _d(rci, hi)
+    a2i = _d(rcr, hi) + _d(rci, hr)
+    yr = a1r + s * a2r
+    yi = a1i + s * a2i
+    gxr = _d(xtr, yr) - _d(xti, yi)
+    gxi = _d(xtr, yi) + _d(xti, yr)
+    ehat_bc = seg(jnp.sum(yr * gxr + yi * gxi, axis=0, keepdims=True))
+    trp_c = jnp.maximum(trp, norm_eps)
+    e_bc = ehat_bc / trp_c
+    arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+    tr_bc = seg(jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True))
+    nhr = yr * pc - yi * ps                     # rotate: H <- P H, no norm
+    nhi = yr * ps + yi * pc
+    return dict(a2r=a2r, a2i=a2i, yr=yr, yi=yi, gxr=gxr, gxi=gxi,
+                ehat_bc=ehat_bc, e_bc=e_bc, arg=arg, tr_bc=tr_bc,
+                nhr=nhr, nhi=nhi)
+
+
 def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
-                         rank: int, precision: str = "highest"):
+                         rank: int, precision: str = "highest",
+                         defer_norm: bool = False):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -519,14 +766,32 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
         ckr_ref[0] = hr
         cki_ref[0] = hi
         acc = acc_s[:]
-        for k in range(unroll):
-            s = se_ref[0, k:k + 1, :]
-            f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z, zt,
-                              hr, hi, s, log_eps, norm_eps, precision)
-            live = (i * unroll + k) < total
-            acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-            hr = jnp.where(live, f["nhr"], hr)
-            hi = jnp.where(live, f["nhi"], hi)
+        if defer_norm:
+            trp = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_fwd_step_defer(ccr, cci, rcr, rci, xtr, xti, pc,
+                                        ps, z, zt, hr, hi, trp, s, log_eps,
+                                        norm_eps, precision)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                hr = jnp.where(live, f["nhr"], hr)
+                hi = jnp.where(live, f["nhi"], hi)
+                trp = jnp.where(live, f["tr_bc"], trp)
+            # block-exit renormalization (rotation preserves the trace)
+            inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
+            hr = hr * inv
+            hi = hi * inv
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_fwd_step(ccr, cci, rcr, rci, xtr, xti, pc, ps, z,
+                                  zt, hr, hi, s, log_eps, norm_eps,
+                                  precision)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                hr = jnp.where(live, f["nhr"], hr)
+                hi = jnp.where(live, f["nhi"], hi)
 
         hr_s[:] = hr
         hi_s[:] = hi
@@ -689,19 +954,192 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
+def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+                               n_blocks: int, inv_batch_rank: float,
+                               precision: str = "highest"):
+    """Deferred-normalization adjoint for the factor form (see
+    _make_psi_bwd_kernel_defer): carries the broadcast-trace cotangent dtr
+    alongside dh; no per-step normalize adjoint."""
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+
+    def kernel(se_ref, ckr_ref, cki_ref, ccr_ref, cci_ref, rcr_ref, rci_ref,
+               xtr_ref, xti_ref, pc_ref, ps_ref, z_ref, zt_ref,
+               dse_ref, dccr_ref, dcci_ref, drcr_ref, drci_ref,
+               dxtr_ref, dxti_ref, dpc_ref, dps_ref, dh0r_ref, dh0i_ref,
+               dhr_s, dhi_s, accr_s, acci_s, arcr_s, arci_s,
+               axtr_s, axti_s, apc_s, aps_s):
+        i = pl.program_id(0)
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dhr_s, dhi_s, accr_s, acci_s, arcr_s, arci_s,
+                        axtr_s, axti_s, apc_s, aps_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ccr, cci = ccr_ref[:], cci_ref[:]
+        rcr, rci = rcr_ref[:], rci_ref[:]
+        xtr, xti = xtr_ref[:], xti_ref[:]
+        pc, ps = pc_ref[:], ps_ref[:]
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z, precision=precision), zt,
+                        precision=precision)
+
+        # --- forward recompute of the unnormalized chain from checkpoint
+        hr = ckr_ref[0]
+        hi = cki_ref[0]
+        trp = jnp.ones_like(se_ref[0, 0:1, :])
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _rho_fwd_step_defer(ccr, cci, rcr, rci, xtr, xti, pc, ps,
+                                    z, zt, hr, hi, trp, s, log_eps,
+                                    norm_eps, precision)
+            saved.append((hr, hi, trp, f["a2r"], f["a2i"], f["yr"],
+                          f["yi"], f["gxr"], f["gxi"]))
+            live = (blk * unroll + k) < total
+            hr = jnp.where(live, f["nhr"], hr)
+            hi = jnp.where(live, f["nhi"], hi)
+            trp = jnp.where(live, f["tr_bc"], trp)
+
+        _d = functools.partial(_dot, precision=precision)
+        # --- block-exit renormalization adjoint seeds (dh, dtr)
+        dhr_in, dhi_in = dhr_s[:], dhi_s[:]
+        inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
+        dhr = dhr_in * inv
+        dhi = dhi_in * inv
+        dinv = jnp.sum(dhr_in * hr + dhi_in * hi, axis=0, keepdims=True)
+        # inv depends on the broadcast trace per lane; the seg fold to the
+        # per-lane tr_part happens at the consuming step below
+        dtr = jnp.where(trp > norm_eps,
+                        -0.5 * dinv * inv * inv * inv,
+                        jnp.zeros_like(dinv))
+
+        g_ccr, g_cci = accr_s[:], acci_s[:]
+        g_rcr, g_rci = arcr_s[:], arci_s[:]
+        g_xtr, g_xti = axtr_s[:], axti_s[:]
+        g_pc, g_ps = apc_s[:], aps_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            hr0, hi0, trp_k, a2r, a2i, yr, yi, gxr, gxi = saved[k]
+            # scalar tail recompute (VPU + skinny seg matmuls)
+            ehat_bc = seg(jnp.sum(yr * gxr + yi * gxi, axis=0,
+                                  keepdims=True))
+            trp_c = jnp.maximum(trp_k, norm_eps)
+            e_bc = ehat_bc / trp_c
+            arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+
+            # rotate adjoint: nh = (yr*pc - yi*ps, yr*ps + yi*pc)
+            dyr = dhr * pc + dhi * ps
+            dyi = -dhr * ps + dhi * pc
+            d_pc = jnp.sum(dhr * yr + dhi * yi, axis=1, keepdims=True)
+            d_ps = jnp.sum(dhi * yr - dhr * yi, axis=1, keepdims=True)
+            # tr_bc = seg(sum(y.y)) adjoint (dtr carried from the next
+            # step's e-division / the block-exit renorm)
+            dtr_part = seg(dtr)             # seg broadcast is self-adjoint
+            dyr = dyr + 2.0 * yr * dtr_part
+            dyi = dyi + 2.0 * yi * dtr_part
+            # loss adjoint: arg = max(1 + e_bc*s, eps);
+            # e_bc = seg(e_part) / max(tr_prev_bc, eps)
+            darg = jnp.where(arg > log_eps, -inv_batch_rank / arg,
+                             jnp.zeros_like(arg))
+            de_bc = darg * s
+            ds = darg * e_bc
+            dtr_new = jnp.where(trp_k > norm_eps,
+                                -de_bc * e_bc / trp_c,
+                                jnp.zeros_like(de_bc))
+            de_part = seg(de_bc / trp_c)
+            # e_part = sum(y . gx)
+            dyr = dyr + de_part * gxr
+            dyi = dyi + de_part * gxi
+            dgxr = de_part * yr
+            dgxi = de_part * yi
+            # gx = Xt y adjoint
+            dyr = dyr + _d(xtr.T, dgxr) + _d(xti.T, dgxi)
+            dyi = dyi - _d(xti.T, dgxr) + _d(xtr.T, dgxi)
+            d_xtr = _d(dgxr, yr.T) + _d(dgxi, yi.T)
+            d_xti = _d(dgxi, yr.T) - _d(dgxr, yi.T)
+            # y = a1 + s*a2
+            da1r, da1i = dyr, dyi
+            da2r = s * dyr
+            da2i = s * dyi
+            ds = ds + jnp.sum(dyr * a2r + dyi * a2i, axis=0, keepdims=True)
+            # a1 = conj(C) h adjoint
+            dhrn = _d(ccr.T, da1r) + _d(cci.T, da1i)
+            dhin = -_d(cci.T, da1r) + _d(ccr.T, da1i)
+            d_ccr = _d(da1r, hr0.T) + _d(da1i, hi0.T)
+            d_cci = _d(da1i, hr0.T) - _d(da1r, hi0.T)
+            # a2 = conj(R) h adjoint
+            dhrn = dhrn + _d(rcr.T, da2r) + _d(rci.T, da2i)
+            dhin = dhin - _d(rci.T, da2r) + _d(rcr.T, da2i)
+            d_rcr = _d(da2r, hr0.T) + _d(da2i, hi0.T)
+            d_rci = _d(da2i, hr0.T) - _d(da2r, hi0.T)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds,
+                                               jnp.zeros_like(ds))
+            dhr = jnp.where(live, dhrn, dhr)
+            dhi = jnp.where(live, dhin, dhi)
+            dtr = jnp.where(live, dtr_new, dtr)
+            g_ccr = jnp.where(live, g_ccr + d_ccr, g_ccr)
+            g_cci = jnp.where(live, g_cci + d_cci, g_cci)
+            g_rcr = jnp.where(live, g_rcr + d_rcr, g_rcr)
+            g_rci = jnp.where(live, g_rci + d_rci, g_rci)
+            g_xtr = jnp.where(live, g_xtr + d_xtr, g_xtr)
+            g_xti = jnp.where(live, g_xti + d_xti, g_xti)
+            g_pc = jnp.where(live, g_pc + d_pc, g_pc)
+            g_ps = jnp.where(live, g_ps + d_ps, g_ps)
+        # leftover dtr sits on the block-entry trace (a constant 1): discard
+
+        dhr_s[:] = dhr
+        dhi_s[:] = dhi
+        accr_s[:] = g_ccr
+        acci_s[:] = g_cci
+        arcr_s[:] = g_rcr
+        arci_s[:] = g_rci
+        axtr_s[:] = g_xtr
+        axti_s[:] = g_xti
+        apc_s[:] = g_pc
+        aps_s[:] = g_ps
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dccr_ref[:] = accr_s[:]
+            dcci_ref[:] = acci_s[:]
+            drcr_ref[:] = arcr_s[:]
+            drci_ref[:] = arci_s[:]
+            dxtr_ref[:] = axtr_s[:]
+            dxti_ref[:] = axti_s[:]
+            dpc_ref[:] = apc_s[:]
+            dps_ref[:] = aps_s[:]
+            dh0r_ref[:] = dhr_s[:]
+            dh0i_ref[:] = dhi_s[:]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=64)
 def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                            unroll: int, interpret: bool,
-                           precision: str = "highest"):
+                           precision: str = "highest",
+                           defer_norm: bool = False):
     D = cfg.bond_dim
     BR = B * rank
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank, precision)
-    bwd_kernel = _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                      1.0 / (B * rank), precision)
+    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank, precision,
+                                      defer_norm)
+    bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+                                             1.0 / (B * rank), precision)
+                  if defer_norm else
+                  _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                       1.0 / (B * rank), precision))
     # raised scoped-VMEM ceiling everywhere (v5e has 128 MiB physical
     # VMEM): the unrolled sweeps keep whole blocks of intermediates live
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -822,7 +1260,8 @@ def _rho_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
 def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
                              interpret: Optional[bool] = None,
-                             precision: str = "highest"):
+                             precision: str = "highest",
+                             defer_norm: bool = False):
     """Differentiable fused NLL for the mixed-state model
     (purification-factor form; semantics of core.rho_nll): forward AND
     backward as single Pallas kernels. Gradients reach every parameter via
@@ -850,7 +1289,7 @@ def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
 
     fused = _rho_fused_nll_factory(cfg, B, T, rank, unroll, interpret,
-                                   precision)
+                                   precision, defer_norm)
     return fused(cc.Cr, -cc.Ci, cc.Rr, -cc.Ri, cc.Xr.T, cc.Xi.T,
                  cc.p_c[:, None], cc.p_s[:, None], h0r, h0i, se,
                  zmat, zmat.T)

@@ -43,7 +43,8 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
 
             def _rho_fused(params, cfg, signals):
                 return rho_nll_pallas_trainable(
-                    params, cfg, signals, precision=cfg.kernel_precision)
+                    params, cfg, signals, precision=cfg.kernel_precision,
+                    defer_norm=cfg.defer_norm)
             return _rho_fused
         # factor evolution: same value as core.rho_nll (pinned by tests),
         # half the matmul FLOPs
@@ -54,7 +55,8 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
 
             def _psi_fused(params, cfg, signals):
                 return psi_nll_pallas_trainable(
-                    params, cfg, signals, precision=cfg.kernel_precision)
+                    params, cfg, signals, precision=cfg.kernel_precision,
+                    defer_norm=cfg.defer_norm)
             return _psi_fused
         return core.psi_nll
     raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
@@ -151,7 +153,11 @@ class Checkpointer:
     """Orbax-backed checkpoint/resume of (params, opt_state, step).
 
     Time-based save cadence mirrors the reference's
-    ``save_checkpoint_secs=60`` (reference: train.py:93).
+    ``save_checkpoint_secs=60`` (reference: train.py:93). Saves run
+    ASYNCHRONOUSLY (SURVEY.md §5 plan: "Orbax async checkpointing"):
+    ``maybe_save`` hands the host copy to a background thread and returns,
+    so the step loop never stalls on checkpoint IO; restore/close join any
+    in-flight save first.
     """
 
     def __init__(self, directory: str, save_secs: float = 60.0,
@@ -162,7 +168,9 @@ class Checkpointer:
         os.makedirs(self.directory, exist_ok=True)
         self.manager = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True))
         self.save_secs = save_secs
         self._last_save = time.time()
 
@@ -173,6 +181,7 @@ class Checkpointer:
         """Restore the latest checkpoint into the given (abstract or
         concrete) param/opt_state structures; returns (params, opt_state,
         step). If no checkpoint exists, returns inputs and step 0."""
+        self.manager.wait_until_finished()  # join any in-flight save
         step = self.manager.latest_step()
         if step is None:
             return params, opt_state, 0
@@ -184,11 +193,13 @@ class Checkpointer:
         return restored["params"], restored["opt_state"], step
 
     def maybe_save(self, step: int, params, opt_state, force: bool = False):
+        """Kick off a background save if the cadence elapsed (returns
+        immediately — orbax snapshots to host and serializes off-thread; a
+        save issued while one is in flight joins the previous one first)."""
         now = time.time()
         if force or (now - self._last_save) >= self.save_secs:
             self.manager.save(step, args=self._ocp.args.StandardSave(
                 {"params": params, "opt_state": opt_state}))
-            self.manager.wait_until_finished()
             self._last_save = now
             return True
         return False

@@ -12,7 +12,7 @@ from audio_mps_tpu.models.latent import (decode_psi0, elbo_loss, encode,
                                          init_latent, sample_latent)
 
 CFG = CMPSConfig(minibatch_size=4, bond_dim=4, scan_chunk=64)
-T = 256
+T = 128
 
 
 def _data(B=4):

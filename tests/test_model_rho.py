@@ -227,11 +227,11 @@ def test_bond_dim_128():
 def test_pscan_matches_sequential():
     """Parallel-in-time NLL (associative scan over transfer operators) ==
     sequential factor scan, values and gradients."""
-    params = init_rho(jax.random.PRNGKey(8), HP)
-    data = small_data()
-    cfg = dataclasses.replace(HP, scan_chunk=0)
+    cfg = dataclasses.replace(HP, minibatch_size=4, scan_chunk=0)
+    params = init_rho(jax.random.PRNGKey(8), cfg)
+    data = small_data(T=161, B=4)
     ref = float(core.rho_nll_factor(params, cfg, data))
-    for tc in [32, 300]:
+    for tc in [32, 200]:   # chunked + single-chunk-with-remainder paths
         v = float(core.rho_nll_pscan(params, cfg, data, time_chunk=tc))
         np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-6)
     g_ref = jax.grad(core.rho_nll_factor)(params, cfg, data)

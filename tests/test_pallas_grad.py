@@ -14,7 +14,7 @@ from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
                                            rho_nll_pallas_trainable)
 
 HP = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
-T = 131   # odd, exercises padding gates in both sweeps
+T = 83    # odd, exercises padding gates in both sweeps
 
 
 def _data():
@@ -29,29 +29,31 @@ def _check_grads(g_ref, g_pal, names):
         assert rel < 1e-4, f"{name}: rel err {rel}"
 
 
-def test_psi_fused_value_and_grads():
+@pytest.mark.parametrize("defer", [False, True])
+def test_psi_fused_value_and_grads(defer):
     pp = init_psi(jax.random.PRNGKey(3), HP)
     v_ref = float(core.psi_nll(pp, HP, _data()))
     v_pal = float(psi_nll_pallas_trainable(pp, HP, _data(), unroll=16,
-                                           interpret=True))
+                                           interpret=True, defer_norm=defer))
     np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
     g_ref = jax.grad(core.psi_nll)(pp, HP, _data())
     g_pal = jax.grad(lambda p: psi_nll_pallas_trainable(
-        p, HP, _data(), unroll=16, interpret=True))(pp)
+        p, HP, _data(), unroll=16, interpret=True, defer_norm=defer))(pp)
     _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "psi_x", "psi_y"])
 
 
-@pytest.mark.parametrize("rank", [None, 3])
-def test_rho_fused_value_and_grads(rank):
+@pytest.mark.parametrize("rank,defer", [(None, False), (None, True),
+                                        (3, False), (3, True)])
+def test_rho_fused_value_and_grads(rank, defer):
     hp = dataclasses.replace(HP, initial_rank=rank)
     pp = init_rho(jax.random.PRNGKey(3), hp)
     v_ref = float(core.rho_nll_factor(pp, hp, _data()))
     v_pal = float(rho_nll_pallas_trainable(pp, hp, _data(), unroll=16,
-                                           interpret=True))
+                                           interpret=True, defer_norm=defer))
     np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
     g_ref = jax.grad(core.rho_nll_factor)(pp, hp, _data())
     g_pal = jax.grad(lambda p: rho_nll_pallas_trainable(
-        p, hp, _data(), unroll=16, interpret=True))(pp)
+        p, hp, _data(), unroll=16, interpret=True, defer_norm=defer))(pp)
     _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "Wx", "Wy"])
 
 

@@ -51,7 +51,7 @@ def test_dp_fused_step_matches_single_device_fused(mps_model):
     on the CPU mesh) must reproduce the single-device fused step — this is
     the multi-chip default on TPU (VERDICT r1 item 2)."""
     mesh = make_mesh()
-    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, T, CFG.delta_t)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, 128, CFG.delta_t)
 
     opt_s, step_s = make_train_step(mps_model, CFG, fused=True)
     params = init_params_for(mps_model, jax.random.PRNGKey(0), CFG)
