@@ -58,11 +58,24 @@ class CMPSConfig:
     # Trace/norm floor for per-step renormalization (reference model.py:198-203,
     # model.py:327-334 use 1e-12).
     norm_eps: float = 1e-12
-    # MXU precision for the fused Pallas training kernels: "highest"
-    # (6-pass fp32, exact reference parity — default) or "default"
-    # (bf16 passes: 3.3x faster at D=64, loss rel-err ~1e-3,
-    # grad rel-err ~4e-2 — standard low-precision-training territory).
+    # MXU precision for the fused Pallas training kernels:
+    #   "highest" — 6-pass fp32, exact reference parity (default);
+    #   "high"    — hand-rolled bf16x3 (hi/lo split, 3 single-pass dots):
+    #               ~half the MXU passes of "highest" at ~16-bit mantissa
+    #               accuracy (loss rel-err ~1e-6, grad rel-err ~1e-4);
+    #               block layout only (Mosaic cannot lower XLA's HIGH);
+    #   "default" — raw bf16 passes: fastest, loss rel-err ~1e-3,
+    #               grad rel-err ~4e-2 — low-precision-training territory.
     kernel_precision: str = "highest"
+    # Layout of the fused training kernels' complex algebra:
+    #   "split" — each complex matrix apply is 4 real [D,D]@[D,N] dots;
+    #   "block" — complex operators are embedded as real [2D,2D] block
+    #     matrices acting on the stacked [2D,N] state, with the per-step
+    #     frame rotation folded into the step constants: one full-width
+    #     MXU dot per apply, 4x fewer dispatches (ops/pallas_block.py);
+    #     requires bond_dim % 4 == 0.
+    #   "auto" — block when supported (the measured win on v5e), else split.
+    kernel_layout: str = "auto"
     # Deferred in-block normalization for the fused training kernels: the
     # state stays unnormalized within an unrolled block (the update is
     # linear, the rotation unitary), the per-step expectation divides by
@@ -81,12 +94,25 @@ class CMPSConfig:
     latent_loss: str = "log"
 
     def __post_init__(self):
-        # Mosaic lowers only HIGHEST and DEFAULT dot precisions ("high"
-        # raises NotImplementedError inside pallas on this backend).
-        if self.kernel_precision not in ("highest", "default"):
+        # Mosaic lowers only HIGHEST and DEFAULT dot precisions; "high" is
+        # the hand-rolled bf16x3 emulation in the block-layout kernels.
+        if self.kernel_precision not in ("highest", "high", "default"):
             raise ValueError(
-                f"kernel_precision must be 'highest' or 'default',"
+                f"kernel_precision must be 'highest', 'high', or 'default',"
                 f" got {self.kernel_precision!r}")
+        if self.kernel_precision == "high" and (
+                self.kernel_layout == "split" or self.bond_dim % 4 != 0):
+            raise ValueError(
+                "kernel_precision='high' requires the block kernel layout "
+                "(kernel_layout in ('auto', 'block') and bond_dim % 4 == 0)")
+        if self.kernel_layout not in ("auto", "split", "block"):
+            raise ValueError(
+                f"kernel_layout must be 'auto', 'split', or 'block',"
+                f" got {self.kernel_layout!r}")
+        if self.kernel_layout == "block" and self.bond_dim % 4 != 0:
+            raise ValueError(
+                f"kernel_layout='block' requires bond_dim % 4 == 0,"
+                f" got bond_dim={self.bond_dim}")
         if self.latent_loss not in ("log", "quadratic"):
             raise ValueError(
                 f"latent_loss must be 'log' or 'quadratic', got "
@@ -132,6 +158,7 @@ _FIELD_TYPES = {
     "log_eps": float,
     "norm_eps": float,
     "kernel_precision": str,
+    "kernel_layout": str,
     "defer_norm": bool,
     "latent_dim": int,
     "latent_hidden": int,

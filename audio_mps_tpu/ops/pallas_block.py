@@ -1,0 +1,1025 @@
+"""Block-complex fused training kernels: full-width MXU at D=64.
+
+Same semantics as ops/pallas_grad.py (the fused custom-VJP cMPS training
+loop; reference hot loop: model.py:132-203 for rho, model.py:257-334 for
+psi), re-laid-out for the MXU's native 128x128 systolic tile:
+
+1. **Complex algebra as one real block GEMM.** A complex matrix apply
+   (M_r + i M_i)(x_r + i x_i) costs 4 real [D,D]@[D,N] dots in the split
+   layout — at the flagship D=64 each dot fills only HALF the MXU's
+   sublane/contraction width. Here every complex operator is embedded
+   once (outside the kernel, in traced JAX) as the real block matrix
+   Bk(M) = [[M_r, -M_i], [M_i, M_r]] acting on the stacked state
+   [x_r; x_i] ([2D, N]): one [2D,2D]@[2D,N] dot — identical FLOPs, full
+   128-wide MXU tiles at D=64, and 4x fewer dot dispatches.
+
+2. **The per-step frame rotation folds into the step constants.** The
+   rotating-frame cell ends each step with a constant elementwise phase
+   (models/cell.py: psi <- conj(p) .* psi'', H <- p .* H''). That rotation
+   would force half-swapping elementwise work on the stacked state, so it
+   is folded into the following step's operators instead: with
+   x_k = conj(p) .* t_k (psi), the chain C x_k becomes (C diag(conj p)) t_k
+   — a COLUMN rescale of the constants, applied once outside the kernel.
+   The kernel state t is the pre-rotation normalized state; the rotation
+   (and its adjoint d_pc/d_ps) disappears from the hot loop entirely, and
+   autodiff through the fold recovers the frequency gradients.
+
+The custom_vjp boundary therefore sits at the BLOCK constants
+(Ab = Bk(C~), Bb = Bk(R~), Rb/Xb = Bk(expectation op), stacked initial
+state, se): everything from learnable parameters to those is plain
+differentiable JAX — including the block embedding and the rotation fold —
+so the kernels' emitted [2D,2D] cotangents flow back to R/freqs/A/psi0/W
+through ordinary autodiff.
+
+Numerics are pinned against the split-layout kernels and jax.grad of the
+XLA scan (tests/test_pallas_block.py). Values differ from the split layout
+only by fp reassociation inside the dots.
+
+Layout constraints: the stacked state has 2D sublanes; kernels require
+D % 4 == 0 (so 2D is a multiple of 8 — a full sublane tile). The split
+kernels remain the fallback for other D (config.kernel_layout="auto").
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CMPSConfig
+from ..models import core
+from ..models.cell import make_constants
+from .pallas_grad import auto_unroll
+from .pallas_scan import _full, _on_tpu, _pad_rows
+
+
+def _dot(a, b, precision="highest"):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=precision)
+
+
+def _split_bf16(x):
+    """Split an fp32 array into (hi, lo) bf16 halves with
+    hi + lo == x to ~16 mantissa bits."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (hi, lo)
+
+
+def _make_dot_ops(precision):
+    """(prep, dotf, tr) for the kernels' GEMMs.
+
+    precision="high" emulates near-fp32 dots with THREE single-pass bf16
+    MXU products (hi@hi + hi@lo + lo@hi, fp32 accumulation) — half the MXU
+    passes of "highest" (6-pass fp32) at ~16-bit mantissa accuracy. Mosaic
+    does not lower XLA's HIGH dot precision in kernels on this backend, so
+    the classic bf16x3 decomposition is done by hand. prep() splits an
+    operand once (reused across dots); tr() transposes a prepped operand.
+    """
+    if precision == "high":
+        def dotf(a, b):
+            ah, al = a
+            bh, bl = b
+            d = functools.partial(jnp.dot,
+                                  preferred_element_type=jnp.float32,
+                                  precision="default")
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+        return _split_bf16, dotf, lambda a: (a[0].T, a[1].T)
+    dotf = functools.partial(_dot, precision=precision)
+    return (lambda x: x), dotf, (lambda a: a.T)
+
+
+def block_embed(mr, mi):
+    """Real [2D,2D] embedding of the complex matrix M = mr + i mi acting on
+    stacked [xr; xi] columns (traced JAX, outside the kernels)."""
+    top = jnp.concatenate([mr, -mi], axis=1)
+    bot = jnp.concatenate([mi, mr], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def supports_block(cfg: CMPSConfig) -> bool:
+    """Block layout needs 2D sublanes to tile (D % 4 == 0)."""
+    return cfg.bond_dim % 4 == 0
+
+
+def _psi_block_constants(cc):
+    """(Ab, Bb, Rb) with the conj(p) rotation folded in: C~ = C diag(conj p),
+    R~ = R diag(conj p); Rb is the bare expectation operator."""
+    pc, ps = cc.p_c, cc.p_s
+    ctr = cc.Cr * pc[None, :] + cc.Ci * ps[None, :]
+    cti = cc.Ci * pc[None, :] - cc.Cr * ps[None, :]
+    rtr = cc.Rr * pc[None, :] + cc.Ri * ps[None, :]
+    rti = cc.Ri * pc[None, :] - cc.Rr * ps[None, :]
+    return (block_embed(ctr, cti), block_embed(rtr, rti),
+            block_embed(cc.Rr, cc.Ri))
+
+
+def _psi_block_t0(cc, pr0, pi0):
+    """Stacked kernel-frame initial state t0 = p .* x0 ([2D, B])."""
+    pc, ps = cc.p_c[:, None], cc.p_s[:, None]
+    t0r = pr0 * pc - pi0 * ps
+    t0i = pi0 * pc + pr0 * ps
+    return jnp.concatenate([t0r, t0i], axis=0)
+
+
+def _rho_block_constants(cc):
+    """(Ab, Bb, Xb) with the diag(p) rotation folded in:
+    A~ = conj(C) diag(p), B~ = conj(R) diag(p); Xb embeds X^T."""
+    pc, ps = cc.p_c, cc.p_s
+    atr = cc.Cr * pc[None, :] + cc.Ci * ps[None, :]
+    ati = cc.Cr * ps[None, :] - cc.Ci * pc[None, :]
+    btr = cc.Rr * pc[None, :] + cc.Ri * ps[None, :]
+    bti = cc.Rr * ps[None, :] - cc.Ri * pc[None, :]
+    return (block_embed(atr, ati), block_embed(btr, bti),
+            block_embed(cc.Xr.T, cc.Xi.T))
+
+
+def _rho_block_t0(cc, h0r, h0i):
+    """Stacked kernel-frame initial factor t0 = conj(p) .* H0 ([2D, BR])."""
+    pc, ps = cc.p_c[:, None], cc.p_s[:, None]
+    t0r = h0r * pc + h0i * ps
+    t0i = h0i * pc - h0r * ps
+    return jnp.concatenate([t0r, t0i], axis=0)
+
+
+# ===========================================================================
+# psi kernels
+# ===========================================================================
+
+def _psi_step(ab, bb, rb, t, s, log_eps, norm_eps, prep, dotf):
+    """One stacked forward step; y/ru/ty are [2D, B]. ab/bb/rb arrive
+    prepped (see _make_dot_ops)."""
+    tp = prep(t)
+    bt = dotf(bb, tp)                               # R~ t
+    y = dotf(ab, tp) + s * bt                       # y = C~ t + s R~ t
+    ru = dotf(rb, prep(y))                          # R y (expectation)
+    e = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
+    arg = jnp.maximum(1.0 + e * s, log_eps)
+    n2 = jnp.sum(y * y, axis=0, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+    ty = y * inv
+    return dict(bt=bt, y=y, ru=ru, e=e, arg=arg, n2=n2, inv=inv, ty=ty)
+
+
+def _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps, prep, dotf):
+    """Deferred-normalization step: state stays unnormalized in-block,
+    e = ehat / n2_prev (exactly the normalized value)."""
+    tp = prep(t)
+    bt = dotf(bb, tp)
+    y = dotf(ab, tp) + s * bt
+    ru = dotf(rb, prep(y))
+    ehat = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
+    n2p_c = jnp.maximum(n2p, norm_eps)
+    e = ehat / n2p_c
+    arg = jnp.maximum(1.0 + e * s, log_eps)
+    n2 = jnp.sum(y * y, axis=0, keepdims=True)
+    return dict(bt=bt, y=y, ru=ru, e=e, arg=arg, n2=n2)
+
+
+def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         precision: str, defer_norm: bool):
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, rb_ref,
+               loss_ref, ck_ref, t_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        t = t_s[:]
+        ck_ref[0] = t            # block-entry checkpoint (normalized)
+        acc = acc_s[:]
+        if defer_norm:
+            n2p = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps,
+                                    norm_eps, prep, dotf)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                t = jnp.where(live, f["y"], t)
+                n2p = jnp.where(live, f["n2"], n2p)
+            inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
+            t = t * inv          # block-exit renormalization
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_step(ab, bb, rb, t, s, log_eps, norm_eps, prep,
+                              dotf)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                t = jnp.where(live, f["ty"], t)
+
+        t_s[:] = t
+        acc_s[:] = acc
+        loss_ref[0] = acc
+
+    return kernel
+
+
+def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         n_blocks: int, precision: str):
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, tr = _make_dot_ops(precision)
+
+    def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
+               dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, arb_s):
+        i = pl.program_id(0)              # reversed: real block = nb-1-i
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, arb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        abT, bbT, rbT = tr(ab), tr(bb), tr(rb)
+
+        # --- recompute the block from its checkpoint, keeping GEMM products
+        t = ck_ref[0]
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _psi_step(ab, bb, rb, t, s, log_eps, norm_eps, prep, dotf)
+            saved.append((t, f["bt"], f["y"], f["ru"]))
+            live = (blk * unroll + k) < total
+            t = jnp.where(live, f["ty"], t)
+
+        # --- reverse sweep
+        dt = dt_s[:]
+        a_ab, a_bb, a_rb = aab_s[:], abb_s[:], arb_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            tin, bt, y, ru = saved[k]
+            # cheap scalar tail recompute (VPU only)
+            e = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
+            arg = jnp.maximum(1.0 + e * s, log_eps)
+            n2 = jnp.sum(y * y, axis=0, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+
+            # normalize adjoint: ty = y * inv
+            dy = dt * inv
+            dinv = jnp.sum(dt * y, axis=0, keepdims=True)
+            dn2 = jnp.where(n2 > norm_eps,
+                            -0.5 * dinv * inv * inv * inv,
+                            jnp.zeros_like(dinv))
+            dy = dy + 2.0 * y * dn2
+            # loss adjoint (per-lane weighted by the loss cotangent g)
+            darg = jnp.where(arg > log_eps,
+                             -g_ref[:] / arg, jnp.zeros_like(arg))
+            de = darg * s
+            ds = darg * e
+            # e = 2 sum(y . ru)
+            dy = dy + 2.0 * de * ru
+            dru = 2.0 * de * y
+            # ru = Rb y adjoint (also accumulates dRb)
+            pdru = prep(dru)
+            dy = dy + dotf(rbT, pdru)
+            d_rb = dotf(pdru, prep(y.T))
+            # y = Ab t + s * (Bb t)
+            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
+            sdy = s * dy
+            pdy, psdy = prep(dy), prep(sdy)
+            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
+            ptinT = prep(tin.T)
+            d_ab = dotf(pdy, ptinT)
+            d_bb = dotf(psdy, ptinT)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dt = jnp.where(live, dtn, dt)
+            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
+            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
+            a_rb = jnp.where(live, a_rb + d_rb, a_rb)
+
+        dt_s[:] = dt
+        aab_s[:] = a_ab
+        abb_s[:] = a_bb
+        arb_s[:] = a_rb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            drb_ref[:] = arb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
+def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+                               n_blocks: int, precision: str):
+    """Deferred-normalization adjoint: no per-step normalize adjoint; the
+    squared-norm cotangent dn2 is carried alongside dt (see the split
+    kernel, ops/pallas_grad.py:_make_psi_bwd_kernel_defer)."""
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, tr = _make_dot_ops(precision)
+
+    def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
+               dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, arb_s):
+        i = pl.program_id(0)
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, arb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        abT, bbT, rbT = tr(ab), tr(bb), tr(rb)
+
+        # --- recompute the unnormalized chain from the checkpoint
+        t = ck_ref[0]
+        n2p = jnp.ones_like(se_ref[0, 0:1, :])
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps,
+                                prep, dotf)
+            saved.append((t, n2p, f["bt"], f["y"], f["ru"]))
+            live = (blk * unroll + k) < total
+            t = jnp.where(live, f["y"], t)
+            n2p = jnp.where(live, f["n2"], n2p)
+
+        # --- block-exit renormalization adjoint seeds (dt, dn2)
+        dt_in = dt_s[:]
+        inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
+        dt = dt_in * inv
+        dinv = jnp.sum(dt_in * t, axis=0, keepdims=True)
+        dn2 = jnp.where(n2p > norm_eps,
+                        -0.5 * dinv * inv * inv * inv,
+                        jnp.zeros_like(dinv))
+
+        a_ab, a_bb, a_rb = aab_s[:], abb_s[:], arb_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            tin, n2pk, bt, y, ru = saved[k]
+            # cheap scalar tail recompute (VPU only)
+            ehat = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
+            n2p_c = jnp.maximum(n2pk, norm_eps)
+            e = ehat / n2p_c
+            arg = jnp.maximum(1.0 + e * s, log_eps)
+
+            # n2 = sum(y.y) adjoint (dn2 carried from the NEXT step's
+            # e-division / the block-exit renorm)
+            dy = dt + 2.0 * y * dn2
+            # loss adjoint: arg = max(1 + e*s, eps); e = ehat / n2_prev
+            darg = jnp.where(arg > log_eps,
+                             -g_ref[:] / arg, jnp.zeros_like(arg))
+            de = darg * s
+            ds = darg * e
+            dehat = de / n2p_c
+            dn2_new = jnp.where(n2pk > norm_eps,
+                                -de * e / n2p_c, jnp.zeros_like(de))
+            # ehat = 2 sum(y . ru)
+            dy = dy + 2.0 * dehat * ru
+            dru = 2.0 * dehat * y
+            # ru = Rb y adjoint
+            pdru = prep(dru)
+            dy = dy + dotf(rbT, pdru)
+            d_rb = dotf(pdru, prep(y.T))
+            # y = Ab t + s * (Bb t)
+            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
+            sdy = s * dy
+            pdy, psdy = prep(dy), prep(sdy)
+            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
+            ptinT = prep(tin.T)
+            d_ab = dotf(pdy, ptinT)
+            d_bb = dotf(psdy, ptinT)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dt = jnp.where(live, dtn, dt)
+            dn2 = jnp.where(live, dn2_new, dn2)
+            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
+            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
+            a_rb = jnp.where(live, a_rb + d_rb, a_rb)
+        # leftover dn2 sits on the block-entry norm (a constant 1): discard
+
+        dt_s[:] = dt
+        aab_s[:] = a_ab
+        abb_s[:] = a_bb
+        arb_s[:] = a_rb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            drb_ref[:] = arb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
+                       interpret: bool, precision: str, defer_norm: bool):
+    """Custom-VJP fused NLL over block constants. The primal returns
+    PER-EXAMPLE losses [B]; the VJP takes the matching [B] cotangent."""
+    D = cfg.bond_dim
+    D2 = 2 * D
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision,
+                                      defer_norm)
+    bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+                                             precision) if defer_norm else
+                  _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                       precision))
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                                   vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(ab, bb, rb, t0, se):
+        se3 = se.reshape(n_blocks, unroll, B)
+        loss, ck = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+                _full((D2, B)),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D2, B), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D2, B), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D2, B), jnp.float32),
+                pltpu.VMEM((1, B), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se3, t0, ab, bb, rb)
+        return loss[-1, 0], ck
+
+    def run_bwd(ab, bb, rb, se, ck, g):
+        rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        se3 = se.reshape(n_blocks, unroll, B)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, B), rev3),
+                _full((1, B)),
+                pl.BlockSpec((1, D2, B), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, unroll, B), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((D2, B)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, B), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D2, B), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+            ],
+            compiler_params=sem_bwd,
+            interpret=interpret,
+        )(se3, g, ck, ab, bb, rb)
+        return (outs[0].reshape(t_pad, B),) + tuple(outs[1:])
+
+    @jax.custom_vjp
+    def fused(ab, bb, rb, t0, se):
+        return run_fwd(ab, bb, rb, t0, se)[0]
+
+    def fused_fwd(ab, bb, rb, t0, se):
+        loss, ck = run_fwd(ab, bb, rb, t0, se)
+        return loss, (ab, bb, rb, se, ck)
+
+    def fused_bwd(res, g):
+        ab, bb, rb, se, ck = res
+        dse, dab, dbb, drb, dt0 = run_bwd(ab, bb, rb, se, ck, g[None, :])
+        return (dab, dbb, drb, dt0, dse)
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def psi_nll_block_trainable_from_state(params, cfg: CMPSConfig, signals,
+                                       psi0_pair, *,
+                                       unroll: Optional[int] = None,
+                                       interpret: Optional[bool] = None,
+                                       precision: str = "highest",
+                                       reduce: str = "mean",
+                                       defer_norm: bool = False):
+    """Block-layout fused NLL with PER-EXAMPLE initial states [B, D]
+    (pair); drop-in for pallas_grad.psi_nll_pallas_trainable_from_state."""
+    if reduce not in ("mean", "none"):
+        raise ValueError(f"reduce must be 'mean' or 'none', got {reduce!r}")
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"block layout requires bond_dim % 4 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    unroll = auto_unroll(2 * cfg.bond_dim, B, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = _pad_rows(incs, t_pad)
+    pr0, pi0 = psi0_pair                              # [B, D]
+    ab, bb, rb = _psi_block_constants(cc)
+    t0 = _psi_block_t0(cc, pr0.T, pi0.T)
+    fused = _psi_block_factory(cfg, B, T, unroll, interpret, precision,
+                               defer_norm)
+    loss = fused(ab, bb, rb, t0, se)
+    return jnp.mean(loss) if reduce == "mean" else loss
+
+
+def psi_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
+                            unroll: Optional[int] = None,
+                            interpret: Optional[bool] = None,
+                            precision: str = "highest",
+                            defer_norm: bool = False):
+    """Block-layout differentiable fused NLL (semantics of core.psi_nll);
+    drop-in for pallas_grad.psi_nll_pallas_trainable."""
+    B = signals.shape[0]
+    pr0, pi0 = core.psi0(params, cfg)
+    pair = (jnp.broadcast_to(pr0[None, :], (B, pr0.shape[0])),
+            jnp.broadcast_to(pi0[None, :], (B, pi0.shape[0])))
+    return psi_nll_block_trainable_from_state(
+        params, cfg, signals, pair, unroll=unroll, interpret=interpret,
+        precision=precision, reduce="mean", defer_norm=defer_norm)
+
+
+# ===========================================================================
+# rho kernels (purification factor, stacked [2D, B*rank])
+# ===========================================================================
+
+def _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps, prep, dotf):
+    tp = prep(t)
+    bt = dotf(bb, tp)
+    y = dotf(ab, tp) + s * bt
+    gx = dotf(xb, prep(y))
+    e_bc = seg(jnp.sum(y * gx, axis=0, keepdims=True))
+    arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+    tr_bc = seg(jnp.sum(y * y, axis=0, keepdims=True))
+    inv = jax.lax.rsqrt(jnp.maximum(tr_bc, norm_eps))
+    ty = y * inv
+    return dict(bt=bt, y=y, gx=gx, e_bc=e_bc, arg=arg, tr_bc=tr_bc,
+                inv=inv, ty=ty)
+
+
+def _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps, norm_eps,
+                    prep, dotf):
+    tp = prep(t)
+    bt = dotf(bb, tp)
+    y = dotf(ab, tp) + s * bt
+    gx = dotf(xb, prep(y))
+    ehat_bc = seg(jnp.sum(y * gx, axis=0, keepdims=True))
+    trp_c = jnp.maximum(trp, norm_eps)
+    e_bc = ehat_bc / trp_c
+    arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+    tr_bc = seg(jnp.sum(y * y, axis=0, keepdims=True))
+    return dict(bt=bt, y=y, gx=gx, e_bc=e_bc, arg=arg, tr_bc=tr_bc)
+
+
+def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         rank: int, precision: str, defer_norm: bool):
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+    # the seg broadcasts are skinny [1,BR]@[BR,B] dots — negligible MXU
+    # cost, so they stay at full fp32 precision in "high" mode
+    seg_prec = "highest" if precision == "high" else precision
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               loss_ref, ck_ref, t_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+
+        t = t_s[:]
+        ck_ref[0] = t
+        acc = acc_s[:]
+        if defer_norm:
+            trp = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
+                                    norm_eps, prep, dotf)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                t = jnp.where(live, f["y"], t)
+                trp = jnp.where(live, f["tr_bc"], trp)
+            inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
+            t = t * inv
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
+                              prep, dotf)
+                live = (i * unroll + k) < total
+                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
+                t = jnp.where(live, f["ty"], t)
+
+        t_s[:] = t
+        acc_s[:] = acc
+        # lanes within an example's rank-group are identical; average out
+        loss_ref[0] = _dot(acc, z_ref[:]) * (1.0 / rank)
+
+    return kernel
+
+
+def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+                         n_blocks: int, inv_batch_rank: float,
+                         precision: str):
+    """inv_batch_rank = 1 / (B * rank): d(mean loss)/d(acc lane)."""
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, tr = _make_dot_ops(precision)
+    seg_prec = "highest" if precision == "high" else precision
+
+    def kernel(se_ref, ck_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, axb_s):
+        i = pl.program_id(0)
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, axb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        abT, bbT, xbT = tr(ab), tr(bb), tr(xb)
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+
+        # --- recompute the block from its checkpoint
+        t = ck_ref[0]
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
+                          prep, dotf)
+            saved.append((t, f["bt"], f["y"], f["gx"]))
+            live = (blk * unroll + k) < total
+            t = jnp.where(live, f["ty"], t)
+
+        # --- reverse sweep
+        dt = dt_s[:]
+        a_ab, a_bb, a_xb = aab_s[:], abb_s[:], axb_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            tin, bt, y, gx = saved[k]
+            # scalar tail recompute (VPU + skinny seg matmuls)
+            e_bc = seg(jnp.sum(y * gx, axis=0, keepdims=True))
+            arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+            tr_bc = seg(jnp.sum(y * y, axis=0, keepdims=True))
+            inv = jax.lax.rsqrt(jnp.maximum(tr_bc, norm_eps))
+
+            # normalize adjoint: ty = y * inv
+            dy = dt * inv
+            dinv = jnp.sum(dt * y, axis=0, keepdims=True)
+            dtr_bc = jnp.where(tr_bc > norm_eps,
+                               -0.5 * dinv * inv * inv * inv,
+                               jnp.zeros_like(dinv))
+            dtr_part = seg(dtr_bc)          # seg broadcast is self-adjoint
+            dy = dy + 2.0 * y * dtr_part
+            # loss adjoint
+            darg = jnp.where(arg > log_eps, -inv_batch_rank / arg,
+                             jnp.zeros_like(arg))
+            de_bc = darg * s
+            ds = darg * e_bc
+            de_part = seg(de_bc)
+            # e_part = sum(y . gx)
+            dy = dy + de_part * gx
+            dgx = de_part * y
+            # gx = Xb y adjoint
+            pdgx = prep(dgx)
+            dy = dy + dotf(xbT, pdgx)
+            py_t = prep(y.T)
+            d_xb = dotf(pdgx, py_t)
+            # y = Ab t + s * (Bb t)
+            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
+            sdy = s * dy
+            pdy, psdy = prep(dy), prep(sdy)
+            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
+            ptinT = prep(tin.T)
+            d_ab = dotf(pdy, ptinT)
+            d_bb = dotf(psdy, ptinT)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dt = jnp.where(live, dtn, dt)
+            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
+            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
+            a_xb = jnp.where(live, a_xb + d_xb, a_xb)
+
+        dt_s[:] = dt
+        aab_s[:] = a_ab
+        abb_s[:] = a_bb
+        axb_s[:] = a_xb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            dxb_ref[:] = axb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
+def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+                               n_blocks: int, inv_batch_rank: float,
+                               precision: str):
+    """Deferred-normalization adjoint: carries the broadcast-trace
+    cotangent dtr alongside dt; no per-step normalize adjoint."""
+    # log_eps <= 0 reproduces the reference's unclamped NaN semantics
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, tr = _make_dot_ops(precision)
+    seg_prec = "highest" if precision == "high" else precision
+
+    def kernel(se_ref, ck_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, axb_s):
+        i = pl.program_id(0)
+        blk = n_blocks - 1 - i
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, axb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        abT, bbT, xbT = tr(ab), tr(bb), tr(xb)
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+
+        # --- recompute the unnormalized chain from the checkpoint
+        t = ck_ref[0]
+        trp = jnp.ones_like(se_ref[0, 0:1, :])
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
+                                norm_eps, prep, dotf)
+            saved.append((t, trp, f["bt"], f["y"], f["gx"]))
+            live = (blk * unroll + k) < total
+            t = jnp.where(live, f["y"], t)
+            trp = jnp.where(live, f["tr_bc"], trp)
+
+        # --- block-exit renormalization adjoint seeds (dt, dtr)
+        dt_in = dt_s[:]
+        inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
+        dt = dt_in * inv
+        dinv = jnp.sum(dt_in * t, axis=0, keepdims=True)
+        dtr = jnp.where(trp > norm_eps,
+                        -0.5 * dinv * inv * inv * inv,
+                        jnp.zeros_like(dinv))
+
+        a_ab, a_bb, a_xb = aab_s[:], abb_s[:], axb_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            tin, trp_k, bt, y, gx = saved[k]
+            # scalar tail recompute
+            ehat_bc = seg(jnp.sum(y * gx, axis=0, keepdims=True))
+            trp_c = jnp.maximum(trp_k, norm_eps)
+            e_bc = ehat_bc / trp_c
+            arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+
+            # tr_bc = seg(sum(y.y)) adjoint (dtr carried from the next
+            # step's e-division / the block-exit renorm)
+            dtr_part = seg(dtr)             # seg broadcast is self-adjoint
+            dy = dt + 2.0 * y * dtr_part
+            # loss adjoint: arg = max(1 + e_bc*s, eps);
+            # e_bc = seg(e_part) / max(tr_prev_bc, eps)
+            darg = jnp.where(arg > log_eps, -inv_batch_rank / arg,
+                             jnp.zeros_like(arg))
+            de_bc = darg * s
+            ds = darg * e_bc
+            dtr_new = jnp.where(trp_k > norm_eps,
+                                -de_bc * e_bc / trp_c,
+                                jnp.zeros_like(de_bc))
+            de_part = seg(de_bc / trp_c)
+            # e_part = sum(y . gx)
+            dy = dy + de_part * gx
+            dgx = de_part * y
+            # gx = Xb y adjoint
+            pdgx = prep(dgx)
+            dy = dy + dotf(xbT, pdgx)
+            d_xb = dotf(pdgx, prep(y.T))
+            # y = Ab t + s * (Bb t)
+            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
+            sdy = s * dy
+            pdy, psdy = prep(dy), prep(sdy)
+            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
+            ptinT = prep(tin.T)
+            d_ab = dotf(pdy, ptinT)
+            d_bb = dotf(psdy, ptinT)
+
+            live = (blk * unroll + k) < total
+            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
+            dt = jnp.where(live, dtn, dt)
+            dtr = jnp.where(live, dtr_new, dtr)
+            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
+            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
+            a_xb = jnp.where(live, a_xb + d_xb, a_xb)
+        # leftover dtr sits on the block-entry trace (constant 1): discard
+
+        dt_s[:] = dt
+        aab_s[:] = a_ab
+        abb_s[:] = a_bb
+        axb_s[:] = a_xb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            dxb_ref[:] = axb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
+                       unroll: int, interpret: bool, precision: str,
+                       defer_norm: bool):
+    D2 = 2 * cfg.bond_dim
+    BR = B * rank
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank, precision,
+                                      defer_norm)
+    bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+                                             1.0 / (B * rank), precision)
+                  if defer_norm else
+                  _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                                       1.0 / (B * rank), precision))
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(ab, bb, xb, t0, se, z, zt):
+        se3 = se.reshape(n_blocks, unroll, BR)
+        loss, ck = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, BR), lambda i: (i, 0, 0)),
+                _full((D2, BR)),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D2, BR), jnp.float32),
+                pltpu.VMEM((1, BR), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se3, t0, ab, bb, xb, z, zt)
+        return jnp.mean(loss[-1, 0]), ck
+
+    def run_bwd(ab, bb, xb, se, z, zt, ck):
+        rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        se3 = se.reshape(n_blocks, unroll, BR)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, BR), rev3),
+                pl.BlockSpec((1, D2, BR), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, unroll, BR), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((D2, BR)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, unroll, BR), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, BR), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D2, BR), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se3, ck, ab, bb, xb, z, zt)
+        return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
+
+    @jax.custom_vjp
+    def fused(ab, bb, xb, t0, se, z, zt):
+        return run_fwd(ab, bb, xb, t0, se, z, zt)[0]
+
+    def fused_fwd(ab, bb, xb, t0, se, z, zt):
+        loss, ck = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return loss, (ab, bb, xb, se, z, zt, ck)
+
+    def fused_bwd(res, g):
+        ab, bb, xb, se, z, zt, ck = res
+        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, z, zt, ck)
+        return (g * dab, g * dbb, g * dxb, g * dt0, g * dse,
+                jnp.zeros_like(z), jnp.zeros_like(zt))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
+                            unroll: Optional[int] = None,
+                            interpret: Optional[bool] = None,
+                            precision: str = "highest",
+                            defer_norm: bool = False):
+    """Block-layout differentiable fused NLL for the mixed-state model
+    (purification-factor form; semantics of core.rho_nll); drop-in for
+    pallas_grad.rho_nll_pallas_trainable."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"block layout requires bond_dim % 4 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    rank = params.Wx.shape[0]
+    unroll = auto_unroll(2 * D, B * rank, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)
+
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, B))
+    h0i = jnp.tile(wi.T * inv0, (1, B))
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+
+    ab, bb, xb = _rho_block_constants(cc)
+    t0 = _rho_block_t0(cc, h0r, h0i)
+    fused = _rho_block_factory(cfg, B, T, rank, unroll, interpret,
+                               precision, defer_norm)
+    return fused(ab, bb, xb, t0, se, zmat, zmat.T)

@@ -593,6 +593,21 @@ def _psi_fused_nll_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
     return fused
 
 
+def resolve_layout(cfg: CMPSConfig, layout: Optional[str] = None) -> str:
+    """Resolve a kernel-layout request ("auto"/"split"/"block"/None) to a
+    concrete layout. "auto" picks the block-complex layout
+    (ops/pallas_block.py — full-width MXU dots, measured faster on v5e at
+    every supported D) whenever bond_dim % 4 == 0."""
+    layout = layout if layout is not None else cfg.kernel_layout
+    if layout == "auto":
+        from .pallas_block import supports_block
+        return "block" if supports_block(cfg) else "split"
+    if layout not in ("split", "block"):
+        raise ValueError(
+            f"layout must be 'auto', 'split', or 'block', got {layout!r}")
+    return layout
+
+
 def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
     """Pick the unroll so the reverse sweep's live intermediates (~40
     [D, cols] arrays per step empirically) fit the raised VMEM ceiling."""
@@ -608,7 +623,8 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
                                         interpret: Optional[bool] = None,
                                         precision: str = "highest",
                                         reduce: str = "mean",
-                                        defer_norm: bool = False):
+                                        defer_norm: bool = False,
+                                        layout: Optional[str] = None):
     """Fused NLL with PER-EXAMPLE initial states [B, D] (pair) — the fused
     backward already produces the initial-state cotangent, so gradients
     flow into whatever network produced psi0 (used by the latent-
@@ -618,6 +634,16 @@ def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
     correctly)."""
     if reduce not in ("mean", "none"):
         raise ValueError(f"reduce must be 'mean' or 'none', got {reduce!r}")
+    if resolve_layout(cfg, layout) == "block":
+        from .pallas_block import psi_nll_block_trainable_from_state
+        return psi_nll_block_trainable_from_state(
+            params, cfg, signals, psi0_pair, unroll=unroll,
+            interpret=interpret, precision=precision, reduce=reduce,
+            defer_norm=defer_norm)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -642,12 +668,22 @@ def psi_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
                              interpret: Optional[bool] = None,
                              precision: str = "highest",
-                             defer_norm: bool = False):
+                             defer_norm: bool = False,
+                             layout: Optional[str] = None):
     """Differentiable fused NLL: semantics of core.psi_nll with forward AND
     backward as single Pallas kernels. Gradients flow to every parameter
     (A via the signal scaling, R/C/freqs via the derived constants,
     psi_0 via the initial state) — the derivation chain outside the
     kernels is ordinary JAX."""
+    if resolve_layout(cfg, layout) == "block":
+        from .pallas_block import psi_nll_block_trainable
+        return psi_nll_block_trainable(
+            params, cfg, signals, unroll=unroll, interpret=interpret,
+            precision=precision, defer_norm=defer_norm)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -1261,12 +1297,22 @@ def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
                              unroll: Optional[int] = None,
                              interpret: Optional[bool] = None,
                              precision: str = "highest",
-                             defer_norm: bool = False):
+                             defer_norm: bool = False,
+                             layout: Optional[str] = None):
     """Differentiable fused NLL for the mixed-state model
     (purification-factor form; semantics of core.rho_nll): forward AND
     backward as single Pallas kernels. Gradients reach every parameter via
     the plain-JAX constants chain (W through H0, A through se, R/freqs
     through conj(C)/conj(R)/X^T/p)."""
+    if resolve_layout(cfg, layout) == "block":
+        from .pallas_block import rho_nll_block_trainable
+        return rho_nll_block_trainable(
+            params, cfg, signals, unroll=unroll, interpret=interpret,
+            precision=precision, defer_norm=defer_norm)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)

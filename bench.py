@@ -41,10 +41,10 @@ from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.training import make_train_step
 
 # v5e peak: 197 TFLOP/s bf16 on the MXU. fp32 matmuls at
-# precision="highest" cost 6 bf16 passes each (the parity default), so the
-# fp32-equivalent ceiling is peak/6.
+# precision="highest" cost 6 bf16 passes each (the parity default);
+# "high" is the hand-rolled bf16x3 decomposition (3 passes).
 PEAK_BF16_TFLOPS = 197.0
-PASS_FACTOR = {"highest": 6, "default": 1}
+PASS_FACTOR = {"highest": 6, "high": 3, "default": 1}
 
 
 def _train_flops_per_frame(D: int, lanes_per_example: int = 1) -> float:
@@ -147,22 +147,37 @@ def main():
               "peak_bf16_tflops": PEAK_BF16_TFLOPS}
 
     # --- HEADLINE: psi (reference default model) fused training at the
-    # throughput batch, vs the lab-frame transcription at the same config
+    # throughput batch, vs the lab-frame transcription at the same config.
+    # The kernels run in the block-complex layout (ops/pallas_block.py,
+    # cfg.kernel_layout="auto") at full fp32 ("highest") precision.
     t_head = bench_fused_train("psi_mps", D, B_wide, T, iters)
     t_head_lab = bench_lab_train("psi_mps", D, B_wide, T, max(1, iters - 1))
     frames_per_sec = B_wide * T / t_head
     head_tfs, head_mfu = _mfu(_train_flops_per_frame(D), B_wide, T, t_head)
+    # bf16x3 fast mode at the same config (loss rel-err ~1e-3 at T=16k,
+    # vs ~25% for raw bf16 — see CLAUDE.md measured notes)
+    t_head_h3 = bench_fused_train("psi_mps", D, B_wide, T, iters,
+                                  precision="high")
+    h3_tfs, h3_mfu = _mfu(_train_flops_per_frame(D), B_wide, T, t_head_h3,
+                          precision="high")
     detail.update({
         "headline_config": f"psi_mps fused train fwd+bwd+Adam, B={B_wide}",
         "train_step_ms_headline": round(t_head * 1e3, 2),
         "train_step_ms_headline_transcription": round(t_head_lab * 1e3, 2),
         "model_tflops_per_sec_headline": head_tfs,
         "mfu_pct_headline": head_mfu,
+        "train_step_ms_headline_bf16x3": round(t_head_h3 * 1e3, 2),
+        "train_frames_per_sec_headline_bf16x3": round(B_wide * T / t_head_h3,
+                                                      1),
+        "model_tflops_per_sec_headline_bf16x3": h3_tfs,
+        "mfu_pct_headline_bf16x3": h3_mfu,
     })
 
     # --- rho (mixed state) at the BENCH_r01 headline config, for
     # continuity: fused / bf16 fast mode / XLA factor scan / transcription
     t_rho = bench_fused_train("rho_mps", D, B, T, iters)
+    t_rho_h3 = bench_fused_train("rho_mps", D, B, T, iters,
+                                 precision="high")
     t_rho_bf = bench_fused_train("rho_mps", D, B, T, iters,
                                  precision="default")
     t_rho_lab = bench_lab_train("rho_mps", D, B, T, max(1, iters - 1))
@@ -179,6 +194,7 @@ def main():
         f"train_frames_per_sec_rho_D{D}_B{B}": round(B * T / t_rho, 1),
         "rho_vs_transcription": round(t_rho_lab / t_rho, 3),
         "train_step_ms_rho_fused": round(t_rho * 1e3, 2),
+        "train_step_ms_rho_fused_bf16x3": round(t_rho_h3 * 1e3, 2),
         "train_step_ms_rho_fused_bf16": round(t_rho_bf * 1e3, 2),
         "train_step_ms_rho_xla_factor": round(t_xla * 1e3, 2),
         "train_step_ms_rho_transcription": round(t_rho_lab * 1e3, 2),

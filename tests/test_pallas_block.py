@@ -1,0 +1,147 @@
+"""Block-complex fused kernels (ops/pallas_block.py) vs jax.grad of the
+XLA scan and vs the split-layout kernels (interpret mode; the same kernels
+are TPU-validated by bench)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models import core
+from audio_mps_tpu.models.params import init_psi, init_rho
+from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
+                                           psi_nll_pallas_trainable_from_state,
+                                           resolve_layout,
+                                           rho_nll_pallas_trainable)
+
+HP = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+T = 83    # odd, exercises padding gates in both sweeps
+
+
+def _data():
+    return damped_sine_batch(jax.random.PRNGKey(1), 4, T, HP.delta_t)
+
+
+def _check_grads(g_ref, g_pal, names):
+    for name in names:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_pal, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 1e-4, f"{name}: rel err {rel}"
+
+
+@pytest.mark.parametrize("defer", [False, True])
+def test_psi_block_value_and_grads(defer):
+    pp = init_psi(jax.random.PRNGKey(3), HP)
+    v_ref = float(core.psi_nll(pp, HP, _data()))
+    v_blk = float(psi_nll_pallas_trainable(pp, HP, _data(), unroll=16,
+                                           interpret=True, defer_norm=defer,
+                                           layout="block"))
+    np.testing.assert_allclose(v_blk, v_ref, rtol=1e-5, atol=1e-7)
+    g_ref = jax.grad(core.psi_nll)(pp, HP, _data())
+    g_blk = jax.grad(lambda p: psi_nll_pallas_trainable(
+        p, HP, _data(), unroll=16, interpret=True, defer_norm=defer,
+        layout="block"))(pp)
+    _check_grads(g_ref, g_blk, ["A", "Rx", "Ry", "freqs", "psi_x", "psi_y"])
+
+
+@pytest.mark.parametrize("rank,defer", [(3, False), (None, True)])
+def test_rho_block_value_and_grads(rank, defer):
+    hp = dataclasses.replace(HP, initial_rank=rank)
+    pp = init_rho(jax.random.PRNGKey(3), hp)
+    v_ref = float(core.rho_nll_factor(pp, hp, _data()))
+    v_blk = float(rho_nll_pallas_trainable(pp, hp, _data(), unroll=16,
+                                           interpret=True, defer_norm=defer,
+                                           layout="block"))
+    np.testing.assert_allclose(v_blk, v_ref, rtol=1e-5, atol=1e-7)
+    g_ref = jax.grad(core.rho_nll_factor)(pp, hp, _data())
+    g_blk = jax.grad(lambda p: rho_nll_pallas_trainable(
+        p, hp, _data(), unroll=16, interpret=True, defer_norm=defer,
+        layout="block"))(pp)
+    _check_grads(g_ref, g_blk, ["A", "Rx", "Ry", "freqs", "Wx", "Wy"])
+
+
+def test_psi_block_from_state_per_example():
+    """Per-example initial states + reduce='none': block == split, and the
+    psi0 cotangent flows (the latent model's consumption pattern)."""
+    pp = init_psi(jax.random.PRNGKey(3), HP)
+    B, D = 4, HP.bond_dim
+    pr0 = jax.random.normal(jax.random.PRNGKey(7), (B, D))
+    pi0 = jax.random.normal(jax.random.PRNGKey(8), (B, D))
+    n = jnp.sqrt(jnp.sum(pr0 ** 2 + pi0 ** 2, 1, keepdims=True))
+    pair = (pr0 / n, pi0 / n)
+    kw = dict(unroll=16, interpret=True, reduce="none", defer_norm=True)
+    l_split = psi_nll_pallas_trainable_from_state(pp, HP, _data(), pair,
+                                                  layout="split", **kw)
+    l_blk = psi_nll_pallas_trainable_from_state(pp, HP, _data(), pair,
+                                                layout="block", **kw)
+    assert l_blk.shape == (B,)
+    np.testing.assert_allclose(np.asarray(l_blk), np.asarray(l_split),
+                               rtol=1e-5, atol=1e-7)
+
+    def wloss(pair, layout):
+        # weighted per-example sum -> non-uniform cotangents into the VJP
+        w = jnp.asarray([1.0, 2.0, 0.5, 3.0])
+        return jnp.sum(w * psi_nll_pallas_trainable_from_state(
+            pp, HP, _data(), pair, layout=layout, **kw))
+
+    g_split = jax.grad(wloss)(pair, "split")
+    g_blk = jax.grad(wloss)(pair, "block")
+    for a, b in zip(g_split, g_blk):
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+            np.abs(np.asarray(a)).max() + 1e-12)
+        assert rel < 1e-4, f"psi0 cotangent rel err {rel}"
+
+
+def test_high_precision_bf16x3_close_to_highest():
+    """kernel_precision='high' (hand-rolled 3-pass bf16x3) tracks the fp32
+    kernels to ~16-bit-mantissa accuracy — two orders tighter than raw
+    bf16 ('default': loss ~1e-3 / grad ~4e-2). Interpret mode emulates the
+    same bf16 casts, so the decomposition logic is pinned on CPU."""
+    pp = init_psi(jax.random.PRNGKey(3), HP)
+    kw = dict(unroll=16, interpret=True, layout="block", defer_norm=True)
+    v_hi = float(psi_nll_pallas_trainable(pp, HP, _data(),
+                                          precision="highest", **kw))
+    v_h3 = float(psi_nll_pallas_trainable(pp, HP, _data(),
+                                          precision="high", **kw))
+    assert abs(v_h3 - v_hi) / abs(v_hi) < 3e-3
+    g_hi = jax.grad(lambda p: psi_nll_pallas_trainable(
+        p, HP, _data(), precision="highest", **kw))(pp)
+    g_h3 = jax.grad(lambda p: psi_nll_pallas_trainable(
+        p, HP, _data(), precision="high", **kw))(pp)
+    _names = ["A", "Rx", "Ry", "freqs", "psi_x", "psi_y"]
+    for name in _names:
+        a = np.asarray(getattr(g_hi, name))
+        b = np.asarray(getattr(g_h3, name))
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-12)
+        assert rel < 5e-3, f"{name}: rel err {rel}"
+    # config guards: 'high' needs the block layout
+    with pytest.raises(ValueError):
+        CMPSConfig(kernel_precision="high", kernel_layout="split")
+    with pytest.raises(ValueError):
+        CMPSConfig(kernel_precision="high", bond_dim=6)
+    with pytest.raises(ValueError):
+        psi_nll_pallas_trainable(pp, HP, _data(), interpret=True,
+                                 layout="split", precision="high")
+
+
+def test_layout_resolution_and_guards():
+    assert resolve_layout(HP) == "block"                   # auto, D=8
+    assert resolve_layout(dataclasses.replace(
+        HP, bond_dim=2)) == "split"                        # auto, D=2
+    assert resolve_layout(HP, "split") == "split"          # explicit wins
+    with pytest.raises(ValueError):
+        resolve_layout(HP, "mosaic")
+    with pytest.raises(ValueError):
+        CMPSConfig(bond_dim=6, kernel_layout="block")
+    with pytest.raises(ValueError):
+        CMPSConfig(kernel_layout="blocky")
+    # explicit block on unsupported D raises at call time too
+    hp2 = dataclasses.replace(HP, bond_dim=2)
+    pp2 = init_psi(jax.random.PRNGKey(0), hp2)
+    with pytest.raises(ValueError):
+        psi_nll_pallas_trainable(pp2, hp2, _data(), interpret=True,
+                                 layout="block")

@@ -34,11 +34,13 @@ def test_psi_fused_value_and_grads(defer):
     pp = init_psi(jax.random.PRNGKey(3), HP)
     v_ref = float(core.psi_nll(pp, HP, _data()))
     v_pal = float(psi_nll_pallas_trainable(pp, HP, _data(), unroll=16,
-                                           interpret=True, defer_norm=defer))
+                                           interpret=True, defer_norm=defer,
+                                           layout="split"))
     np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
     g_ref = jax.grad(core.psi_nll)(pp, HP, _data())
     g_pal = jax.grad(lambda p: psi_nll_pallas_trainable(
-        p, HP, _data(), unroll=16, interpret=True, defer_norm=defer))(pp)
+        p, HP, _data(), unroll=16, interpret=True, defer_norm=defer,
+        layout="split"))(pp)
     _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "psi_x", "psi_y"])
 
 
@@ -49,11 +51,13 @@ def test_rho_fused_value_and_grads(rank, defer):
     pp = init_rho(jax.random.PRNGKey(3), hp)
     v_ref = float(core.rho_nll_factor(pp, hp, _data()))
     v_pal = float(rho_nll_pallas_trainable(pp, hp, _data(), unroll=16,
-                                           interpret=True, defer_norm=defer))
+                                           interpret=True, defer_norm=defer,
+                                           layout="split"))
     np.testing.assert_allclose(v_pal, v_ref, rtol=1e-5, atol=1e-7)
     g_ref = jax.grad(core.rho_nll_factor)(pp, hp, _data())
     g_pal = jax.grad(lambda p: rho_nll_pallas_trainable(
-        p, hp, _data(), unroll=16, interpret=True, defer_norm=defer))(pp)
+        p, hp, _data(), unroll=16, interpret=True, defer_norm=defer,
+        layout="split"))(pp)
     _check_grads(g_ref, g_pal, ["A", "Rx", "Ry", "freqs", "Wx", "Wy"])
 
 
