@@ -35,6 +35,17 @@ Numerics are pinned against the split-layout kernels and jax.grad of the
 XLA scan (tests/test_pallas_block.py). Values differ from the split layout
 only by fp reassociation inside the dots.
 
+**No padding gates.** The split kernels gate every step on
+``(block*unroll + k) < total``. Here the padding invariant does the work
+instead: padded signal rows are ZERO (``_pad_rows``), so a padded step has
+``arg = max(1 + e*0, eps) = 1`` — a zero loss term — and in the adjoint
+``de = darg*s = 0`` with the state cotangent entering padded steps
+identically zero (the loss never reads the post-boundary state), so every
+padded-step parameter cotangent vanishes exactly. Padded ``dse`` rows are
+nonzero garbage but autodiff of ``_pad_rows`` slices them off outside.
+This removes 3-6 per-step lane-wide selects (including three [2D,2D]
+accumulator selects per backward step) from the hot loops.
+
 Layout constraints: the stacked state has 2D sublanes; kernels require
 D % 4 == 0 (so 2D is a multiple of 8 — a full sublane tile). The split
 kernels remain the fallback for other D (config.kernel_layout="auto").
@@ -205,10 +216,11 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                 s = se_ref[0, k:k + 1, :]
                 f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps,
                                     norm_eps, prep, dotf)
-                live = (i * unroll + k) < total
-                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-                t = jnp.where(live, f["y"], t)
-                n2p = jnp.where(live, f["n2"], n2p)
+                # no padding gates: padded rows have s=0, so arg == 1
+                # (zero loss term) and zero cotangents — see module doc
+                acc = acc - jnp.log(f["arg"])
+                t = f["y"]
+                n2p = f["n2"]
             inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
             t = t * inv          # block-exit renormalization
         else:
@@ -216,9 +228,8 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                 s = se_ref[0, k:k + 1, :]
                 f = _psi_step(ab, bb, rb, t, s, log_eps, norm_eps, prep,
                               dotf)
-                live = (i * unroll + k) < total
-                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-                t = jnp.where(live, f["ty"], t)
+                acc = acc - jnp.log(f["arg"])
+                t = f["ty"]
 
         t_s[:] = t
         acc_s[:] = acc
@@ -255,8 +266,7 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             s = se_ref[0, k:k + 1, :]
             f = _psi_step(ab, bb, rb, t, s, log_eps, norm_eps, prep, dotf)
             saved.append((t, f["bt"], f["y"], f["ru"]))
-            live = (blk * unroll + k) < total
-            t = jnp.where(live, f["ty"], t)
+            t = f["ty"]
 
         # --- reverse sweep
         dt = dt_s[:]
@@ -298,12 +308,13 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             d_ab = dotf(pdy, ptinT)
             d_bb = dotf(psdy, ptinT)
 
-            live = (blk * unroll + k) < total
-            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
-            dt = jnp.where(live, dtn, dt)
-            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
-            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
-            a_rb = jnp.where(live, a_rb + d_rb, a_rb)
+            # padded steps carry dt == 0 -> all their cotangents vanish;
+            # padded dse rows are sliced off by autodiff outside
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+            a_ab = a_ab + d_ab
+            a_bb = a_bb + d_bb
+            a_rb = a_rb + d_rb
 
         dt_s[:] = dt
         aab_s[:] = a_ab
@@ -353,9 +364,8 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
             f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps,
                                 prep, dotf)
             saved.append((t, n2p, f["bt"], f["y"], f["ru"]))
-            live = (blk * unroll + k) < total
-            t = jnp.where(live, f["y"], t)
-            n2p = jnp.where(live, f["n2"], n2p)
+            t = f["y"]
+            n2p = f["n2"]
 
         # --- block-exit renormalization adjoint seeds (dt, dn2)
         dt_in = dt_s[:]
@@ -403,13 +413,12 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
             d_ab = dotf(pdy, ptinT)
             d_bb = dotf(psdy, ptinT)
 
-            live = (blk * unroll + k) < total
-            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
-            dt = jnp.where(live, dtn, dt)
-            dn2 = jnp.where(live, dn2_new, dn2)
-            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
-            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
-            a_rb = jnp.where(live, a_rb + d_rb, a_rb)
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+            dn2 = dn2_new
+            a_ab = a_ab + d_ab
+            a_bb = a_bb + d_bb
+            a_rb = a_rb + d_rb
         # leftover dn2 sits on the block-entry norm (a constant 1): discard
 
         dt_s[:] = dt
@@ -643,10 +652,9 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                 s = se_ref[0, k:k + 1, :]
                 f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
                                     norm_eps, prep, dotf)
-                live = (i * unroll + k) < total
-                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-                t = jnp.where(live, f["y"], t)
-                trp = jnp.where(live, f["tr_bc"], trp)
+                acc = acc - jnp.log(f["arg"])
+                t = f["y"]
+                trp = f["tr_bc"]
             inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
             t = t * inv
         else:
@@ -654,9 +662,8 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
                 s = se_ref[0, k:k + 1, :]
                 f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
                               prep, dotf)
-                live = (i * unroll + k) < total
-                acc = jnp.where(live, acc - jnp.log(f["arg"]), acc)
-                t = jnp.where(live, f["ty"], t)
+                acc = acc - jnp.log(f["arg"])
+                t = f["ty"]
 
         t_s[:] = t
         acc_s[:] = acc
@@ -702,8 +709,7 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
                           prep, dotf)
             saved.append((t, f["bt"], f["y"], f["gx"]))
-            live = (blk * unroll + k) < total
-            t = jnp.where(live, f["ty"], t)
+            t = f["ty"]
 
         # --- reverse sweep
         dt = dt_s[:]
@@ -748,12 +754,11 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
             d_ab = dotf(pdy, ptinT)
             d_bb = dotf(psdy, ptinT)
 
-            live = (blk * unroll + k) < total
-            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
-            dt = jnp.where(live, dtn, dt)
-            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
-            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
-            a_xb = jnp.where(live, a_xb + d_xb, a_xb)
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+            a_ab = a_ab + d_ab
+            a_bb = a_bb + d_bb
+            a_xb = a_xb + d_xb
 
         dt_s[:] = dt
         aab_s[:] = a_ab
@@ -808,9 +813,8 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
             f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
                                 norm_eps, prep, dotf)
             saved.append((t, trp, f["bt"], f["y"], f["gx"]))
-            live = (blk * unroll + k) < total
-            t = jnp.where(live, f["y"], t)
-            trp = jnp.where(live, f["tr_bc"], trp)
+            t = f["y"]
+            trp = f["tr_bc"]
 
         # --- block-exit renormalization adjoint seeds (dt, dtr)
         dt_in = dt_s[:]
@@ -861,13 +865,12 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
             d_ab = dotf(pdy, ptinT)
             d_bb = dotf(psdy, ptinT)
 
-            live = (blk * unroll + k) < total
-            dse_ref[0, k:k + 1, :] = jnp.where(live, ds, jnp.zeros_like(ds))
-            dt = jnp.where(live, dtn, dt)
-            dtr = jnp.where(live, dtr_new, dtr)
-            a_ab = jnp.where(live, a_ab + d_ab, a_ab)
-            a_bb = jnp.where(live, a_bb + d_bb, a_bb)
-            a_xb = jnp.where(live, a_xb + d_xb, a_xb)
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+            dtr = dtr_new
+            a_ab = a_ab + d_ab
+            a_bb = a_bb + d_bb
+            a_xb = a_xb + d_xb
         # leftover dtr sits on the block-entry trace (constant 1): discard
 
         dt_s[:] = dt
