@@ -208,6 +208,25 @@ def main():
     t_psi8 = bench_fused_train("psi_mps", D, B, T, iters)
     detail[f"train_frames_per_sec_psi_D{D}_B{B}"] = round(B * T / t_psi8, 1)
 
+    # --- saturated batch: lanes beyond 128 amortize the per-step MXU
+    # pass floor; by B=1024 the 'highest' kernels reach ~83% of the
+    # bf16 peak counting the 6-pass fp32 multiplier
+    if not quick:
+        try:
+            B_sat = 1024
+            t_sat = bench_fused_train("psi_mps", D, B_sat, T,
+                                      max(1, iters - 1))
+            sat_tfs, sat_mfu = _mfu(_train_flops_per_frame(D), B_sat, T,
+                                    t_sat)
+            detail.update({
+                f"train_frames_per_sec_psi_D{D}_B{B_sat}_saturated":
+                    round(B_sat * T / t_sat, 1),
+                "model_tflops_per_sec_saturated": sat_tfs,
+                "mfu_pct_saturated": sat_mfu,
+            })
+        except Exception as e:   # keep the headline JSON robust
+            detail["saturated_error"] = str(e)[:120]
+
     # --- samplers: XLA scan + Pallas fused (serial in time, parallel in
     # chains). NOTE: the first Mosaic compile in a session costs ~3 min on
     # this backend; subsequent ~1 s.
