@@ -1026,3 +1026,238 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
     fused = _rho_block_factory(cfg, B, T, rank, unroll, interpret,
                                precision, defer_norm)
     return fused(ab, bb, xb, t0, se, zmat, zmat.T)
+
+
+# ===========================================================================
+# Samplers (Euler–Maruyama SDE; reference model.py:103-112, 242-251) —
+# block layout, frame rotation folded into the step constants.
+#
+# The expectation is taken on the CURRENT state x = conj(p) .* t (psi):
+# with ru = (R diag(conj p)) t = R x (reused by the conditioned update,
+# like the split kernel), e = 2 Re<x|ru> = 2 sum(t_r*w_r + t_i*w_i) where
+# w = p .* ru — an elementwise phase twist on static half-slices of the
+# stacked [2D, N] arrays. Half-slices need D % 8 == 0 (full sublane
+# tiles); supports_block_sampler() gates it.
+# ===========================================================================
+
+def supports_block_sampler(cfg: CMPSConfig) -> bool:
+    """The sampler kernels half-slice the stacked state (D sublanes)."""
+    return cfg.bond_dim % 8 == 0
+
+
+def _make_psi_sample_kernel(cfg: CMPSConfig, unroll: int, D: int,
+                            precision: str):
+    dt = cfg.delta_t
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+
+    def kernel(nz_ref,               # [K, N] noise rows
+               t0_ref,               # [2D, N] stacked folded state
+               ab_ref, bb_ref,       # [2D,2D] Bk(C~), Bk(R~)
+               pc_ref, ps_ref,       # [D, 1] phase p for the e-twist
+               ia_ref,               # [1, 1] 1/A (traced param)
+               wav_ref,              # out [K, N]
+               t_s, samp_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            samp_s[:] = jnp.zeros_like(samp_s)
+
+        ab, bb = prep(ab_ref[:]), prep(bb_ref[:])
+        pc, ps = pc_ref[:], ps_ref[:]
+        ia = ia_ref[0, 0]
+
+        t = t_s[:]
+        samp = samp_s[:]
+        for k in range(unroll):
+            tp = prep(t)
+            ru = dotf(bb, tp)            # R x (reused below)
+            rur, rui = ru[:D], ru[D:]
+            wr = pc * rur - ps * rui     # w = p .* ru
+            wi = pc * rui + ps * rur
+            e = 2.0 * jnp.sum(t[:D] * wr + t[D:] * wi, axis=0,
+                              keepdims=True)
+            inc = e * dt + nz_ref[k:k + 1, :]
+            samp = samp + inc
+            wav_ref[k:k + 1, :] = samp
+            s = inc * ia
+            y = dotf(ab, tp) + s * ru    # y = C x + (inc/A) R x
+            n2 = jnp.sum(y * y, axis=0, keepdims=True)
+            inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+            t = y * inv                  # rotation folded: t' = normalize(y)
+
+        t_s[:] = t
+        samp_s[:] = samp
+
+    return kernel
+
+
+def psi_sample_block(params, cfg: CMPSConfig, noise, *,
+                     unroll: int = 16,
+                     interpret: Optional[bool] = None,
+                     precision: str = "highest"):
+    """Waveforms [N, T] from noise [T, N] — block-layout fused SDE sampler
+    (semantics of core.sample_psi_with_noise / reference model.py:242-251;
+    drop-in for pallas_scan.psi_sample_pallas)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block_sampler(cfg):
+        raise ValueError(
+            f"block sampler requires bond_dim % 8 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    T, N = noise.shape
+    D = cfg.bond_dim
+    n_blocks = max(1, -(-T // unroll))
+    t_pad = n_blocks * unroll
+    nz = _pad_rows(noise, t_pad)
+
+    pr0, pi0 = core.psi0(params, cfg)
+    t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None], (D, N)),
+                       jnp.broadcast_to(pi0[:, None], (D, N)))
+    ab, bb, _ = _psi_block_constants(cc)
+
+    kernel = _make_psi_sample_kernel(cfg, unroll, D, precision)
+    wave = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        in_specs=[
+            pl.BlockSpec((unroll, N), lambda i: (i, 0)),
+            _full((2 * D, N)),
+            _full((2 * D, 2 * D)), _full((2 * D, 2 * D)),
+            _full((D, 1)), _full((D, 1)),
+            _full((1, 1)),
+        ],
+        out_specs=pl.BlockSpec((unroll, N), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * D, N), jnp.float32),
+            pltpu.VMEM((1, N), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nz, t0, ab, bb, cc.p_c[:, None], cc.p_s[:, None],
+      (1.0 / cc.A).reshape(1, 1))
+    return cc.A * wave[:T].T
+
+
+def _make_rho_sample_kernel(cfg: CMPSConfig, unroll: int, D: int, rank: int,
+                            precision: str):
+    dt = cfg.delta_t
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+    seg_prec = "highest" if precision == "high" else precision
+
+    def kernel(nz_ref,                 # [K, NR] expanded noise rows
+               t0_ref,                 # [2D, NR]
+               ab_ref, bb_ref, xb_ref,  # [2D,2D] Bk(A~), Bk(B~), Bk(X^T P)
+               pc_ref, ps_ref,          # [D, 1]
+               z_ref, zt_ref,
+               ia_ref,
+               wav_ref,                # out [K, NR]
+               t_s, samp_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            samp_s[:] = jnp.zeros_like(samp_s)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        pc, ps = pc_ref[:], ps_ref[:]
+        z, zt = z_ref[:], zt_ref[:]
+        ia = ia_ref[0, 0]
+
+        def seg(row):
+            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+
+        t = t_s[:]
+        samp = samp_s[:]
+        for k in range(unroll):
+            tp = prep(t)
+            gx = dotf(xb, tp)            # X^T H on the CURRENT state
+            gxr, gxi = gx[:D], gx[D:]
+            vr = pc * gxr + ps * gxi     # v = conj(p) .* gx
+            vi = pc * gxi - ps * gxr
+            e_bc = seg(jnp.sum(t[:D] * vr + t[D:] * vi, axis=0,
+                               keepdims=True))
+            inc = e_bc * dt + nz_ref[k:k + 1, :]
+            samp = samp + inc
+            wav_ref[k:k + 1, :] = samp
+            s = inc * ia
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tr_bc = seg(jnp.sum(y * y, axis=0, keepdims=True))
+            inv = jax.lax.rsqrt(jnp.maximum(tr_bc, norm_eps))
+            t = y * inv
+
+        t_s[:] = t
+        samp_s[:] = samp
+
+    return kernel
+
+
+def rho_sample_block(params, cfg: CMPSConfig, noise, *,
+                     unroll: int = 16,
+                     interpret: Optional[bool] = None,
+                     precision: str = "highest"):
+    """Waveforms [N, T] from noise [T, N] — block-layout fused SDE sampler
+    in purification-factor form (semantics of core.sample_rho_with_noise /
+    reference model.py:103-112; drop-in for pallas_scan.rho_sample_pallas)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block_sampler(cfg):
+        raise ValueError(
+            f"block sampler requires bond_dim % 8 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    T, N = noise.shape
+    D = cfg.bond_dim
+    rank = params.Wx.shape[0]
+    NR = N * rank
+    n_blocks = max(1, -(-T // unroll))
+    t_pad = n_blocks * unroll
+    nz = jnp.repeat(_pad_rows(noise, t_pad), rank, axis=1)
+
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, N))
+    h0i = jnp.tile(wi.T * inv0, (1, N))
+    zmat = jnp.repeat(jnp.eye(N, dtype=jnp.float32), rank, axis=0)
+
+    ab, bb, _ = _rho_block_constants(cc)
+    # the sampler's expectation acts on the CURRENT state H = p .* t, so
+    # X^T needs the same diag(p) fold as the update operators:
+    # gx = X^T H = (X^T diag(p)) t; the conj(p) twist in the kernel then
+    # recovers e = Re sum(conj(H) . gx) from the folded state t
+    pc, ps = cc.p_c, cc.p_s
+    xb = block_embed(cc.Xr.T * pc[None, :] - cc.Xi.T * ps[None, :],
+                     cc.Xi.T * pc[None, :] + cc.Xr.T * ps[None, :])
+    t0 = _rho_block_t0(cc, h0r, h0i)
+
+    kernel = _make_rho_sample_kernel(cfg, unroll, D, rank, precision)
+    wave = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        in_specs=[
+            pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
+            _full((2 * D, NR)),
+            _full((2 * D, 2 * D)), _full((2 * D, 2 * D)),
+            _full((2 * D, 2 * D)),
+            _full((D, 1)), _full((D, 1)),
+            _full((NR, N)), _full((N, NR)),
+            _full((1, 1)),
+        ],
+        out_specs=pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((t_pad, NR), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * D, NR), jnp.float32),
+            pltpu.VMEM((1, NR), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nz, t0, ab, bb, xb, cc.p_c[:, None], cc.p_s[:, None],
+      zmat, zmat.T, (1.0 / cc.A).reshape(1, 1))
+    return cc.A * wave[:T, ::rank].T

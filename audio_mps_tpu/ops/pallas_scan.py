@@ -481,12 +481,34 @@ def _make_psi_sample_kernel(cfg: CMPSConfig, unroll: int, precision: str):
     return kernel
 
 
+def _sampler_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
+    """Sampler layout resolution: "auto" picks the block-complex kernels
+    (ops/pallas_block.py) when they support the config (D % 8 == 0)."""
+    layout = layout if layout is not None else cfg.kernel_layout
+    if layout == "auto":
+        from .pallas_block import supports_block_sampler
+        return "block" if supports_block_sampler(cfg) else "split"
+    if layout not in ("split", "block"):
+        raise ValueError(
+            f"layout must be 'auto', 'split', or 'block', got {layout!r}")
+    return layout
+
+
 def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
                       unroll: int = DEFAULT_UNROLL,
                       interpret: Optional[bool] = None,
-                      precision: str = "highest"):
+                      precision: str = "highest",
+                      layout: Optional[str] = None):
     """Waveforms [N, T] from noise [T, N] — fused SDE sampler (semantics of
     core.sample_psi_with_noise / reference model.py:242-251)."""
+    if _sampler_layout(cfg, layout) == "block":
+        from .pallas_block import psi_sample_block
+        return psi_sample_block(params, cfg, noise, unroll=unroll,
+                                interpret=interpret, precision=precision)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -605,10 +627,19 @@ def _make_rho_sample_kernel(cfg: CMPSConfig, unroll: int, rank: int,
 def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
                       unroll: int = DEFAULT_UNROLL,
                       interpret: Optional[bool] = None,
-                      precision: str = "highest"):
+                      precision: str = "highest",
+                      layout: Optional[str] = None):
     """Waveforms [N, T] from noise [T, N] — fused SDE sampler in
     purification-factor form (semantics of core.sample_rho_with_noise /
     reference model.py:103-112)."""
+    if _sampler_layout(cfg, layout) == "block":
+        from .pallas_block import rho_sample_block
+        return rho_sample_block(params, cfg, noise, unroll=unroll,
+                                interpret=interpret, precision=precision)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)

@@ -128,6 +128,31 @@ def test_high_precision_bf16x3_close_to_highest():
                                  layout="split", precision="high")
 
 
+def test_block_samplers_match_split():
+    """Block-layout fused SDE samplers == split samplers on identical
+    noise (psi and rho incl. low rank); D % 8 != 0 falls back to split."""
+    from audio_mps_tpu.ops.pallas_scan import (psi_sample_pallas,
+                                               rho_sample_pallas)
+    noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(3), (83, 3))
+    pp = init_psi(jax.random.PRNGKey(0), HP)
+    w_s = np.asarray(psi_sample_pallas(pp, HP, noise, layout="split"))
+    w_b = np.asarray(psi_sample_pallas(pp, HP, noise, layout="block"))
+    np.testing.assert_allclose(w_b, w_s, rtol=2e-5,
+                               atol=2e-6 * np.abs(w_s).max())
+    hp = dataclasses.replace(HP, initial_rank=4)
+    rp = init_rho(jax.random.PRNGKey(0), hp)
+    w_s = np.asarray(rho_sample_pallas(rp, hp, noise, layout="split"))
+    w_b = np.asarray(rho_sample_pallas(rp, hp, noise, layout="block"))
+    np.testing.assert_allclose(w_b, w_s, rtol=2e-5,
+                               atol=2e-6 * np.abs(w_s).max())
+    # D=4: trainable block supported, sampler falls back via auto
+    hp4 = dataclasses.replace(HP, bond_dim=4)
+    p4 = init_psi(jax.random.PRNGKey(0), hp4)
+    assert psi_sample_pallas(p4, hp4, noise).shape == (3, 83)
+    with pytest.raises(ValueError):
+        psi_sample_pallas(p4, hp4, noise, layout="block")
+
+
 def test_layout_resolution_and_guards():
     assert resolve_layout(HP) == "block"                   # auto, D=8
     assert resolve_layout(dataclasses.replace(
