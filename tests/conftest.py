@@ -9,8 +9,14 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU-compile-bound (it asserts physics parity on tiny
+# fixtures, not CPU speed): dialing back backend optimization cuts suite
+# wall-clock ~35% with identical test outcomes.
+if "xla_backend_optimization_level" not in flags:
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
