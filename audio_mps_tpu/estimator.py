@@ -110,8 +110,11 @@ class Estimator:
             if self.global_step % self.save_checkpoints_steps == 0:
                 self._ckpt.maybe_save(self.global_step, self.params,
                                       self.opt_state, force=True)
+        # final save is forced AND joined: train() returning guarantees a
+        # durable checkpoint even if the caller never calls close()
         self._ckpt.maybe_save(self.global_step, self.params, self.opt_state,
                               force=True)
+        self._ckpt.manager.wait_until_finished()
         if verbose and metrics:
             print(f"step {self.global_step}: "
                   f"loss={float(metrics['model_loss']):.6f}", flush=True)

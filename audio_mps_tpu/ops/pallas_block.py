@@ -190,7 +190,7 @@ def _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps, prep, dotf):
     return dict(bt=bt, y=y, ru=ru, e=e, arg=arg, n2=n2)
 
 
-def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int,
                          precision: str, defer_norm: bool):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
@@ -238,7 +238,7 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
-def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int,
                          n_blocks: int, precision: str):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
@@ -248,8 +248,7 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
                dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
                dt_s, aab_s, abb_s, arb_s):
-        i = pl.program_id(0)              # reversed: real block = nb-1-i
-        blk = n_blocks - 1 - i
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
         def _init():
@@ -331,7 +330,7 @@ def _make_psi_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
-def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
                                n_blocks: int, precision: str):
     """Deferred-normalization adjoint: no per-step normalize adjoint; the
     squared-norm cotangent dn2 is carried alongside dt (see the split
@@ -344,8 +343,7 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
     def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
                dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
                dt_s, aab_s, abb_s, arb_s):
-        i = pl.program_id(0)
-        blk = n_blocks - 1 - i
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
         def _init():
@@ -447,12 +445,10 @@ def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, n_steps, precision,
-                                      defer_norm)
-    bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, precision, defer_norm)
+    bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_blocks,
                                              precision) if defer_norm else
-                  _make_psi_bwd_kernel(cfg, unroll, n_steps, n_blocks,
-                                       precision))
+                  _make_psi_bwd_kernel(cfg, unroll, n_blocks, precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
     sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                    vmem_limit_bytes=100 * 1024 * 1024)
@@ -618,7 +614,7 @@ def _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps, norm_eps,
     return dict(bt=bt, y=y, gx=gx, e_bc=e_bc, arg=arg, tr_bc=tr_bc)
 
 
-def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
                          rank: int, precision: str, defer_norm: bool):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
@@ -673,7 +669,7 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
-def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
+def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int,
                          n_blocks: int, inv_batch_rank: float,
                          precision: str):
     """inv_batch_rank = 1 / (B * rank): d(mean loss)/d(acc lane)."""
@@ -686,8 +682,7 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     def kernel(se_ref, ck_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
                dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
                dt_s, aab_s, abb_s, axb_s):
-        i = pl.program_id(0)
-        blk = n_blocks - 1 - i
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
         def _init():
@@ -775,7 +770,7 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
-def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
+def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
                                n_blocks: int, inv_batch_rank: float,
                                precision: str):
     """Deferred-normalization adjoint: carries the broadcast-trace
@@ -789,8 +784,7 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int, total: int,
     def kernel(se_ref, ck_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
                dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
                dt_s, aab_s, abb_s, axb_s):
-        i = pl.program_id(0)
-        blk = n_blocks - 1 - i
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
         def _init():
@@ -898,12 +892,12 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, n_steps, rank, precision,
+    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, rank, precision,
                                       defer_norm)
-    bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_steps, n_blocks,
+    bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_blocks,
                                              1.0 / (B * rank), precision)
                   if defer_norm else
-                  _make_rho_bwd_kernel(cfg, unroll, n_steps, n_blocks,
+                  _make_rho_bwd_kernel(cfg, unroll, n_blocks,
                                        1.0 / (B * rank), precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                vmem_limit_bytes=100 * 1024 * 1024)

@@ -482,15 +482,18 @@ def _make_psi_sample_kernel(cfg: CMPSConfig, unroll: int, precision: str):
 
 
 def _sampler_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
-    """Sampler layout resolution: "auto" picks the block-complex kernels
-    (ops/pallas_block.py) when they support the config (D % 8 == 0)."""
+    """Sampler layout resolution: the block-complex samplers
+    (ops/pallas_block.py) need D % 8 == 0 — a stricter bound than the
+    trainable block kernels' D % 4 == 0 — so even an explicit "block"
+    falls back to the split samplers when unsupported (a model trained
+    with kernel_layout="block" at e.g. D=12 must still sample)."""
     layout = layout if layout is not None else cfg.kernel_layout
-    if layout == "auto":
-        from .pallas_block import supports_block_sampler
-        return "block" if supports_block_sampler(cfg) else "split"
-    if layout not in ("split", "block"):
+    if layout not in ("auto", "split", "block"):
         raise ValueError(
             f"layout must be 'auto', 'split', or 'block', got {layout!r}")
+    if layout in ("auto", "block"):
+        from .pallas_block import supports_block_sampler
+        return "block" if supports_block_sampler(cfg) else "split"
     return layout
 
 

@@ -99,7 +99,9 @@ def make_latent_loss_fn(cfg: CMPSConfig, fused: Optional[bool] = None):
     drives the posterior reparameterization sample."""
     from .models import latent as latent_lib
     if fused is None:
-        fused = _on_tpu()
+        # the fused recon kernel implements the log loss only; quadratic
+        # (follow_vae.py:69-70) must use the XLA scan even on TPU
+        fused = _on_tpu() and cfg.latent_loss == "log"
 
     def loss_fn(params, batch, key):
         nll, aux = latent_lib.elbo_loss(

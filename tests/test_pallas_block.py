@@ -145,12 +145,17 @@ def test_block_samplers_match_split():
     w_b = np.asarray(rho_sample_pallas(rp, hp, noise, layout="block"))
     np.testing.assert_allclose(w_b, w_s, rtol=2e-5,
                                atol=2e-6 * np.abs(w_s).max())
-    # D=4: trainable block supported, sampler falls back via auto
+    # D=4: trainable block supported, but the samplers need D % 8 == 0 —
+    # the dispatch falls back to split even for an EXPLICIT block request
+    # (a model trained with kernel_layout="block" must still sample);
+    # only a direct block-kernel call raises
     hp4 = dataclasses.replace(HP, bond_dim=4)
     p4 = init_psi(jax.random.PRNGKey(0), hp4)
     assert psi_sample_pallas(p4, hp4, noise).shape == (3, 83)
+    assert psi_sample_pallas(p4, hp4, noise, layout="block").shape == (3, 83)
+    from audio_mps_tpu.ops.pallas_block import psi_sample_block
     with pytest.raises(ValueError):
-        psi_sample_pallas(p4, hp4, noise, layout="block")
+        psi_sample_block(p4, hp4, noise)
 
 
 def test_layout_resolution_and_guards():
