@@ -1,6 +1,9 @@
+from .combined import (make_2d_mesh, make_dp_time_train_step,
+                       shard_batch_2d)
 from .data_parallel import (make_dp_sample, make_dp_train_step, replicate,
                             shard_batch)
 from .mesh import DATA_AXIS, ensure_devices, make_mesh
 
-__all__ = ["make_dp_sample", "make_dp_train_step", "replicate",
+__all__ = ["make_2d_mesh", "make_dp_time_train_step", "shard_batch_2d",
+           "make_dp_sample", "make_dp_train_step", "replicate",
            "shard_batch", "DATA_AXIS", "ensure_devices", "make_mesh"]

@@ -1,0 +1,91 @@
+"""2D-mesh training: data parallelism x blockwise sequence parallelism.
+
+Composes the two orthogonal scaling strategies (SURVEY.md §2.4 plan; the
+reference has no distribution at all) on one ``(data, time)`` mesh:
+
+  - the batch is sharded over the ``data`` axis (parallel/data_parallel.py
+    semantics: tiny replicated params, per-example work dominates);
+  - each data-parallel row shards the waveform's TIME axis over the
+    ``time`` axis using the transfer-operator associative scan
+    (parallel/time_pscan.py): each device owns a [B/dp, (T-1)/tp] tile.
+
+Communication stays minimal and axis-local: the time-sharding all_gather
+and loss psum ride the ``time`` axis only; the gradient pmean rides the
+full mesh (both axes). This is the configuration for scaling BOTH batch
+throughput AND single-sequence wall-clock at once — e.g. a v5e-8 as a
+(2 data x 4 time) mesh trains B=16 at 4x shorter per-sequence critical
+path than pure DP.
+
+Exactness: pinned == the single-device fused/XLA step by
+tests/test_parallel.py (values and one-Adam-step parameter trajectories).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .compat import shard_map
+
+from ..config import CMPSConfig
+from ..models import core
+from ..training import make_optimizer
+from .mesh import DATA_AXIS
+from .time_pipeline import TIME_AXIS
+from .time_pscan import rho_nll_time_sharded
+
+
+def make_2d_mesh(n_data: int, n_time: int, devices=None) -> Mesh:
+    """A (data, time) mesh over the first n_data*n_time devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_time
+    if len(devices) < need:
+        raise ValueError(
+            f"requested {n_data}x{n_time} mesh, have {len(devices)} devices")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_time)
+    return Mesh(grid, (DATA_AXIS, TIME_AXIS))
+
+
+def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
+                            optimizer=None, time_chunk: int = 1024):
+    """Build (optimizer, jitted step) for combined DP x time-sharded
+    training on a (data, time) mesh.
+
+    step(params, opt_state, batch[B, T]) -> (params, opt_state, metrics);
+    params/opt_state replicated, batch rows sharded over ``data`` (the NLL
+    internally shards time over ``time``). Works for both model families
+    (the time-sharded NLL accepts psi's rank-1 factor)."""
+    if mps_model not in ("rho_mps", "psi_mps"):
+        raise ValueError(
+            f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def loss_fn(params, batch):
+        model_loss = rho_nll_time_sharded(
+            params, cfg, batch, mesh, time_chunk=time_chunk,
+            batch_axis=DATA_AXIS)
+        total, (h_sq, r_sq) = core.regularized_loss(model_loss, params, cfg)
+        return total, {"model_loss": model_loss, "total_loss": total,
+                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
+                       "A": params.A}
+
+    def step_fn(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1))
+    return optimizer, step
+
+
+def shard_batch_2d(batch, mesh: Mesh):
+    """Place a [B, T] batch with rows sharded over the data axis (the
+    time-sharded NLL re-shards the increment rows over time internally)."""
+    from jax.sharding import NamedSharding
+    s = NamedSharding(mesh, P(DATA_AXIS, None))
+    return jax.device_put(batch, s)

@@ -26,6 +26,7 @@ efficiency at the cost of one all-gather and rescaled arithmetic.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,13 +43,24 @@ _em = partial(jnp.einsum, precision="highest")
 
 
 def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
-                         axis: str = TIME_AXIS, time_chunk: int = 1024):
+                         axis: str = TIME_AXIS, time_chunk: int = 1024,
+                         batch_axis: Optional[str] = None):
     """Mean NLL of waveforms [B, T] with the time axis sharded over `mesh`
     (semantics of core.rho_nll_factor / reference model.py:132-142). Also
     accepts PsiParams (rank-1 factor). `time_chunk` bounds per-chip memory
-    (at most that many [B, D, D] operators live in one associative scan)."""
+    (at most that many [B, D, D] operators live in one associative scan).
+
+    `batch_axis`: optional SECOND mesh axis to shard the batch over — the
+    2D data x sequence parallel strategy (parallel/combined.py): each
+    device owns a [B/dp, (T-1)/S] tile; the all_gather/psum collectives
+    ride the time axis only, so the two parallelism forms compose without
+    extra communication."""
     B, T = signals.shape
-    S = mesh.devices.size
+    S = mesh.shape[axis] if batch_axis is not None else mesh.devices.size
+    Bl = B // mesh.shape[batch_axis] if batch_axis is not None else B
+    if batch_axis is not None and B % mesh.shape[batch_axis]:
+        raise ValueError(f"B={B} not divisible by mesh axis "
+                         f"{batch_axis}={mesh.shape[batch_axis]}")
     n_steps = T - 1
     if n_steps % S:
         raise ValueError(f"T-1={n_steps} steps not divisible by {S} chips")
@@ -60,7 +72,7 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
     n_sub = Tc // sub
 
     cc = make_constants(params, cfg)
-    g0r, g0i = factor_g0(params, cfg, B)
+    g0r, g0i = factor_g0(params, cfg, Bl)   # rows identical per example
     cdr, cdi, rdr, rdi, xpr, xpi = pscan_operators(cc)
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A    # [T-1, B]
 
@@ -78,12 +90,12 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
         return (cdr[None, None] + sb * rdr[None, None],
                 cdi[None, None] + sb * rdi[None, None])
 
-    def local(s_chunk):                                    # [Tc, B]
+    def local(s_chunk):                                    # [Tc, Bl]
         idx = jax.lax.axis_index(axis)
-        subs = s_chunk.reshape(n_sub, sub, B)
+        subs = s_chunk.reshape(n_sub, sub, Bl)
 
-        ident = (jnp.broadcast_to(jnp.eye(d), (B, d, d)),
-                 jnp.zeros((B, d, d)), jnp.zeros((B,)))
+        ident = (jnp.broadcast_to(jnp.eye(d), (Bl, d, d)),
+                 jnp.zeros((Bl, d, d)), jnp.zeros((Bl,)))
 
         # pass A: per-sub-chunk products (bounded memory)
         def prod_step(carry, s_sub):
@@ -143,18 +155,21 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
             return (entry_next, loss), None
 
         (_, local_loss), _ = jax.lax.scan(
-            loss_step, (entry, jnp.zeros((B,))), (subs, pieces))
+            loss_step, (entry, jnp.zeros((Bl,))), (subs, pieces))
         return jax.lax.psum(local_loss, axis)[None]
 
-    sharded = shard_map(local, mesh=mesh, in_specs=(P(axis, None),),
-                        out_specs=P(axis, None), check=False)
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(axis, batch_axis),),
+                        out_specs=P(axis, batch_axis), check=False)
     losses = sharded(incs)                                 # [S, B] (equal rows)
     return jnp.mean(losses[0])
 
 
 def psi_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
-                         axis: str = TIME_AXIS, time_chunk: int = 1024):
+                         axis: str = TIME_AXIS, time_chunk: int = 1024,
+                         batch_axis: Optional[str] = None):
     """Time-sharded NLL for the pure-state model (rank-1 factor; see
     core.factor_g0)."""
     return rho_nll_time_sharded(params, cfg, signals, mesh, axis=axis,
-                                time_chunk=time_chunk)
+                                time_chunk=time_chunk,
+                                batch_axis=batch_axis)

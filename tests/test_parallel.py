@@ -203,3 +203,44 @@ def test_psi_pscan_and_time_sharded_match():
     mesh = make_time_mesh(8)
     v2 = float(jax.jit(lambda p: psi_nll_time_sharded(p, cfg, data, mesh))(pp))
     np.testing.assert_allclose(v2, ref, rtol=1e-5)
+
+
+def test_combined_dp_time_sharded_matches_single_device():
+    """2D (data x time) mesh: combined data-parallel + time-sharded
+    training == the single-device step (values, grads via the one-step
+    parameter trajectory) for both model families."""
+    import dataclasses
+    from audio_mps_tpu.models import core as _core
+    from audio_mps_tpu.models.params import init_psi, init_rho
+    from audio_mps_tpu.parallel.combined import (make_2d_mesh,
+                                                 make_dp_time_train_step,
+                                                 shard_batch_2d)
+    from audio_mps_tpu.parallel.time_pscan import rho_nll_time_sharded
+    from audio_mps_tpu.training import make_train_step
+
+    mesh = make_2d_mesh(2, 4)
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 4 * 32 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+
+    for name, init in (("rho_mps", init_rho), ("psi_mps", init_psi)):
+        pr = init(jax.random.PRNGKey(1), cfg)
+        ref_fn = (_core.rho_nll_factor if name == "rho_mps"
+                  else _core.psi_nll)
+        ref = float(ref_fn(pr, cfg, data))
+        v = float(jax.jit(lambda p: rho_nll_time_sharded(
+            p, cfg, data, mesh, time_chunk=16, batch_axis="data"))(pr))
+        np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-6)
+
+        opt, step = make_dp_time_train_step(name, cfg, mesh, time_chunk=16)
+        p2, _, m = step(pr, opt.init(pr), shard_batch_2d(data, mesh))
+        opt_s, step_s = make_train_step(name, cfg, fused=False)
+        p1, _, m1 = step_s(init(jax.random.PRNGKey(1), cfg),
+                           opt_s.init(init(jax.random.PRNGKey(1), cfg)),
+                           data)
+        np.testing.assert_allclose(float(m["model_loss"]),
+                                   float(m1["model_loss"]), rtol=1e-5,
+                                   atol=1e-6)
+        for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
