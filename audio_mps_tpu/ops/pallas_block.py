@@ -1255,3 +1255,199 @@ def rho_sample_block(params, cfg: CMPSConfig, noise, *,
     )(nz, t0, ab, bb, xb, cc.p_c[:, None], cc.p_s[:, None],
       zmat, zmat.T, (1.0 / cc.A).reshape(1, 1))
     return cc.A * wave[:T, ::rank].T
+
+
+# ===========================================================================
+# Forward-only NLL kernels (eval path; no checkpoints streamed).
+# Same step math as the trainable forward kernels; used by the layout
+# dispatch in pallas_scan.psi_nll_pallas / rho_nll_pallas.
+# ===========================================================================
+
+def psi_nll_block(params, cfg: CMPSConfig, signals, *,
+                  unroll: int = 16,
+                  interpret: Optional[bool] = None,
+                  precision: str = "highest",
+                  defer_norm: bool = False):
+    """Mean NLL of waveforms [B, T] — block-layout fused forward (semantics
+    of core.psi_nll; drop-in for pallas_scan.psi_nll_pallas)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"block layout requires bond_dim % 4 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = _pad_rows(incs, t_pad).reshape(n_blocks, unroll, B)
+    pr0, pi0 = core.psi0(params, cfg)
+    t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None], (D, B)),
+                       jnp.broadcast_to(pi0[:, None], (D, B)))
+    ab, bb, rb = _psi_block_constants(cc)
+
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, rb_ref, loss_ref,
+               t_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        abp, bbp, rbp = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        t = t_s[:]
+        acc = acc_s[:]
+        if defer_norm:
+            n2p = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_step_defer(abp, bbp, rbp, t, n2p, s, log_eps,
+                                    norm_eps, prep, dotf)
+                acc = acc - jnp.log(f["arg"])
+                t = f["y"]
+                n2p = f["n2"]
+            inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
+            t = t * inv
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _psi_step(abp, bbp, rbp, t, s, log_eps, norm_eps,
+                              prep, dotf)
+                acc = acc - jnp.log(f["arg"])
+                t = f["ty"]
+        t_s[:] = t
+        acc_s[:] = acc
+        loss_ref[0] = acc
+
+    loss = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        in_specs=[
+            pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+            _full((2 * D, B)),
+            _full((2 * D, 2 * D)), _full((2 * D, 2 * D)),
+            _full((2 * D, 2 * D)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * D, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(se, t0, ab, bb, rb)
+    return jnp.mean(loss[-1, 0])
+
+
+def rho_nll_block(params, cfg: CMPSConfig, signals, *,
+                  unroll: int = 16,
+                  interpret: Optional[bool] = None,
+                  precision: str = "highest",
+                  defer_norm: bool = False):
+    """Mean NLL of waveforms [B, T] — block-layout fused forward in
+    purification-factor form (semantics of core.rho_nll; drop-in for
+    pallas_scan.rho_nll_pallas)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"block layout requires bond_dim % 4 == 0, got {cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    rank = params.Wx.shape[0]
+    BR = B * rank
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    se = jnp.repeat(_pad_rows(incs, t_pad), rank,
+                    axis=1).reshape(n_blocks, unroll, BR)
+
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, B))
+    h0i = jnp.tile(wi.T * inv0, (1, B))
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+
+    ab, bb, xb = _rho_block_constants(cc)
+    t0 = _rho_block_t0(cc, h0r, h0i)
+
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+    seg_prec = "highest" if precision == "high" else precision
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               loss_ref, t_s, acc_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        abp, bbp, xbp = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg(row):
+            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+
+        t = t_s[:]
+        acc = acc_s[:]
+        if defer_norm:
+            trp = jnp.ones_like(acc)
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_step_defer(abp, bbp, xbp, seg, t, trp, s, log_eps,
+                                    norm_eps, prep, dotf)
+                acc = acc - jnp.log(f["arg"])
+                t = f["y"]
+                trp = f["tr_bc"]
+            inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
+            t = t * inv
+        else:
+            for k in range(unroll):
+                s = se_ref[0, k:k + 1, :]
+                f = _rho_step(abp, bbp, xbp, seg, t, s, log_eps, norm_eps,
+                              prep, dotf)
+                acc = acc - jnp.log(f["arg"])
+                t = f["ty"]
+        t_s[:] = t
+        acc_s[:] = acc
+        loss_ref[0] = _dot(acc, z_ref[:]) * (1.0 / rank)
+
+    loss = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, unroll, BR), lambda i: (i, 0, 0)),
+            _full((2 * D, BR)),
+            _full((2 * D, 2 * D)), _full((2 * D, 2 * D)),
+            _full((2 * D, 2 * D)),
+            _full((BR, B)), _full((B, BR)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * D, BR), jnp.float32),
+            pltpu.VMEM((1, BR), jnp.float32),
+        ],
+        interpret=interpret,
+    )(se, t0, ab, bb, xb, zmat, zmat.T)
+    return jnp.mean(loss[-1, 0])

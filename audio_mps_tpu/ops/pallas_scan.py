@@ -179,14 +179,38 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
     return kernel
 
 
+def _nll_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
+    """Forward-NLL layout resolution (block needs bond_dim % 4 == 0; an
+    explicit 'block' request falls back to split when unsupported, like
+    the samplers)."""
+    layout = layout if layout is not None else cfg.kernel_layout
+    if layout not in ("auto", "split", "block"):
+        raise ValueError(
+            f"layout must be 'auto', 'split', or 'block', got {layout!r}")
+    if layout in ("auto", "block"):
+        from .pallas_block import supports_block
+        return "block" if supports_block(cfg) else "split"
+    return layout
+
+
 def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
                    unroll: int = DEFAULT_UNROLL,
                    interpret: Optional[bool] = None,
                    precision: str = "highest",
-                   defer_norm: bool = False):
+                   defer_norm: bool = False,
+                   layout: Optional[str] = None):
     """Mean NLL [scalar] of waveforms [B, T] under the pure-state model —
     fused Pallas forward (semantics of core.psi_nll / reference
     model.py:257-267)."""
+    if _nll_layout(cfg, layout) == "block":
+        from .pallas_block import psi_nll_block
+        return psi_nll_block(params, cfg, signals, unroll=unroll,
+                             interpret=interpret, precision=precision,
+                             defer_norm=defer_norm)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -360,10 +384,20 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
                    unroll: int = DEFAULT_UNROLL,
                    interpret: Optional[bool] = None,
                    precision: str = "highest",
-                   defer_norm: bool = False):
+                   defer_norm: bool = False,
+                   layout: Optional[str] = None):
     """Mean NLL of waveforms [B, T] under the mixed-state model — fused
     Pallas forward in purification-factor form (semantics of core.rho_nll /
     reference model.py:132-142)."""
+    if _nll_layout(cfg, layout) == "block":
+        from .pallas_block import rho_nll_block
+        return rho_nll_block(params, cfg, signals, unroll=unroll,
+                             interpret=interpret, precision=precision,
+                             defer_norm=defer_norm)
+    if precision == "high":
+        raise ValueError(
+            "kernel_precision='high' (bf16x3) is only implemented in the "
+            "block kernel layout (ops/pallas_block.py)")
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)

@@ -175,3 +175,22 @@ def test_layout_resolution_and_guards():
     with pytest.raises(ValueError):
         psi_nll_pallas_trainable(pp2, hp2, _data(), interpret=True,
                                  layout="block")
+
+
+@pytest.mark.parametrize("defer", [False, True])
+def test_forward_only_nll_block_matches_split(defer):
+    """Forward-only block NLL dispatch (eval path) == split kernels."""
+    from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
+    pp = init_psi(jax.random.PRNGKey(3), HP)
+    vs = float(psi_nll_pallas(pp, HP, _data(), layout="split",
+                              defer_norm=defer))
+    vb = float(psi_nll_pallas(pp, HP, _data(), layout="block",
+                              defer_norm=defer))
+    np.testing.assert_allclose(vb, vs, rtol=1e-5, atol=1e-7)
+    hp = dataclasses.replace(HP, initial_rank=3)
+    rp = init_rho(jax.random.PRNGKey(3), hp)
+    vs = float(rho_nll_pallas(rp, hp, _data(), layout="split",
+                              defer_norm=defer))
+    vb = float(rho_nll_pallas(rp, hp, _data(), layout="block",
+                              defer_norm=defer))
+    np.testing.assert_allclose(vb, vs, rtol=1e-5, atol=1e-7)
