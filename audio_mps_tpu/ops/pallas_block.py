@@ -148,6 +148,20 @@ def _rho_block_constants(cc):
             block_embed(cc.Xr.T, cc.Xi.T))
 
 
+def _rho_factor_inputs(params, cfg: CMPSConfig, n_cols: int):
+    """Normalized initial factor H0 tiled over n_cols examples + the 0/1
+    segment matrix — shared by the trainable, sampler, and forward-only
+    rho entry points (one place for the W-normalization semantics)."""
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, n_cols))
+    h0i = jnp.tile(wi.T * inv0, (1, n_cols))
+    zmat = jnp.repeat(jnp.eye(n_cols, dtype=jnp.float32), wr.shape[0],
+                      axis=0)
+    return h0r, h0i, zmat
+
+
 def _rho_block_t0(cc, h0r, h0i):
     """Stacked kernel-frame initial factor t0 = conj(p) .* H0 ([2D, BR])."""
     pc, ps = cc.p_c[:, None], cc.p_s[:, None]
@@ -1008,12 +1022,7 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, B))
-    h0i = jnp.tile(wi.T * inv0, (1, B))
-    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B)
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)
@@ -1213,12 +1222,7 @@ def rho_sample_block(params, cfg: CMPSConfig, noise, *,
     t_pad = n_blocks * unroll
     nz = jnp.repeat(_pad_rows(noise, t_pad), rank, axis=1)
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, N))
-    h0i = jnp.tile(wi.T * inv0, (1, N))
-    zmat = jnp.repeat(jnp.eye(N, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = _rho_factor_inputs(params, cfg, N)
 
     ab, bb, _ = _rho_block_constants(cc)
     # the sampler's expectation acts on the CURRENT state H = p .* t, so
@@ -1375,12 +1379,7 @@ def rho_nll_block(params, cfg: CMPSConfig, signals, *,
     se = jnp.repeat(_pad_rows(incs, t_pad), rank,
                     axis=1).reshape(n_blocks, unroll, BR)
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, B))
-    h0i = jnp.tile(wi.T * inv0, (1, B))
-    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B)
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)

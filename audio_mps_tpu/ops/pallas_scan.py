@@ -180,16 +180,21 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 
 def _nll_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
-    """Forward-NLL layout resolution (block needs bond_dim % 4 == 0; an
-    explicit 'block' request falls back to split when unsupported, like
-    the samplers)."""
+    """Forward-NLL layout resolution. Same rule as the trainable kernels
+    (resolve_layout): "auto" falls back to split when bond_dim % 4 != 0,
+    an EXPLICIT 'block' raises — unlike the samplers, whose stricter
+    D % 8 == 0 bound forces a fallback for valid training configs."""
     layout = layout if layout is not None else cfg.kernel_layout
     if layout not in ("auto", "split", "block"):
         raise ValueError(
             f"layout must be 'auto', 'split', or 'block', got {layout!r}")
-    if layout in ("auto", "block"):
-        from .pallas_block import supports_block
+    from .pallas_block import supports_block
+    if layout == "auto":
         return "block" if supports_block(cfg) else "split"
+    if layout == "block" and not supports_block(cfg):
+        raise ValueError(
+            f"layout='block' requires bond_dim % 4 == 0, got "
+            f"{cfg.bond_dim}")
     return layout
 
 

@@ -21,18 +21,13 @@ tests/test_parallel.py (values and one-Adam-step parameter trajectories).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from .compat import shard_map
-
 from ..config import CMPSConfig
-from ..models import core
-from ..training import make_optimizer
+from ..training import make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
 from .time_pipeline import TIME_AXIS
 from .time_pscan import rho_nll_time_sharded
@@ -63,14 +58,20 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
             f"mps_model must be rho_mps or psi_mps, got {mps_model}")
     optimizer = optimizer or make_optimizer(cfg)
 
-    def loss_fn(params, batch):
-        model_loss = rho_nll_time_sharded(
-            params, cfg, batch, mesh, time_chunk=time_chunk,
-            batch_axis=DATA_AXIS)
-        total, (h_sq, r_sq) = core.regularized_loss(model_loss, params, cfg)
-        return total, {"model_loss": model_loss, "total_loss": total,
-                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
-                       "A": params.A}
+    def nll(params, cfg_, batch):
+        # the time-sharded NLL handles both families via the factor form;
+        # catch a params/family mismatch at trace time instead of silently
+        # running the other model
+        is_rho = hasattr(params, "Wx")
+        if is_rho != (mps_model == "rho_mps"):
+            raise ValueError(
+                f"params are for {'rho_mps' if is_rho else 'psi_mps'} but "
+                f"the step was built for {mps_model}")
+        return rho_nll_time_sharded(params, cfg_, batch, mesh,
+                                    time_chunk=time_chunk,
+                                    batch_axis=DATA_AXIS)
+
+    loss_fn = make_loss_fn(mps_model, cfg, nll=nll)
 
     def step_fn(params, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(

@@ -56,7 +56,7 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
     ride the time axis only, so the two parallelism forms compose without
     extra communication."""
     B, T = signals.shape
-    S = mesh.shape[axis] if batch_axis is not None else mesh.devices.size
+    S = mesh.shape[axis]
     Bl = B // mesh.shape[batch_axis] if batch_axis is not None else B
     if batch_axis is not None and B % mesh.shape[batch_axis]:
         raise ValueError(f"B={B} not divisible by mesh axis "

@@ -81,8 +81,11 @@ def make_optimizer(cfg: CMPSConfig):
 
 
 def make_loss_fn(mps_model: str, cfg: CMPSConfig,
-                 fused: Optional[bool] = None):
-    nll = nll_fn_for(mps_model, fused)
+                 fused: Optional[bool] = None, nll=None):
+    """Total-loss + metrics closure. `nll` overrides the NLL implementation
+    (signature nll(params, cfg, batch) -> scalar) — used by the parallel
+    strategies so the metrics contract lives in exactly one place."""
+    nll = nll or nll_fn_for(mps_model, fused)
 
     def loss_fn(params, batch):
         model_loss = nll(params, cfg, batch)
