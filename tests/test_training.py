@@ -191,3 +191,25 @@ def test_sample_cli_restores_config_json(tmp_path):
                                 out=str(tmp_path / "s.npz"), wav=False),
                    verbose=False)
     assert waves.shape == (2, 64)
+
+
+def test_kernel_knobs_ride_hparams_string():
+    """The kernel knobs ride the --hparams string (README quick-start
+    example) and resolve to the intended kernel paths; invalid combos are
+    rejected at parse time. (Kernel execution itself is pinned by
+    tests/test_pallas_block.py — this guards the config plumbing.)"""
+    import pytest
+    from audio_mps_tpu.config import CMPSConfig
+    from audio_mps_tpu.ops.pallas_grad import resolve_layout
+
+    cfg = CMPSConfig().parse("bond_dim=64,kernel_precision=high")
+    assert cfg.kernel_precision == "high"
+    assert resolve_layout(cfg) == "block"
+    cfg2 = CMPSConfig().parse("kernel_layout=block,bond_dim=8")
+    assert resolve_layout(cfg2) == "block"
+    with pytest.raises(ValueError):
+        CMPSConfig().parse("kernel_precision=high,kernel_layout=split")
+    with pytest.raises(ValueError):
+        CMPSConfig().parse("kernel_layout=block,bond_dim=6")
+    with pytest.raises(ValueError):
+        CMPSConfig().parse("kernel_layout=blocky")
