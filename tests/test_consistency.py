@@ -1,6 +1,11 @@
 """Capstone consistency certificate: every NLL implementation in the
-framework — across model families, frames, factorizations, kernels, and
-parallelism strategies — agrees on one fixture."""
+framework — across model families, frames, factorizations, kernel layouts,
+and parallelism strategies — agrees on one fixture.
+
+Parametrized over bond_dim: D=6 exercises the split-kernel fallbacks
+(block needs D % 4 == 0), D=8 adds the block-complex kernels and the
+combined 2D (data x time) mesh strategy to the certificate.
+"""
 import dataclasses
 
 import jax
@@ -14,88 +19,118 @@ from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
                                            rho_nll_pallas_trainable)
 from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
+from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
                                                   rho_nll_pipelined)
 from audio_mps_tpu.parallel.time_pscan import (psi_nll_time_sharded,
                                                rho_nll_time_sharded)
 
-CFG = CMPSConfig(minibatch_size=4, bond_dim=6, scan_chunk=0)
-T = 8 * 24 + 1   # T-1 divisible by the 8-stage mesh
+T = 8 * 24 + 1   # T-1 divisible by the 8-stage mesh (and the 4-stage 2D one)
 
 
-@pytest.fixture(scope="module")
-def fixture():
-    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, CFG.delta_t)
-    mesh = make_time_mesh(8)
-    return data, mesh
+def _fixture(bond_dim):
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=bond_dim, scan_chunk=0)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    return cfg, data, make_time_mesh(8), make_2d_mesh(2, 4)
 
 
-def test_rho_nll_all_implementations_agree(fixture):
-    data, mesh = fixture
-    params = init_rho(jax.random.PRNGKey(1), CFG)
+def _check(values):
+    anchor = values["reference_transcription"]
+    for name, v in values.items():
+        np.testing.assert_allclose(
+            v, anchor, rtol=3e-4,
+            err_msg=f"{name}={v} disagrees with transcription={anchor}: "
+                    f"{values}")
+
+
+@pytest.mark.parametrize("bond_dim", [6, 8])
+def test_rho_nll_all_implementations_agree(bond_dim):
+    cfg, data, mesh, mesh2 = _fixture(bond_dim)
+    params = init_rho(jax.random.PRNGKey(1), cfg)
     impls = {
         "reference_transcription":
-            lambda: reference_transcription.rho_nll_lab_frame(params, CFG,
+            lambda: reference_transcription.rho_nll_lab_frame(params, cfg,
                                                               data),
-        "rotating_frame_matrix": lambda: core.rho_nll(params, CFG, data),
+        "rotating_frame_matrix": lambda: core.rho_nll(params, cfg, data),
         "purification_factor":
-            lambda: core.rho_nll_factor(params, CFG, data),
+            lambda: core.rho_nll_factor(params, cfg, data),
         "pallas_fused_fwd":
-            lambda: rho_nll_pallas(params, CFG, data, interpret=True),
+            lambda: rho_nll_pallas(params, cfg, data, interpret=True,
+                                   layout="split"),
         "pallas_fused_fwd_defer_norm":
-            lambda: rho_nll_pallas(params, CFG, data, interpret=True,
-                                   defer_norm=True),
+            lambda: rho_nll_pallas(params, cfg, data, interpret=True,
+                                   defer_norm=True, layout="split"),
         "pallas_custom_vjp":
-            lambda: rho_nll_pallas_trainable(params, CFG, data,
-                                             interpret=True),
+            lambda: rho_nll_pallas_trainable(params, cfg, data,
+                                             interpret=True, layout="split"),
         "parallel_in_time":
-            lambda: core.rho_nll_pscan(params, CFG, data, time_chunk=48),
+            lambda: core.rho_nll_pscan(params, cfg, data, time_chunk=48),
         "temporal_pipeline":
-            lambda: rho_nll_pipelined(params, CFG, data, mesh,
+            lambda: rho_nll_pipelined(params, cfg, data, mesh,
                                       num_microbatches=4),
         "time_sharded":
-            lambda: jax.jit(lambda: rho_nll_time_sharded(params, CFG, data,
+            lambda: jax.jit(lambda: rho_nll_time_sharded(params, cfg, data,
                                                          mesh))(),
         "chunked_remat":
             lambda: core.rho_nll_factor(
-                params, dataclasses.replace(CFG, scan_chunk=32), data),
+                params, dataclasses.replace(cfg, scan_chunk=32), data),
     }
-    values = {name: float(fn()) for name, fn in impls.items()}
-    anchor = values["reference_transcription"]
-    for name, v in values.items():
-        np.testing.assert_allclose(
-            v, anchor, rtol=3e-4,
-            err_msg=f"{name}={v} disagrees with transcription={anchor}: "
-                    f"{values}")
+    if bond_dim % 4 == 0:
+        impls.update({
+            "pallas_block_fwd":
+                lambda: rho_nll_pallas(params, cfg, data, interpret=True,
+                                       layout="block"),
+            "pallas_block_custom_vjp":
+                lambda: rho_nll_pallas_trainable(params, cfg, data,
+                                                 interpret=True,
+                                                 layout="block",
+                                                 defer_norm=True),
+            "dp_time_combined_2d":
+                lambda: jax.jit(lambda: rho_nll_time_sharded(
+                    params, cfg, data, mesh2, time_chunk=24,
+                    batch_axis="data"))(),
+        })
+    _check({name: float(fn()) for name, fn in impls.items()})
 
 
-def test_psi_nll_all_implementations_agree(fixture):
-    data, mesh = fixture
-    params = init_psi(jax.random.PRNGKey(1), CFG)
+@pytest.mark.parametrize("bond_dim", [6, 8])
+def test_psi_nll_all_implementations_agree(bond_dim):
+    cfg, data, mesh, mesh2 = _fixture(bond_dim)
+    params = init_psi(jax.random.PRNGKey(1), cfg)
     impls = {
         "reference_transcription":
-            lambda: reference_transcription.psi_nll_lab_frame(params, CFG,
+            lambda: reference_transcription.psi_nll_lab_frame(params, cfg,
                                                               data),
-        "rotating_frame": lambda: core.psi_nll(params, CFG, data),
+        "rotating_frame": lambda: core.psi_nll(params, cfg, data),
         "pallas_fused_fwd":
-            lambda: psi_nll_pallas(params, CFG, data, interpret=True),
+            lambda: psi_nll_pallas(params, cfg, data, interpret=True,
+                                   layout="split"),
         "pallas_custom_vjp":
-            lambda: psi_nll_pallas_trainable(params, CFG, data,
-                                             interpret=True),
+            lambda: psi_nll_pallas_trainable(params, cfg, data,
+                                             interpret=True, layout="split"),
         "rank1_parallel_in_time":
-            lambda: core.psi_nll_pscan(params, CFG, data, time_chunk=48),
+            lambda: core.psi_nll_pscan(params, cfg, data, time_chunk=48),
         "temporal_pipeline":
-            lambda: psi_nll_pipelined(params, CFG, data, mesh,
+            lambda: psi_nll_pipelined(params, cfg, data, mesh,
                                       num_microbatches=4),
         "rank1_time_sharded":
-            lambda: jax.jit(lambda: psi_nll_time_sharded(params, CFG, data,
+            lambda: jax.jit(lambda: psi_nll_time_sharded(params, cfg, data,
                                                          mesh))(),
     }
-    values = {name: float(fn()) for name, fn in impls.items()}
-    anchor = values["reference_transcription"]
-    for name, v in values.items():
-        np.testing.assert_allclose(
-            v, anchor, rtol=3e-4,
-            err_msg=f"{name}={v} disagrees with transcription={anchor}: "
-                    f"{values}")
+    if bond_dim % 4 == 0:
+        impls.update({
+            "pallas_block_fwd":
+                lambda: psi_nll_pallas(params, cfg, data, interpret=True,
+                                       layout="block"),
+            "pallas_block_custom_vjp":
+                lambda: psi_nll_pallas_trainable(params, cfg, data,
+                                                 interpret=True,
+                                                 layout="block",
+                                                 defer_norm=True),
+            "rank1_dp_time_combined_2d":
+                lambda: jax.jit(lambda: psi_nll_time_sharded(
+                    params, cfg, data, mesh2, time_chunk=24,
+                    batch_axis="data"))(),
+        })
+    _check({name: float(fn()) for name, fn in impls.items()})
