@@ -64,7 +64,7 @@ from ..config import CMPSConfig
 from ..models import core
 from ..models.cell import make_constants
 from .pallas_grad import auto_unroll
-from .pallas_scan import _full, _on_tpu, _pad_rows
+from .pallas_scan import _full, _on_tpu, _pad_rows, rho_factor_inputs
 
 
 def _dot(a, b, precision="highest"):
@@ -148,18 +148,9 @@ def _rho_block_constants(cc):
             block_embed(cc.Xr.T, cc.Xi.T))
 
 
-def _rho_factor_inputs(params, cfg: CMPSConfig, n_cols: int):
-    """Normalized initial factor H0 tiled over n_cols examples + the 0/1
-    segment matrix — shared by the trainable, sampler, and forward-only
-    rho entry points (one place for the W-normalization semantics)."""
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, n_cols))
-    h0i = jnp.tile(wi.T * inv0, (1, n_cols))
-    zmat = jnp.repeat(jnp.eye(n_cols, dtype=jnp.float32), wr.shape[0],
-                      axis=0)
-    return h0r, h0i, zmat
+# one home for the rho initial-factor/segment construction (shared with
+# the split kernels)
+_rho_factor_inputs = rho_factor_inputs
 
 
 def _rho_block_t0(cc, h0r, h0i):

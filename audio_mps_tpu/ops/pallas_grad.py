@@ -39,7 +39,7 @@ from ..models import core
 from ..models.cell import make_constants
 
 from .pallas_scan import (DEFAULT_UNROLL, _full, _on_tpu,  # noqa: F401
-                          _pad_rows)
+                          _pad_rows, rho_factor_inputs)
 
 
 def _dot(a, b, precision="highest"):
@@ -1327,12 +1327,7 @@ def rho_nll_pallas_trainable(params, cfg: CMPSConfig, signals, *,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, B))
-    h0i = jnp.tile(wi.T * inv0, (1, B))
-    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = rho_factor_inputs(params, cfg, B)
 
     fused = _rho_fused_nll_factory(cfg, B, T, rank, unroll, interpret,
                                    precision, defer_norm)

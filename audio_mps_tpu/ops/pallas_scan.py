@@ -72,6 +72,21 @@ def _pad_rows(x, t_pad):
     return out.at[: x.shape[0]].set(x)
 
 
+def rho_factor_inputs(params, cfg: CMPSConfig, n_cols: int):
+    """Normalized initial purification factor H0 tiled over n_cols examples
+    + the 0/1 segment matrix — the ONE home for the W-normalization
+    semantics, shared by every rho kernel entry point (split and block,
+    trainable/sampler/forward-only)."""
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, n_cols))
+    h0i = jnp.tile(wi.T * inv0, (1, n_cols))
+    zmat = jnp.repeat(jnp.eye(n_cols, dtype=jnp.float32), wr.shape[0],
+                      axis=0)
+    return h0r, h0i, zmat
+
+
 # ===========================================================================
 # psi forward NLL kernel
 # ===========================================================================
@@ -180,22 +195,12 @@ def _make_psi_nll_kernel(cfg: CMPSConfig, unroll: int, total: int,
 
 
 def _nll_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
-    """Forward-NLL layout resolution. Same rule as the trainable kernels
-    (resolve_layout): "auto" falls back to split when bond_dim % 4 != 0,
-    an EXPLICIT 'block' raises — unlike the samplers, whose stricter
-    D % 8 == 0 bound forces a fallback for valid training configs."""
-    layout = layout if layout is not None else cfg.kernel_layout
-    if layout not in ("auto", "split", "block"):
-        raise ValueError(
-            f"layout must be 'auto', 'split', or 'block', got {layout!r}")
-    from .pallas_block import supports_block
-    if layout == "auto":
-        return "block" if supports_block(cfg) else "split"
-    if layout == "block" and not supports_block(cfg):
-        raise ValueError(
-            f"layout='block' requires bond_dim % 4 == 0, got "
-            f"{cfg.bond_dim}")
-    return layout
+    """Forward-NLL layout resolution — ONE policy with the trainable
+    kernels: delegate to pallas_grad.resolve_layout ("auto" falls back to
+    split when bond_dim % 4 != 0; an explicit unsupported 'block' flows
+    into the block kernel, which raises)."""
+    from .pallas_grad import resolve_layout
+    return resolve_layout(cfg, layout)
 
 
 def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
@@ -417,12 +422,7 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A        # [T-1, B]
     se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)     # [T_pad, BR]
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, B))
-    h0i = jnp.tile(wi.T * inv0, (1, B))
-    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = rho_factor_inputs(params, cfg, B)
 
     kernel = _make_rho_nll_kernel(cfg, unroll, n_steps, rank, precision,
                                   defer_norm=defer_norm)
@@ -548,9 +548,10 @@ def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
         return psi_sample_block(params, cfg, noise, unroll=unroll,
                                 interpret=interpret, precision=precision)
     if precision == "high":
-        raise ValueError(
-            "kernel_precision='high' (bf16x3) is only implemented in the "
-            "block kernel layout (ops/pallas_block.py)")
+        # bf16x3 exists only in the block kernels; when the sampler falls
+        # back to split (D % 8 != 0 — a valid block-TRAINING config must
+        # still sample), run full fp32 instead: strictly more accurate
+        precision = "highest"
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -679,9 +680,9 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
         return rho_sample_block(params, cfg, noise, unroll=unroll,
                                 interpret=interpret, precision=precision)
     if precision == "high":
-        raise ValueError(
-            "kernel_precision='high' (bf16x3) is only implemented in the "
-            "block kernel layout (ops/pallas_block.py)")
+        # see psi_sample_pallas: split fallback runs fp32 instead of
+        # raising on valid block-training configs
+        precision = "highest"
     if interpret is None:
         interpret = not _on_tpu()
     cc = make_constants(params, cfg)
@@ -693,12 +694,7 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
     t_pad = n_blocks * unroll
     nz = jnp.repeat(_pad_rows(noise, t_pad), rank, axis=1)
 
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, N))
-    h0i = jnp.tile(wi.T * inv0, (1, N))
-    zmat = jnp.repeat(jnp.eye(N, dtype=jnp.float32), rank, axis=0)
+    h0r, h0i, zmat = rho_factor_inputs(params, cfg, N)
 
     kernel = _make_rho_sample_kernel(cfg, unroll, rank, precision)
 

@@ -43,19 +43,25 @@ def ensure_devices(n_devices: int) -> bool:
     count is now >= n_devices; callers that get False must re-exec in a
     fresh process with ``JAX_PLATFORMS=cpu`` and the XLA flag set.
     """
-    flags = os.environ.get("XLA_FLAGS", "")
-    if _HOST_COUNT_FLAG not in flags:
+    prior_flags = os.environ.get("XLA_FLAGS", "")
+    if _HOST_COUNT_FLAG not in prior_flags:
         os.environ["XLA_FLAGS"] = (
-            flags + f" --{_HOST_COUNT_FLAG}={n_devices}").strip()
+            prior_flags + f" --{_HOST_COUNT_FLAG}={n_devices}").strip()
     if not _backends_initialized():
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
     try:
-        return len(jax.devices()) >= n_devices
+        ok = len(jax.devices()) >= n_devices
     except RuntimeError:
-        return False
+        ok = False
+    if not ok and _HOST_COUNT_FLAG not in prior_flags:
+        # provisioning failed (backend was already up): undo the env
+        # mutation so unrelated child processes don't inherit a virtual
+        # device count they never asked for
+        os.environ["XLA_FLAGS"] = prior_flags
+    return ok
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -118,7 +118,11 @@ def test_async_checkpoint_rapid_saves_and_restore(tmp_path):
     assert rstep == 3
     _params_close(rparams, params)
     _params_close(ropt, opt_state)
-    assert np.isfinite(dispatch_time)  # smoke: loop completed promptly
+    # the async property itself is the API contract (orbax background
+    # serialization); what this test enforces is the restore-joins-save
+    # semantics above. dispatch_time is logged for humans, not asserted
+    # (a wall-clock bound would flake on loaded CI hosts).
+    del dispatch_time
 
 
 def test_train_cli_end_to_end(tmp_path):
