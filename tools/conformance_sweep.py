@@ -1,0 +1,66 @@
+"""Randomized conformance sweep: block-layout fused kernels vs jax.grad
+of the XLA scan across random (model, D, B, T, rank, defer, unroll)
+configs — an out-of-suite stress companion to tests/test_pallas_block.py
+(run it after kernel changes: `python tools/conformance_sweep.py [seed]`;
+14 cases, ~8 min on one CPU; expect `FAILURES: 0`)."""
+import os, sys, random
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models import core
+from audio_mps_tpu.models.params import init_psi, init_rho
+from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
+                                           rho_nll_pallas_trainable)
+
+rng = random.Random(int(sys.argv[1]) if len(sys.argv) > 1 else 0)
+cases = []
+for i in range(14):
+    D = rng.choice([4, 8, 12, 16, 20])
+    B = rng.choice([1, 2, 3, 5])
+    T = rng.choice([17, 33, 49, 97, 130])
+    rank = rng.choice([None, 1, 2, D // 2])
+    defer = rng.choice([True, False])
+    unroll = rng.choice([4, 8, 16])
+    model = rng.choice(["psi", "rho"])
+    cases.append((model, D, B, T, rank, defer, unroll))
+
+fails = 0
+for (model, D, B, T, rank, defer, unroll) in cases:
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=0,
+                     initial_rank=rank if model == "rho" else None)
+    data = damped_sine_batch(jax.random.PRNGKey(T + D), B, T, cfg.delta_t)
+    tag = f"{model} D={D} B={B} T={T} rank={rank} defer={defer} u={unroll}"
+    try:
+        if model == "psi":
+            pp = init_psi(jax.random.PRNGKey(D), cfg)
+            ref_fn = core.psi_nll
+            pal = lambda p: psi_nll_pallas_trainable(
+                p, cfg, data, unroll=unroll, interpret=True,
+                defer_norm=defer, layout="block")
+        else:
+            pp = init_rho(jax.random.PRNGKey(D), cfg)
+            ref_fn = core.rho_nll_factor
+            pal = lambda p: rho_nll_pallas_trainable(
+                p, cfg, data, unroll=unroll, interpret=True,
+                defer_norm=defer, layout="block")
+        v_ref = float(ref_fn(pp, cfg, data))
+        v_pal = float(pal(pp))
+        g_ref = jax.grad(lambda p: ref_fn(p, cfg, data))(pp)
+        g_pal = jax.grad(pal)(pp)
+        ok = abs(v_pal - v_ref) < 1e-6 + 1e-5 * abs(v_ref)
+        gerr = max(
+            np.abs(np.asarray(a) - np.asarray(b)).max() /
+            (np.abs(np.asarray(a)).max() + 1e-12)
+            for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)))
+        ok = ok and gerr < 3e-4
+        print(("OK  " if ok else "FAIL") + f" {tag}  v={v_ref:+.5f} gerr={gerr:.1e}", flush=True)
+        fails += 0 if ok else 1
+    except Exception as e:
+        print(f"ERR  {tag}: {str(e)[:110]}", flush=True)
+        fails += 1
+print("FAILURES:", fails, flush=True)
