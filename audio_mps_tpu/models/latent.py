@@ -144,15 +144,20 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
     return loss
 
 
-def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key,
+def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
               beta: float = 1.0, loss_type: str = "log",
-              fused: bool = False):
+              fused: bool = False, eps=None):
     """Negative ELBO (mean over batch): recon + beta KL.
 
     Returns (loss, aux dict). `fused=True` uses the Pallas fused
-    forward+backward for the reconstruction term (TPU)."""
+    forward+backward for the reconstruction term (TPU). The posterior
+    reparameterization noise comes from `key`, or can be passed directly
+    as `eps` [B, Z] (used by the data-parallel step to draw one GLOBAL
+    noise tensor and slice the local shard, so sharded training is
+    bit-identical to the single-device step)."""
     mu, logvar = encode(params, signals)
-    eps = jax.random.normal(key, mu.shape)
+    if eps is None:
+        eps = jax.random.normal(key, mu.shape)
     z = mu + jnp.exp(0.5 * logvar) * eps
     psi0_pair = decode_psi0(params, z, cfg)
     recon = recon_loss(params, cfg, signals, psi0_pair, loss_type=loss_type,
@@ -163,18 +168,27 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key,
 
 
 def sample_latent(params: LatentCMPSParams, cfg: CMPSConfig, key,
-                  num_samples: int, length: int, temp=1.0):
-    """Generate waveforms from the prior: z ~ N(0,1) -> psi_0(z) -> SDE."""
+                  num_samples: int, length: int, temp=1.0,
+                  fused: bool = False):
+    """Generate waveforms from the prior: z ~ N(0,1) -> psi_0(z) -> SDE.
+
+    ``fused=True`` runs the SDE through the fused Pallas sampler kernels
+    with the per-example decoded initial states (same semantics, pinned by
+    tests/test_latent.py) — generation for the latent family rides the
+    same kernel path as rho/psi."""
     kz, kn = jax.random.split(key)
     z = jax.random.normal(kz, (num_samples, params.enc_w_mu.shape[1]))
-    pr, pi = decode_psi0(params, z, cfg)
+    psi0_pair = decode_psi0(params, z, cfg)
     cc = make_constants(params, cfg)
     std = cfg.sigma * jnp.sqrt(jnp.asarray(temp) * cfg.delta_t)
     noise = std * jax.random.normal(kn, (length, num_samples), jnp.float32)
+    if fused:
+        from ..ops.pallas_scan import psi_sample_pallas
+        return psi_sample_pallas(params, cfg, noise, psi0_pair=psi0_pair)
 
     def step(c, zt):
         c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, zt)
         return c2, inc
 
-    _, incs = jax.lax.scan(step, (pr, pi), noise)
+    _, incs = jax.lax.scan(step, psi0_pair, noise)
     return cc.A * jnp.cumsum(incs, axis=0).T

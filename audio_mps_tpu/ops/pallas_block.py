@@ -1091,10 +1091,12 @@ def _make_psi_sample_kernel(cfg: CMPSConfig, unroll: int, D: int,
 def psi_sample_block(params, cfg: CMPSConfig, noise, *,
                      unroll: int = 16,
                      interpret: Optional[bool] = None,
-                     precision: str = "highest"):
+                     precision: str = "highest",
+                     psi0_pair=None):
     """Waveforms [N, T] from noise [T, N] — block-layout fused SDE sampler
     (semantics of core.sample_psi_with_noise / reference model.py:242-251;
-    drop-in for pallas_scan.psi_sample_pallas)."""
+    drop-in for pallas_scan.psi_sample_pallas). ``psi0_pair``: optional
+    per-example [N, D] initial-state pair (latent family)."""
     if interpret is None:
         interpret = not _on_tpu()
     if not supports_block_sampler(cfg):
@@ -1107,9 +1109,12 @@ def psi_sample_block(params, cfg: CMPSConfig, noise, *,
     t_pad = n_blocks * unroll
     nz = _pad_rows(noise, t_pad)
 
-    pr0, pi0 = core.psi0(params, cfg)
-    t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None], (D, N)),
-                       jnp.broadcast_to(pi0[:, None], (D, N)))
+    if psi0_pair is not None:
+        t0 = _psi_block_t0(cc, psi0_pair[0].T, psi0_pair[1].T)
+    else:
+        pr0, pi0 = core.psi0(params, cfg)
+        t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None], (D, N)),
+                           jnp.broadcast_to(pi0[:, None], (D, N)))
     ab, bb, _ = _psi_block_constants(cc)
 
     kernel = _make_psi_sample_kernel(cfg, unroll, D, precision)

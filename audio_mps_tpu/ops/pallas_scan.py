@@ -525,32 +525,60 @@ def _sampler_layout(cfg: CMPSConfig, layout: Optional[str]) -> str:
     (ops/pallas_block.py) need D % 8 == 0 — a stricter bound than the
     trainable block kernels' D % 4 == 0 — so even an explicit "block"
     falls back to the split samplers when unsupported (a model trained
-    with kernel_layout="block" at e.g. D=12 must still sample)."""
-    layout = layout if layout is not None else cfg.kernel_layout
-    if layout not in ("auto", "split", "block"):
+    with kernel_layout="block" at e.g. D=12 must still sample). An
+    explicit downgrade warns once so benchmarks aren't silently timing
+    the split kernels."""
+    requested = layout if layout is not None else cfg.kernel_layout
+    if requested not in ("auto", "split", "block"):
         raise ValueError(
-            f"layout must be 'auto', 'split', or 'block', got {layout!r}")
-    if layout in ("auto", "block"):
+            f"layout must be 'auto', 'split', or 'block', got {requested!r}")
+    if requested in ("auto", "block"):
         from .pallas_block import supports_block_sampler
-        return "block" if supports_block_sampler(cfg) else "split"
-    return layout
+        if supports_block_sampler(cfg):
+            return "block"
+        if requested == "block":
+            import warnings
+            warnings.warn(
+                f"explicit sampler layout='block' needs bond_dim % 8 == 0; "
+                f"falling back to the split sampler at D={cfg.bond_dim}",
+                stacklevel=3)
+        return "split"
+    return requested
+
+
+def _warn_high_downgrade(cfg: CMPSConfig):
+    """A valid block-TRAINING config (D % 4 == 0, precision='high') whose
+    sampler fell back to split runs full fp32 instead of bf16x3 — strictly
+    more accurate, but worth a visible signal when benchmarking."""
+    import warnings
+    warnings.warn(
+        f"sampler precision='high' (bf16x3) exists only in the block "
+        f"kernels; split fallback at D={cfg.bond_dim} runs full fp32 "
+        f"('highest') instead", stacklevel=3)
 
 
 def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
                       unroll: int = DEFAULT_UNROLL,
                       interpret: Optional[bool] = None,
                       precision: str = "highest",
-                      layout: Optional[str] = None):
+                      layout: Optional[str] = None,
+                      psi0_pair=None):
     """Waveforms [N, T] from noise [T, N] — fused SDE sampler (semantics of
-    core.sample_psi_with_noise / reference model.py:242-251)."""
+    core.sample_psi_with_noise / reference model.py:242-251).
+
+    ``psi0_pair``: optional PER-EXAMPLE initial states ([N, D] real/imag
+    pair) — used by the latent-conditioned family, whose decoder emits one
+    psi_0 per sample (models/latent.py)."""
     if _sampler_layout(cfg, layout) == "block":
         from .pallas_block import psi_sample_block
         return psi_sample_block(params, cfg, noise, unroll=unroll,
-                                interpret=interpret, precision=precision)
+                                interpret=interpret, precision=precision,
+                                psi0_pair=psi0_pair)
     if precision == "high":
         # bf16x3 exists only in the block kernels; when the sampler falls
         # back to split (D % 8 != 0 — a valid block-TRAINING config must
         # still sample), run full fp32 instead: strictly more accurate
+        _warn_high_downgrade(cfg)
         precision = "highest"
     if interpret is None:
         interpret = not _on_tpu()
@@ -561,9 +589,12 @@ def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
     t_pad = n_blocks * unroll
     nz = _pad_rows(noise, t_pad)
 
-    pr0, pi0 = core.psi0(params, cfg)
-    s0r = jnp.broadcast_to(pr0[:, None], (D, N))
-    s0i = jnp.broadcast_to(pi0[:, None], (D, N))
+    if psi0_pair is not None:
+        s0r, s0i = psi0_pair[0].T, psi0_pair[1].T        # [D, N]
+    else:
+        pr0, pi0 = core.psi0(params, cfg)
+        s0r = jnp.broadcast_to(pr0[:, None], (D, N))
+        s0i = jnp.broadcast_to(pi0[:, None], (D, N))
 
     kernel = _make_psi_sample_kernel(cfg, unroll, precision)
 
@@ -682,6 +713,7 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
     if precision == "high":
         # see psi_sample_pallas: split fallback runs fp32 instead of
         # raising on valid block-training configs
+        _warn_high_downgrade(cfg)
         precision = "highest"
     if interpret is None:
         interpret = not _on_tpu()

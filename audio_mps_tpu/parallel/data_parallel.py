@@ -20,7 +20,7 @@ from .compat import shard_map
 
 from ..config import CMPSConfig
 from ..models import core
-from ..training import make_loss_fn, make_optimizer
+from ..training import make_latent_loss_fn, make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
 
 
@@ -31,6 +31,9 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
 
     step(params, opt_state, batch[B_global, T]) -> (params, opt_state,
     metrics); params/opt_state replicated, batch sharded over `axis`.
+    For ``mps_model="latent"`` the step takes an extra PRNG key —
+    step(params, opt_state, batch, key) — matching the single-device
+    latent step (training.make_train_step).
     Per-device grads are averaged with `jax.lax.pmean` (an XLA all-reduce
     riding ICI); the optimizer update runs redundantly-replicated, which is
     optimal at this parameter scale (a few KB).
@@ -42,6 +45,9 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     fused by tests/test_parallel.py).
     """
     optimizer = optimizer or make_optimizer(cfg)
+    if mps_model == "latent":
+        return optimizer, _make_dp_latent_step(cfg, mesh, optimizer, axis,
+                                               fused)
     loss_fn = make_loss_fn(mps_model, cfg, fused=fused)
 
     def local_step(params, opt_state, batch):
@@ -63,12 +69,53 @@ def make_dp_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     return optimizer, step
 
 
+def _make_dp_latent_step(cfg: CMPSConfig, mesh: Mesh, optimizer, axis: str,
+                         fused: Optional[bool]):
+    """Data-parallel ELBO step for the latent-conditioned family
+    (models/latent.py — the working completion of the reference's
+    follow_vae.py WIP). The reparameterization noise is drawn ONCE at the
+    global batch shape from the replicated key and each device slices its
+    shard's rows, so the sharded step is bit-identical to the
+    single-device latent step with the same key (pinned by
+    tests/test_parallel.py)."""
+    loss_fn = make_latent_loss_fn(cfg, fused=fused)
+    n_dev = mesh.devices.size
+
+    def local_step(params, opt_state, batch, key):
+        b_local = batch.shape[0]
+        eps_global = jax.random.normal(key, (b_local * n_dev,
+                                             cfg.latent_dim))
+        idx = jax.lax.axis_index(axis)
+        eps = jax.lax.dynamic_slice_in_dim(eps_global, idx * b_local,
+                                           b_local, 0)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, eps=eps)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P()),
+        out_specs=(P(), P(), P()),
+        check=False)
+
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
 def make_dp_sample(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                    axis: str = DATA_AXIS):
     """Sharded ancestral sampling: samples split across chips (generation is
     irreducibly serial in time — throughput comes from batching across the
-    mesh, SURVEY.md §7 hard parts)."""
-    fn = core.sample_rho if mps_model == "rho_mps" else core.sample_psi
+    mesh, SURVEY.md §7 hard parts). Supports all three families (latent
+    samples from the prior via its decoded per-example psi_0)."""
+    if mps_model == "latent":
+        from ..models.latent import sample_latent
+        fn = sample_latent
+    else:
+        fn = core.sample_rho if mps_model == "rho_mps" else core.sample_psi
 
     def build(num_samples: int, length: int, temp: float = 1.0):
         n_dev = mesh.devices.size

@@ -105,12 +105,12 @@ def sample(sc: SampleConfig, verbose: bool = True):
               flush=True)
 
     if mps_model == "latent":
-        if sc.fused:
-            raise ValueError("--fused sampling is not available for the "
-                             "latent variant (the psi_0 batch is "
-                             "per-example); rerun without --fused")
         from .models.latent import sample_latent
-        fn = sample_latent
+        if sc.fused:
+            import functools
+            fn = functools.partial(sample_latent, fused=True)
+        else:
+            fn = sample_latent
     elif sc.fused:
         from .ops.pallas_scan import (psi_sample_pallas_keyed,
                                       rho_sample_pallas_keyed)

@@ -98,18 +98,20 @@ def make_loss_fn(mps_model: str, cfg: CMPSConfig,
 
 def make_latent_loss_fn(cfg: CMPSConfig, fused: Optional[bool] = None):
     """ELBO loss (+ the reference's h/r regularizers) for the
-    latent-conditioned variant; loss_fn(params, batch, key) — the key
-    drives the posterior reparameterization sample."""
+    latent-conditioned variant; loss_fn(params, batch, key=None, eps=None)
+    — the key drives the posterior reparameterization sample (or pass the
+    noise directly as eps [B, Z]; the DP step does, see
+    parallel/data_parallel.py)."""
     from .models import latent as latent_lib
     if fused is None:
         # the fused recon kernel implements the log loss only; quadratic
         # (follow_vae.py:69-70) must use the XLA scan even on TPU
         fused = _on_tpu() and cfg.latent_loss == "log"
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key=None, eps=None):
         nll, aux = latent_lib.elbo_loss(
             params, cfg, batch, key, beta=cfg.latent_beta,
-            loss_type=cfg.latent_loss, fused=fused)
+            loss_type=cfg.latent_loss, fused=fused, eps=eps)
         total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
         return total, {"model_loss": nll, "total_loss": total,
                        "recon": aux["recon"], "kl": aux["kl"],

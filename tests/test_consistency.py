@@ -95,6 +95,48 @@ def test_rho_nll_all_implementations_agree(bond_dim):
 
 
 @pytest.mark.parametrize("bond_dim", [6, 8])
+def test_latent_recon_all_implementations_agree(bond_dim):
+    """The latent family's per-example reconstruction NLL (decoder = the
+    psi cMPS started from per-example psi_0(z)) agrees across the XLA
+    chunked-remat scan, the plain scan, and the fused split/block
+    custom-VJP kernels — the same certificate rigor as rho/psi
+    (VERDICT r2 item 3)."""
+    from audio_mps_tpu.models.latent import decode_psi0, init_latent, \
+        recon_loss
+    from audio_mps_tpu.ops.pallas_grad import \
+        psi_nll_pallas_trainable_from_state
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=bond_dim, scan_chunk=0,
+                     latent_dim=4, latent_hidden=16)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    params = init_latent(jax.random.PRNGKey(1), cfg, latent_dim=4, hidden=16)
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 4))
+    pair = decode_psi0(params, z, cfg)
+
+    impls = {
+        "xla_scan": lambda: recon_loss(params, cfg, data, pair),
+        "xla_chunked_remat": lambda: recon_loss(
+            params, dataclasses.replace(cfg, scan_chunk=32), data, pair),
+        "pallas_split_custom_vjp":
+            lambda: psi_nll_pallas_trainable_from_state(
+                params, cfg, data, pair, interpret=True, reduce="none",
+                layout="split"),
+    }
+    if bond_dim % 4 == 0:
+        impls["pallas_block_custom_vjp"] = \
+            lambda: psi_nll_pallas_trainable_from_state(
+                params, cfg, data, pair, interpret=True, reduce="none",
+                layout="block", defer_norm=True)
+    values = {name: np.asarray(fn()) for name, fn in impls.items()}
+    anchor = values["xla_scan"]
+    assert anchor.shape == (4,)
+    for name, v in values.items():
+        np.testing.assert_allclose(
+            v, anchor, rtol=3e-4,
+            err_msg=f"{name} disagrees with the XLA scan: {values}")
+
+
+@pytest.mark.parametrize("bond_dim", [6, 8])
 def test_psi_nll_all_implementations_agree(bond_dim):
     cfg, data, mesh, mesh2 = _fixture(bond_dim)
     params = init_psi(jax.random.PRNGKey(1), cfg)

@@ -70,6 +70,31 @@ def test_prior_sampling():
     assert not np.allclose(np.asarray(w[0]), np.asarray(w[1]))
 
 
+@pytest.mark.parametrize("bond_dim", [4, 8])
+def test_fused_sampler_matches_xla(bond_dim):
+    """sample_latent(fused=True) — the per-example-psi0 fused SDE sampler
+    kernels (split at D=4, block at D=8) — reproduces the XLA scan sampler
+    exactly (same key -> same noise -> same waveforms)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, bond_dim=bond_dim)
+    params = init_latent(jax.random.PRNGKey(0), cfg, latent_dim=4)
+    key = jax.random.PRNGKey(11)
+    w_ref = np.asarray(sample_latent(params, cfg, key, 3, 96))
+    w_fus = np.asarray(sample_latent(params, cfg, key, 3, 96, fused=True))
+    assert w_fus.shape == (3, 96)
+    np.testing.assert_allclose(w_fus, w_ref, rtol=2e-4, atol=1e-7)
+
+
+def test_dp_sample_keyword_threads_temperature():
+    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4)
+    w_cold = np.asarray(sample_latent(params, CFG, jax.random.PRNGKey(5),
+                                      2, 64, temp=1e-12))
+    w_hot = np.asarray(sample_latent(params, CFG, jax.random.PRNGKey(5),
+                                     2, 64, temp=100.0))
+    # higher temperature -> strictly more SDE noise energy
+    assert np.abs(w_hot).sum() != np.abs(w_cold).sum()
+
+
 def test_fused_recon_per_example_matches_unfused():
     """recon_loss(fused=True) returns TRUE per-example losses (not a
     broadcast batch mean), matching fused=False element-wise, and its VJP
