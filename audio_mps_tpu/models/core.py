@@ -435,5 +435,12 @@ def rho_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 1024):
 
 def psi_nll_pscan(params, cfg: CMPSConfig, signals, time_chunk: int = 4096):
     """Parallel-in-time NLL for the pure-state model: identical machinery
-    with the rank-1 factor (see _factor_g0). Same value as psi_nll."""
+    with the rank-1 factor (see _factor_g0). Same value as psi_nll.
+
+    The default ``time_chunk`` is 4x the rho default deliberately: the
+    chunk memory footprint is dominated by the per-step factor states
+    [Tc, B, r, D], and the psi family's rank is r=1 vs the rho family's
+    r = initial_rank (default D) — a psi chunk of 4096 costs about the
+    same memory as a rho chunk of 1024 at the D=8 defaults. Both bodies
+    are `jax.checkpoint`-wrapped, so either default is safe at any T."""
     return rho_nll_pscan(params, cfg, signals, time_chunk=time_chunk)

@@ -63,6 +63,19 @@ def _train_flops_per_frame(D: int, lanes_per_example: int = 1) -> float:
     return 96.0 * D * D * lanes_per_example
 
 
+def _sample_flops_per_step(D: int, family: str,
+                           lanes_per_chain: int = 1) -> float:
+    """Analytic model FLOPs per SDE step per chain for the fused samplers.
+
+    psi: 2 complex matrix applies per step (R.psi for the expectation —
+    reused by the conditioned update — and C.psi), each 8 D^2 lanes
+    FLOPs as real GEMMs -> 16 D^2. rho (purification factor): 3 applies
+    (X^T.H, conj(C).H, conj(R).H) on [D, rank] factors -> 24 D^2 rank.
+    """
+    per_apply = 8.0 * D * D * lanes_per_chain
+    return (3 if family == "rho" else 2) * per_apply
+
+
 def make_lab_train_step(cfg, mps_model: str):
     """Training step on the literal reference-semantics transcription."""
     opt = optax.adam(cfg.learning_rate)
@@ -236,7 +249,8 @@ def main():
     t_samp = time_fn(samp, params3, noise, iters=iters)
     detail["sampler_steps_per_sec"] = round(B * T / t_samp, 1)
     try:
-        from audio_mps_tpu.ops.pallas_scan import (rho_nll_pallas,
+        from audio_mps_tpu.ops.pallas_scan import (psi_sample_pallas,
+                                                   rho_nll_pallas,
                                                    rho_sample_pallas)
         knll = jax.jit(partial(rho_nll_pallas, cfg=cfg, interpret=False))
         t_knll = time_fn(lambda b: knll(params3, signals=b), batch,
@@ -244,17 +258,44 @@ def main():
         ksam = jax.jit(partial(rho_sample_pallas, cfg=cfg, interpret=False))
         t_ksam = time_fn(lambda z: ksam(params3, noise=z), noise,
                          iters=iters)
+        rank = params3.Wx.shape[0]
+        rho_fps = _sample_flops_per_step(D, "rho", rank)
+        _, rho_samp_mfu = _mfu(rho_fps, B, T, t_ksam)
         n_wide = 128 // max(1, cfg.bond_dim // 8)  # keep VMEM bounded
         noise_w = 1e-4 * jax.random.normal(jax.random.PRNGKey(3),
                                            (T, n_wide))
         t_kwide = time_fn(lambda z: ksam(params3, noise=z), noise_w,
                           iters=iters)
+        _, rho_wide_mfu = _mfu(rho_fps, n_wide, T, t_kwide)
         detail.update({
             "pallas_nll_fwd_ms": round(t_knll * 1e3, 2),
             "pallas_sampler_steps_per_sec": round(B * T / t_ksam, 1),
+            "pallas_sampler_mfu_pct": rho_samp_mfu,
             f"pallas_sampler_steps_per_sec_N{n_wide}":
                 round(n_wide * T / t_kwide, 1),
+            f"pallas_sampler_mfu_pct_N{n_wide}": rho_wide_mfu,
+            # why rho chain counts scale sublinearly: every chain carries
+            # rank lanes (factor columns), so N chains occupy N*rank lanes
+            # — N=8 at rank=D=64 is ALREADY 512 lanes (4 full tiles); the
+            # per-step MXU pass floor is amortized long before N grows
+            "rho_sampler_lanes_per_chain": rank,
         })
+        # psi sampler wide-chain efficiency: one lane per chain, so chains
+        # scale to the MXU width like the training batch does
+        if not quick:
+            psi_p = init_psi(jax.random.PRNGKey(0), cfg)
+            psam = jax.jit(partial(psi_sample_pallas, cfg=cfg,
+                                   interpret=False))
+            psi_fps = _sample_flops_per_step(D, "psi")
+            for n_chain in (128, 512):
+                noise_n = 1e-4 * jax.random.normal(jax.random.PRNGKey(4),
+                                                   (T, n_chain))
+                t_ps = time_fn(lambda z: psam(psi_p, noise=z), noise_n,
+                               iters=iters)
+                _, psi_mfu = _mfu(psi_fps, n_chain, T, t_ps)
+                detail[f"psi_sampler_steps_per_sec_N{n_chain}"] = \
+                    round(n_chain * T / t_ps, 1)
+                detail[f"psi_sampler_mfu_pct_N{n_chain}"] = psi_mfu
     except Exception as e:   # keep bench robust on non-TPU backends
         detail["pallas_error"] = str(e)[:120]
 

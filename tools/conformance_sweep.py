@@ -4,12 +4,19 @@ configs — an out-of-suite stress companion to tests/test_pallas_block.py
 (run it after kernel changes: `python tools/conformance_sweep.py [seed]`;
 14 cases, ~8 min on one CPU; expect `FAILURES: 0`)."""
 import os, sys, random
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0 --xla_llvm_disable_expensive_passes=true"
+# only append XLA flags the caller hasn't set (same guard as
+# tests/conftest.py)
+_flags = os.environ.get("XLA_FLAGS", "")
+for _flag in ("--xla_backend_optimization_level=0",
+              "--xla_llvm_disable_expensive_passes=true"):
+    if _flag.split("=")[0] not in _flags:
+        _flags = (_flags + " " + _flag).strip()
+os.environ["XLA_FLAGS"] = _flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from audio_mps_tpu.config import CMPSConfig
 from audio_mps_tpu.data import damped_sine_batch
 from audio_mps_tpu.models import core
