@@ -103,6 +103,74 @@ def _make_dot_ops(precision):
     return (lambda x: x), dotf, (lambda a: a.T)
 
 
+_NT_DIMS = (((1,), (1,)), ((), ()))       # contract lanes of both operands
+
+
+def _make_seg_dot(precision):
+    """Skinny segment-matrix dot for the rho kernels' per-example
+    reductions/broadcasts ([r,BR]@[BR,B] or [r,B]@[B,BR] with a 0/1
+    segment matrix).
+
+    "high": the 0/1 matrix is EXACT in bf16, so value @ z decomposes as
+    hi @ z + lo @ z — TWO single bf16 passes reproducing the fp32 result
+    to the hi/lo split's ~2^-17, well inside the mode's own dot rounding
+    (vs 6 passes for a full fp32 dot). Other precisions: plain dot."""
+    if precision == "high":
+        def segdot(row, m):
+            rh = row.astype(jnp.bfloat16)
+            rl = (row - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+            mh = m.astype(jnp.bfloat16)
+            d = functools.partial(jnp.dot,
+                                  preferred_element_type=jnp.float32,
+                                  precision="default")
+            return d(rh, mh) + d(rl, mh)
+        return segdot
+    return functools.partial(_dot, precision=precision)
+
+
+def _make_dot_ops_bwd(precision):
+    """(prep, rec, dotf, dotnt) for the RESTRUCTURED backward kernels.
+
+    dotnt(a, b) computes a @ b.T ([M, lanes] x [N, lanes] -> [M, N])
+    directly via `lax.dot_general` lane contraction — no materialized
+    per-step transposes. rec() reconstructs an fp32 view of a prepped
+    operand (hi + lo for bf16x3 — rel err ~1e-5, below the mode's own dot
+    rounding; identity for fp32 modes), so the reverse sweep reuses the
+    splits SAVED during the block recompute instead of re-splitting
+    (VERDICT r2 item 1: the wide-operand split overhead)."""
+    if precision == "high":
+        def dotf(a, b):
+            ah, al = a
+            bh, bl = b
+            d = functools.partial(jnp.dot,
+                                  preferred_element_type=jnp.float32,
+                                  precision="default")
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+        def dotnt(a, b):
+            ah, al = a
+            bh, bl = b
+            d = functools.partial(jax.lax.dot_general,
+                                  dimension_numbers=_NT_DIMS,
+                                  preferred_element_type=jnp.float32,
+                                  precision="default")
+            return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+        def rec(a):
+            return a[0].astype(jnp.float32) + a[1].astype(jnp.float32)
+
+        return _split_bf16, rec, dotf, dotnt
+
+    dotf = functools.partial(_dot, precision=precision)
+
+    def dotnt(a, b):
+        return jax.lax.dot_general(a, b, dimension_numbers=_NT_DIMS,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+
+    return (lambda x: x), (lambda x: x), dotf, dotnt
+
+
 def block_embed(mr, mi):
     """Real [2D,2D] embedding of the complex matrix M = mr + i mi acting on
     stacked [xr; xi] columns (traced JAX, outside the kernels)."""
@@ -339,11 +407,28 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
                                n_blocks: int, precision: str):
     """Deferred-normalization adjoint: no per-step normalize adjoint; the
     squared-norm cotangent dn2 is carried alongside dt (see the split
-    kernel, ops/pallas_grad.py:_make_psi_bwd_kernel_defer)."""
+    kernel, ops/pallas_grad.py:_make_psi_bwd_kernel_defer).
+
+    RESTRUCTURED reverse sweep (round 3, VERDICT item 1 — the bf16x3
+    wide-operand overhead):
+      - the block recompute phrases the update as y = Ab t + Bb u with
+        u = s .* t (the per-lane signal scale commutes into the operand),
+        and SAVES the prepped (split) forms tp/pu/py — in defer mode
+        t_{k+1} = y_k, so each step's tp is the previous step's py and the
+        whole recompute costs 2 fresh preps/step;
+      - the reverse sweep reuses those saved preps: parameter cotangents
+        are lane-contraction `dot_general`s (d_ab = dy @ t^T via dotnt —
+        no materialized transposes), d_bb = dy @ u^T replaces the old
+        (s*dy) @ t^T (identical contraction, one fewer prep), and
+        du = Bb^T dy serves both the state cotangent (dtn += s .* du) and
+        ds (sum(du . t)). 2 preps + 0 transposes per reverse step vs the
+        old 5 preps + 2 transposes, at identical MXU pass counts.
+    """
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
-    prep, dotf, tr = _make_dot_ops(precision)
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr = _make_dot_ops(precision)
 
     def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
                dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
@@ -358,17 +443,22 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
         ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
         abT, bbT, rbT = tr(ab), tr(bb), tr(rb)
 
-        # --- recompute the unnormalized chain from the checkpoint
+        # --- recompute the unnormalized chain from the checkpoint,
+        # saving the PREPPED operands for the reverse sweep
         t = ck_ref[0]
+        tp = prep(t)
         n2p = jnp.ones_like(se_ref[0, 0:1, :])
         saved = []
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
-            f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps,
-                                prep, dotf)
-            saved.append((t, n2p, f["bt"], f["y"], f["ru"]))
-            t = f["y"]
-            n2p = f["n2"]
+            pu = prep(s * t)
+            y = dotf(ab, tp) + dotf(bb, pu)       # Ab t + Bb (s t)
+            py = prep(y)
+            ru = dotf(rb, py)
+            saved.append((tp, pu, py, ru, n2p))
+            t = y                                  # defer: t_{k+1} = y_k
+            tp = py                                # ... so its prep too
+            n2p = jnp.sum(y * y, axis=0, keepdims=True)
 
         # --- block-exit renormalization adjoint seeds (dt, dn2)
         dt_in = dt_s[:]
@@ -382,7 +472,9 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
         a_ab, a_bb, a_rb = aab_s[:], abb_s[:], arb_s[:]
         for k in reversed(range(unroll)):
             s = se_ref[0, k:k + 1, :]
-            tin, n2pk, bt, y, ru = saved[k]
+            tp_k, pu_k, py_k, ru, n2pk = saved[k]
+            t_k = rec(tp_k)
+            y = rec(py_k)
             # cheap scalar tail recompute (VPU only)
             ehat = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
             n2p_c = jnp.maximum(n2pk, norm_eps)
@@ -406,15 +498,14 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             # ru = Rb y adjoint
             pdru = prep(dru)
             dy = dy + dotf(rbT, pdru)
-            d_rb = dotf(pdru, prep(y.T))
-            # y = Ab t + s * (Bb t)
-            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
-            sdy = s * dy
-            pdy, psdy = prep(dy), prep(sdy)
-            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
-            ptinT = prep(tin.T)
-            d_ab = dotf(pdy, ptinT)
-            d_bb = dotf(psdy, ptinT)
+            d_rb = dotnt(pdru, py_k)               # dru @ y^T
+            # y = Ab t + Bb u, u = s .* t
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)                    # Bb^T dy
+            dtn = dotf(abT, pdy) + s * du          # s commutes per lane
+            ds = ds + jnp.sum(du * t_k, axis=0, keepdims=True)
+            d_ab = dotnt(pdy, tp_k)                # dy @ t^T
+            d_bb = dotnt(pdy, pu_k)                # dy @ u^T == (s dy) t^T
 
             dse_ref[0, k:k + 1, :] = ds
             dt = dtn
@@ -629,7 +720,8 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
     # cost, so they stay at full fp32 precision in "high" mode
     seg_prec = "highest" if precision == "high" else precision
 
-    def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+    def kernel(se_ref, seb_ref, t0_ref, ab_ref, bb_ref, xb_ref,
+               z_ref, zt_ref,
                loss_ref, ck_ref, t_s, acc_s):
         i = pl.program_id(0)
 
@@ -644,27 +736,51 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
         def seg(row):
             return _dot(_dot(row, z, seg_prec), zt, seg_prec)
 
+        def seg_b(row):
+            """[1,BR] rank-group partial sums -> per-example [1,B]."""
+            return _dot(row, z, seg_prec)
+
         t = t_s[:]
         ck_ref[0] = t
-        acc = acc_s[:]
         if defer_norm:
-            trp = jnp.ones_like(acc)
+            # defer keeps the WHOLE loss path in per-example [1, B] space
+            # (the split kernel's scheme) with the two per-step scalars
+            # (expectation + trace partials) STACKED into one skinny
+            # [2,BR]@[BR,B] contraction; the state path is broadcast-free,
+            # so only the block-exit renormalization pays one
+            # [1,B]@[B,BR] dot.
+            segdot = _make_seg_dot(precision)
+            acc_b = acc_s[:]
+            trp_b = jnp.ones_like(acc_b)
             for k in range(unroll):
                 s = se_ref[0, k:k + 1, :]
-                f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
-                                    norm_eps, prep, dotf)
-                acc = acc - jnp.log(f["arg"])
-                t = f["y"]
-                trp = f["tr_bc"]
-            inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
-            t = t * inv
-        else:
-            for k in range(unroll):
-                s = se_ref[0, k:k + 1, :]
-                f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
-                              prep, dotf)
-                acc = acc - jnp.log(f["arg"])
-                t = f["ty"]
+                s_b = seb_ref[0, k:k + 1, :]
+                tp = prep(t)
+                y = dotf(ab, tp) + s * dotf(bb, tp)
+                gx = dotf(xb, prep(y))
+                parts = jnp.concatenate(
+                    [jnp.sum(y * gx, axis=0, keepdims=True),
+                     jnp.sum(y * y, axis=0, keepdims=True)], axis=0)
+                red = segdot(parts, z)                 # [2, B]
+                ehat_b = red[0:1]
+                e_b = ehat_b / jnp.maximum(trp_b, norm_eps)
+                arg_b = jnp.maximum(1.0 + e_b * s_b, log_eps)
+                acc_b = acc_b - jnp.log(arg_b)
+                trp_b = red[1:2]
+                t = y
+            inv_b = jax.lax.rsqrt(jnp.maximum(trp_b, norm_eps))
+            t = t * _dot(inv_b, zt, seg_prec)
+            t_s[:] = t
+            acc_s[:] = acc_b
+            loss_ref[0] = acc_b
+            return
+        acc = acc_s[:]
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            f = _rho_step(ab, bb, xb, seg, t, s, log_eps, norm_eps,
+                          prep, dotf)
+            acc = acc - jnp.log(f["arg"])
+            t = f["ty"]
 
         t_s[:] = t
         acc_s[:] = acc
@@ -776,17 +892,29 @@ def _make_rho_bwd_kernel(cfg: CMPSConfig, unroll: int,
 
 
 def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
-                               n_blocks: int, inv_batch_rank: float,
-                               precision: str):
-    """Deferred-normalization adjoint: carries the broadcast-trace
-    cotangent dtr alongside dt; no per-step normalize adjoint."""
+                               n_blocks: int, inv_batch: float,
+                               rank: int, precision: str):
+    """Deferred-normalization adjoint: carries the per-example trace
+    cotangent dtr_b alongside dt; no per-step normalize adjoint.
+
+    RESTRUCTURED reverse sweep (round 3, VERDICT item 1): identical to
+    _make_psi_bwd_kernel_defer's restructure — the recompute saves the
+    prepped tp/pu/py operands (tp reuses the previous step's py since the
+    deferred state chain is t_{k+1} = y_k), and the reverse sweep uses
+    lane-contraction dotnt for the parameter cotangents (no per-step
+    transposes) with d_bb = dy @ u^T and du = Bb^T dy serving both dtn
+    and ds. This is THE hot backward for the rho family's wide
+    [2D, B*rank] operands — the split overhead named in BENCH_r02's
+    bf16x3 gap."""
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
-    prep, dotf, tr = _make_dot_ops(precision)
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr = _make_dot_ops(precision)
     seg_prec = "highest" if precision == "high" else precision
 
-    def kernel(se_ref, ck_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+    def kernel(se_ref, seb_ref, ck_ref, ab_ref, bb_ref, xb_ref,
+               z_ref, zt_ref,
                dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
                dt_s, aab_s, abb_s, axb_s):
         i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
@@ -800,77 +928,98 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
         abT, bbT, xbT = tr(ab), tr(bb), tr(xb)
         z, zt = z_ref[:], zt_ref[:]
 
-        def seg(row):
-            return _dot(_dot(row, z, seg_prec), zt, seg_prec)
+        segdot = _make_seg_dot(precision)
 
-        # --- recompute the unnormalized chain from the checkpoint
+        def seg_b(row):
+            """[1,BR] rank-group partial sums -> per-example [1,B]."""
+            return segdot(row, z)
+
+        def bcast(row_b):
+            """per-example [r,B] -> lanes [r,BR]."""
+            return segdot(row_b, zt)
+
+        # --- recompute the unnormalized chain from the checkpoint,
+        # saving the PREPPED operands for the reverse sweep; the trace
+        # chain lives in per-example [1,B] space (one skinny contraction
+        # per step, no broadcasts)
         t = ck_ref[0]
-        trp = jnp.ones_like(se_ref[0, 0:1, :])
+        tp = prep(t)
+        trp_b = jnp.ones_like(seb_ref[0, 0:1, :])
         saved = []
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
-            f = _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps,
-                                norm_eps, prep, dotf)
-            saved.append((t, trp, f["bt"], f["y"], f["gx"]))
-            t = f["y"]
-            trp = f["tr_bc"]
+            pu = prep(s * t)
+            y = dotf(ab, tp) + dotf(bb, pu)       # Ab t + Bb (s t)
+            py = prep(y)
+            gx = dotf(xb, py)
+            saved.append((tp, pu, py, gx, trp_b))
+            t = y                                  # defer: t_{k+1} = y_k
+            tp = py
+            trp_b = seg_b(jnp.sum(y * y, axis=0, keepdims=True))
 
-        # --- block-exit renormalization adjoint seeds (dt, dtr)
+        # --- block-exit renormalization adjoint seeds (dt, dtr_b)
         dt_in = dt_s[:]
-        inv = jax.lax.rsqrt(jnp.maximum(trp, norm_eps))
-        dt = dt_in * inv
-        dinv = jnp.sum(dt_in * t, axis=0, keepdims=True)
-        dtr = jnp.where(trp > norm_eps,
-                        -0.5 * dinv * inv * inv * inv,
-                        jnp.zeros_like(dinv))
+        inv_b = jax.lax.rsqrt(jnp.maximum(trp_b, norm_eps))
+        dt = dt_in * bcast(inv_b)
+        dinv_b = seg_b(jnp.sum(dt_in * t, axis=0, keepdims=True))
+        dtr_b = jnp.where(trp_b > norm_eps,
+                          -0.5 * dinv_b * inv_b * inv_b * inv_b,
+                          jnp.zeros_like(dinv_b))
 
         a_ab, a_bb, a_xb = aab_s[:], abb_s[:], axb_s[:]
         for k in reversed(range(unroll)):
             s = se_ref[0, k:k + 1, :]
-            tin, trp_k, bt, y, gx = saved[k]
-            # scalar tail recompute
-            ehat_bc = seg(jnp.sum(y * gx, axis=0, keepdims=True))
-            trp_c = jnp.maximum(trp_k, norm_eps)
-            e_bc = ehat_bc / trp_c
-            arg = jnp.maximum(1.0 + e_bc * s, log_eps)
+            s_b = seb_ref[0, k:k + 1, :]
+            tp_k, pu_k, py_k, gx, trp_bk = saved[k]
+            t_k = rec(tp_k)
+            y = rec(py_k)
+            # scalar tail recompute — per-example [1,B] space
+            ehat_b = seg_b(jnp.sum(y * gx, axis=0, keepdims=True))
+            trp_c = jnp.maximum(trp_bk, norm_eps)
+            e_b = ehat_b / trp_c
+            arg_b = jnp.maximum(1.0 + e_b * s_b, log_eps)
 
-            # tr_bc = seg(sum(y.y)) adjoint (dtr carried from the next
-            # step's e-division / the block-exit renorm)
-            dtr_part = seg(dtr)             # seg broadcast is self-adjoint
-            dy = dt + 2.0 * y * dtr_part
-            # loss adjoint: arg = max(1 + e_bc*s, eps);
-            # e_bc = seg(e_part) / max(tr_prev_bc, eps)
-            darg = jnp.where(arg > log_eps, -inv_batch_rank / arg,
-                             jnp.zeros_like(arg))
-            de_bc = darg * s
-            ds = darg * e_bc
-            dtr_new = jnp.where(trp_k > norm_eps,
-                                -de_bc * e_bc / trp_c,
-                                jnp.zeros_like(de_bc))
-            de_part = seg(de_bc / trp_c)
-            # e_part = sum(y . gx)
-            dy = dy + de_part * gx
-            dgx = de_part * y
+            # loss adjoint (mean over B of acc_b): d acc_b = 1/B
+            darg_b = jnp.where(arg_b > log_eps, -inv_batch / arg_b,
+                               jnp.zeros_like(arg_b))
+            de_b = darg_b * s_b
+            ds_b = darg_b * e_b
+            dtr_b_new = jnp.where(trp_bk > norm_eps,
+                                  -de_b * e_b / trp_c,
+                                  jnp.zeros_like(de_b))
+            # ONE stacked broadcast back to lanes per step: the trace
+            # cotangent (from the next step's e-division / block-exit
+            # renorm), the e-path cotangent, and the per-example signal
+            # cotangent ride a single [3,B]@[B,BR] dot
+            rows = jnp.concatenate([dtr_b, de_b / trp_c, ds_b], axis=0)
+            lanes = bcast(rows)                    # [3, BR]
+            dtr_lanes = lanes[0:1]
+            de_lanes = lanes[1:2]
+            dy = dt + 2.0 * y * dtr_lanes + de_lanes * gx
+            dgx = de_lanes * y
             # gx = Xb y adjoint
             pdgx = prep(dgx)
             dy = dy + dotf(xbT, pdgx)
-            d_xb = dotf(pdgx, prep(y.T))
-            # y = Ab t + s * (Bb t)
-            ds = ds + jnp.sum(dy * bt, axis=0, keepdims=True)
-            sdy = s * dy
-            pdy, psdy = prep(dy), prep(sdy)
-            dtn = dotf(abT, pdy) + dotf(bbT, psdy)
-            ptinT = prep(tin.T)
-            d_ab = dotf(pdy, ptinT)
-            d_bb = dotf(psdy, ptinT)
+            d_xb = dotnt(pdgx, py_k)               # dgx @ y^T
+            # y = Ab t + Bb u, u = s .* t
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)                    # Bb^T dy
+            dtn = dotf(abT, pdy) + s * du          # s commutes per lane
+            # dse lanes: the per-example darg*e term spreads over the
+            # rank copies (jnp.repeat's adjoint outside sums them), the
+            # state term sum(du . t) is genuinely per-lane
+            ds = (lanes[2:3] * (1.0 / rank)
+                  + jnp.sum(du * t_k, axis=0, keepdims=True))
+            d_ab = dotnt(pdy, tp_k)                # dy @ t^T
+            d_bb = dotnt(pdy, pu_k)                # dy @ u^T == (s dy) t^T
 
             dse_ref[0, k:k + 1, :] = ds
             dt = dtn
-            dtr = dtr_new
+            dtr_b = dtr_b_new
             a_ab = a_ab + d_ab
             a_bb = a_bb + d_bb
             a_xb = a_xb + d_xb
-        # leftover dtr sits on the block-entry trace (constant 1): discard
+        # leftover dtr_b sits on the block-entry trace (constant 1): discard
 
         dt_s[:] = dt
         aab_s[:] = a_ab
@@ -900,20 +1049,22 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
     fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, rank, precision,
                                       defer_norm)
     bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_blocks,
-                                             1.0 / (B * rank), precision)
+                                             1.0 / B, rank, precision)
                   if defer_norm else
                   _make_rho_bwd_kernel(cfg, unroll, n_blocks,
                                        1.0 / (B * rank), precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                vmem_limit_bytes=100 * 1024 * 1024)
 
-    def run_fwd(ab, bb, xb, t0, se, z, zt):
+    def run_fwd(ab, bb, xb, t0, se, seb, z, zt):
         se3 = se.reshape(n_blocks, unroll, BR)
+        seb3 = seb.reshape(n_blocks, unroll, B)
         loss, ck = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
                 pl.BlockSpec((1, unroll, BR), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
                 _full((D2, BR)),
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
                 _full((BR, B)), _full((B, BR)),
@@ -928,25 +1079,38 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
             ],
             scratch_shapes=[
                 pltpu.VMEM((D2, BR), jnp.float32),
-                pltpu.VMEM((1, BR), jnp.float32),
+                pltpu.VMEM((1, B if defer_norm else BR), jnp.float32),
             ],
             compiler_params=sem,
             interpret=interpret,
-        )(se3, t0, ab, bb, xb, z, zt)
+        )(se3, seb3, t0, ab, bb, xb, z, zt)
         return jnp.mean(loss[-1, 0]), ck
 
-    def run_bwd(ab, bb, xb, se, z, zt, ck):
+    def run_bwd(ab, bb, xb, se, seb, z, zt, ck):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, BR)
-        outs = pl.pallas_call(
-            bwd_kernel,
-            grid=(n_blocks,),
-            in_specs=[
+        seb3 = seb.reshape(n_blocks, unroll, B)
+        if defer_norm:
+            in_specs = [
+                pl.BlockSpec((1, unroll, BR), rev3),
+                pl.BlockSpec((1, unroll, B), rev3),
+                pl.BlockSpec((1, D2, BR), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((BR, B)), _full((B, BR)),
+            ]
+            args = (se3, seb3, ck, ab, bb, xb, z, zt)
+        else:
+            in_specs = [
                 pl.BlockSpec((1, unroll, BR), rev3),
                 pl.BlockSpec((1, D2, BR), rev3),
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
                 _full((BR, B)), _full((B, BR)),
-            ],
+            ]
+            args = (se3, ck, ab, bb, xb, z, zt)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, unroll, BR), rev3),
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
@@ -967,22 +1131,25 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
             ],
             compiler_params=sem,
             interpret=interpret,
-        )(se3, ck, ab, bb, xb, z, zt)
+        )(*args)
         return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
 
     @jax.custom_vjp
-    def fused(ab, bb, xb, t0, se, z, zt):
-        return run_fwd(ab, bb, xb, t0, se, z, zt)[0]
+    def fused(ab, bb, xb, t0, se, seb, z, zt):
+        return run_fwd(ab, bb, xb, t0, se, seb, z, zt)[0]
 
-    def fused_fwd(ab, bb, xb, t0, se, z, zt):
-        loss, ck = run_fwd(ab, bb, xb, t0, se, z, zt)
-        return loss, (ab, bb, xb, se, z, zt, ck)
+    def fused_fwd(ab, bb, xb, t0, se, seb, z, zt):
+        loss, ck = run_fwd(ab, bb, xb, t0, se, seb, z, zt)
+        return loss, (ab, bb, xb, se, seb, z, zt, ck)
 
     def fused_bwd(res, g):
-        ab, bb, xb, se, z, zt, ck = res
-        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, z, zt, ck)
+        ab, bb, xb, se, seb, z, zt, ck = res
+        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, seb, z, zt, ck)
+        # the loss-path (darg*e) signal cotangent is already folded into
+        # the per-lane dse (spread over the rank copies; jnp.repeat's
+        # adjoint outside sums them back), so seb carries no cotangent
         return (g * dab, g * dbb, g * dxb, g * dt0, g * dse,
-                jnp.zeros_like(z), jnp.zeros_like(zt))
+                jnp.zeros_like(seb), jnp.zeros_like(z), jnp.zeros_like(zt))
 
     fused.defvjp(fused_fwd, fused_bwd)
     return fused
@@ -1011,7 +1178,8 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
     t_pad = n_blocks * unroll
 
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
-    se = jnp.repeat(_pad_rows(incs, t_pad), rank, axis=1)
+    seb = _pad_rows(incs, t_pad)                       # per-example rows
+    se = jnp.repeat(seb, rank, axis=1)                 # rank-expanded lanes
 
     h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B)
 
@@ -1019,7 +1187,7 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
     t0 = _rho_block_t0(cc, h0r, h0i)
     fused = _rho_block_factory(cfg, B, T, rank, unroll, interpret,
                                precision, defer_norm)
-    return fused(ab, bb, xb, t0, se, zmat, zmat.T)
+    return fused(ab, bb, xb, t0, se, seb, zmat, zmat.T)
 
 
 # ===========================================================================
