@@ -284,16 +284,24 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int,
         ck_ref[0] = t            # block-entry checkpoint (normalized)
         acc = acc_s[:]
         if defer_norm:
+            # deferred chain is t_{k+1} = y_k, so each step's state prep
+            # is the previous step's prep(y): ONE fresh split per step
             n2p = jnp.ones_like(acc)
+            tp = prep(t)
             for k in range(unroll):
                 s = se_ref[0, k:k + 1, :]
-                f = _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps,
-                                    norm_eps, prep, dotf)
+                bt = dotf(bb, tp)
+                y = dotf(ab, tp) + s * bt
+                tp = prep(y)
+                ru = dotf(rb, tp)
+                ehat = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
+                e = ehat / jnp.maximum(n2p, norm_eps)
                 # no padding gates: padded rows have s=0, so arg == 1
                 # (zero loss term) and zero cotangents — see module doc
-                acc = acc - jnp.log(f["arg"])
-                t = f["y"]
-                n2p = f["n2"]
+                arg = jnp.maximum(1.0 + e * s, log_eps)
+                acc = acc - jnp.log(arg)
+                t = y
+                n2p = jnp.sum(y * y, axis=0, keepdims=True)
             inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
             t = t * inv          # block-exit renormalization
         else:
@@ -752,12 +760,13 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
             segdot = _make_seg_dot(precision)
             acc_b = acc_s[:]
             trp_b = jnp.ones_like(acc_b)
+            tp = prep(t)
             for k in range(unroll):
                 s = se_ref[0, k:k + 1, :]
                 s_b = seb_ref[0, k:k + 1, :]
-                tp = prep(t)
                 y = dotf(ab, tp) + s * dotf(bb, tp)
-                gx = dotf(xb, prep(y))
+                tp = prep(y)          # deferred chain: reused next step
+                gx = dotf(xb, tp)
                 parts = jnp.concatenate(
                     [jnp.sum(y * gx, axis=0, keepdims=True),
                      jnp.sum(y * y, axis=0, keepdims=True)], axis=0)

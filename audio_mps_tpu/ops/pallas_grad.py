@@ -617,6 +617,39 @@ def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
     return int(max(2, min(DEFAULT_UNROLL, (80 << 20) // max(per_step, 1))))
 
 
+# Scoped VMEM budget the fused kernels request (v5e has 128 MiB physical).
+FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def fused_vmem_bytes(bond_dim: int, cols: int, unroll: int = 2) -> int:
+    """Conservative VMEM estimate for the block-layout custom-VJP backward
+    at a given unroll: the recompute saves ~4 stacked [2D, cols]
+    fp32-equivalents per unrolled step, plus the state/cotangent scratch,
+    the streamed checkpoint block, and ~10 [2D,2D] constants/accumulators
+    (stacked cs/csT included)."""
+    d2 = 2 * bond_dim
+    per_step = 4 * d2 * cols * 4 + cols * 8
+    fixed = 4 * d2 * cols * 4 + 10 * d2 * d2 * 4
+    return unroll * per_step + fixed
+
+
+def fused_supported(cfg: CMPSConfig, batch: int,
+                    rank: Optional[int] = None) -> bool:
+    """Do the fused training kernels fit VMEM at this (D, B, rank), at the
+    MINIMUM unroll of 2? Above this the chunked-remat XLA scan is the
+    fallback (training.nll_fn_for applies it automatically).
+
+    Measured on v5e: D=128 (BENCH) and D=256 full-rank rho at B=8 fit;
+    the formula puts the full-rank-rho ceiling between D=256 and D=512 at
+    B=8 (psi scales much further — its lane count is B, not B*rank). For
+    D beyond the ceiling, shrink B/initial_rank, or shard the bond
+    dimension (TP) — see README's scaling notes."""
+    if rank is None:
+        rank = cfg.initial_rank or cfg.bond_dim
+    cols = batch * rank
+    return fused_vmem_bytes(cfg.bond_dim, cols, 2) <= FUSED_VMEM_LIMIT
+
+
 def psi_nll_pallas_trainable_from_state(params, cfg: CMPSConfig, signals,
                                         psi0_pair, *,
                                         unroll: Optional[int] = None,

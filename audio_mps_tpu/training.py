@@ -34,30 +34,49 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
     """NLL implementation: `fused=None` auto-selects the Pallas fused
     forward+backward kernels on TPU (ops/pallas_grad.py; ~3-6x faster
     training, gradients pinned equal to jax.grad of the scan) and the XLA
-    scan elsewhere."""
+    scan elsewhere.
+
+    VMEM ceiling: past the bond dimension where the fused backward no
+    longer fits VMEM at minimum unroll (ops/pallas_grad.fused_supported —
+    full-rank rho between D=256 and D=512 at B=8 on v5e), an
+    auto-selected fused path falls back to the chunked-remat XLA scan
+    with a warning; an EXPLICIT fused=True raises with the remedy."""
+    explicit = fused is True
     if fused is None:
         fused = _on_tpu()
+
+    def _guarded(kernel_fn, xla_fn, rank_of):
+        def _nll(params, cfg, signals):
+            from .ops.pallas_grad import fused_supported
+            rank = rank_of(params)
+            if not fused_supported(cfg, signals.shape[0], rank):
+                msg = (f"fused kernels exceed the VMEM ceiling at "
+                       f"bond_dim={cfg.bond_dim}, B={signals.shape[0]}, "
+                       f"rank={rank}; shrink minibatch_size/initial_rank "
+                       f"or use the chunked XLA path")
+                if explicit:
+                    raise ValueError(msg)
+                import warnings
+                warnings.warn(msg + " — falling back to the XLA scan")
+                return xla_fn(params, cfg, signals)
+            return kernel_fn(params, cfg, signals,
+                             precision=cfg.kernel_precision,
+                             defer_norm=cfg.defer_norm)
+        return _nll
+
     if mps_model == "rho_mps":
         if fused:
             from .ops.pallas_grad import rho_nll_pallas_trainable
-
-            def _rho_fused(params, cfg, signals):
-                return rho_nll_pallas_trainable(
-                    params, cfg, signals, precision=cfg.kernel_precision,
-                    defer_norm=cfg.defer_norm)
-            return _rho_fused
+            return _guarded(rho_nll_pallas_trainable, core.rho_nll_factor,
+                            lambda p: p.Wx.shape[0])
         # factor evolution: same value as core.rho_nll (pinned by tests),
         # half the matmul FLOPs
         return core.rho_nll_factor
     if mps_model == "psi_mps":
         if fused:
             from .ops.pallas_grad import psi_nll_pallas_trainable
-
-            def _psi_fused(params, cfg, signals):
-                return psi_nll_pallas_trainable(
-                    params, cfg, signals, precision=cfg.kernel_precision,
-                    defer_norm=cfg.defer_norm)
-            return _psi_fused
+            return _guarded(psi_nll_pallas_trainable, core.psi_nll,
+                            lambda p: 1)
         return core.psi_nll
     raise ValueError(f"mps_model must be rho_mps or psi_mps, got {mps_model}")
 
