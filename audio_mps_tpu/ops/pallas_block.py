@@ -263,6 +263,192 @@ def _psi_step_defer(ab, bb, rb, t, n2p, s, log_eps, norm_eps, prep, dotf):
     return dict(bt=bt, y=y, ru=ru, e=e, arg=arg, n2=n2)
 
 
+def _make_psi_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
+                                 precision: str):
+    """Deferred-normalization forward with the SEQUENTIAL SPINE / BATCHED
+    LIMBS split (round 3): the only latency-bound per-step work is the
+    state recurrence y = C~ t + s R~ t (2 dots sharing one prepped
+    operand); the expectation matvec R y — which feeds ONLY the loss in
+    defer mode — is hoisted out of the chain and computed for the whole
+    unrolled block as ONE wide [2D,2D]@[2D,K*B] GEMM over the states
+    stored in a VMEM scratch. Halves the latency-bound MXU dispatches per
+    step; the batched GEMM runs at full lane throughput.
+
+    Requires the per-step lane count to be a multiple of 128 (static lane
+    slices of the batch scratch); the factory gates on it."""
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, _, dotf, _ = _make_dot_ops_bwd(precision)
+    K = unroll
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, rb_ref,
+               loss_ref, ck_ref, t_s, acc_s, ys_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        t = t_s[:]
+        B = t.shape[1]
+        ck_ref[0] = t
+        # --- sequential spine: state chain only
+        tp = prep(t)
+        n2s, ss = [], []
+        for k in range(K):
+            s = se_ref[0, k:k + 1, :]
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tp = prep(y)
+            ys_s[:, k * B:(k + 1) * B] = y
+            n2s.append(jnp.sum(y * y, axis=0, keepdims=True))
+            ss.append(s)
+            t = y
+        # --- batched loss limb: one wide GEMM for all K expectations
+        ys = ys_s[:]
+        ru_all = dotf(rb, prep(ys))
+        ehat_lane = 2.0 * jnp.sum(ys * ru_all, axis=0, keepdims=True)
+        acc = acc_s[:]
+        n2p = jnp.ones_like(acc)
+        for k in range(K):
+            ehat = ehat_lane[:, k * B:(k + 1) * B]
+            e = ehat / jnp.maximum(n2p, norm_eps)
+            arg = jnp.maximum(1.0 + e * ss[k], log_eps)
+            acc = acc - jnp.log(arg)
+            n2p = n2s[k]
+        inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
+        t_s[:] = t * inv
+        acc_s[:] = acc
+        loss_ref[0] = acc
+
+    return kernel
+
+
+def _make_psi_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
+                                 n_blocks: int, precision: str):
+    """Deferred-normalization adjoint, spine/limbs split (see the batched
+    forward): the reverse recurrence keeps only dy -> (C~^T dy, R~^T dy);
+    everything else — the R y matvecs, their adjoints rbT @ dru, and ALL
+    parameter cotangents (one lane-contraction per parameter over the
+    whole block) — runs as per-block wide GEMMs over VMEM state buffers.
+    The per-step loss scalars (e, arg, de, dn2) are forward-computable in
+    defer mode, so the c_k = 2 y dn2 + 2 dehat ru + rbT dru contributions
+    are precomputed and the spine is dy_k = dt_k + c_k."""
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr = _make_dot_ops(precision)
+    K = unroll
+
+    def kernel(se_ref, g_ref, ck_ref, ab_ref, bb_ref, rb_ref,
+               dse_ref, dab_ref, dbb_ref, drb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, arb_s, st_s, pu_s, dru_s, dy_s):
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, arb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, rb = prep(ab_ref[:]), prep(bb_ref[:]), prep(rb_ref[:])
+        abT, bbT, rbT = tr(ab), tr(bb), tr(rb)
+
+        # --- recompute spine (identical arithmetic to the forward)
+        t = ck_ref[0]
+        B = t.shape[1]
+        st_s[:, 0:B] = t
+        tp = prep(t)
+        n2s, ss = [], []
+        for k in range(K):
+            s = se_ref[0, k:k + 1, :]
+            pu_s[:, k * B:(k + 1) * B] = s * t
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tp = prep(y)
+            st_s[:, (k + 1) * B:(k + 2) * B] = y
+            n2s.append(jnp.sum(y * y, axis=0, keepdims=True))
+            ss.append(s)
+            t = y
+        # --- batched forward tail
+        ys = st_s[:, B:(K + 1) * B]
+        pys = prep(ys)
+        ru_all = dotf(rb, pys)
+        ehat_lane = 2.0 * jnp.sum(ys * ru_all, axis=0, keepdims=True)
+        n2ps = [jnp.ones_like(n2s[0])] + n2s[:-1]
+
+        # --- block-exit renormalization adjoint seeds
+        dt_in = dt_s[:]
+        n2K = n2s[-1]
+        inv = jax.lax.rsqrt(jnp.maximum(n2K, norm_eps))
+        dt = dt_in * inv
+        dinv = jnp.sum(dt_in * t, axis=0, keepdims=True)
+        dn2_exit = jnp.where(n2K > norm_eps,
+                             -0.5 * dinv * inv * inv * inv,
+                             jnp.zeros_like(dinv))
+
+        # --- batched reverse precompute (all forward-computable)
+        es, dargs, des, dehats, dn2_from_e = [], [], [], [], []
+        for k in range(K):
+            n2p_c = jnp.maximum(n2ps[k], norm_eps)
+            e = ehat_lane[:, k * B:(k + 1) * B] / n2p_c
+            arg = jnp.maximum(1.0 + e * ss[k], log_eps)
+            darg = jnp.where(arg > log_eps,
+                             -g_ref[:] / arg, jnp.zeros_like(arg))
+            de = darg * ss[k]
+            dehat = de / n2p_c
+            dn2_from_e.append(jnp.where(n2ps[k] > norm_eps,
+                                        -de * e / n2p_c,
+                                        jnp.zeros_like(de)))
+            es.append(e)
+            dargs.append(darg)
+            des.append(de)
+            dehats.append(dehat)
+            y = st_s[:, (k + 1) * B:(k + 2) * B]
+            dru_s[:, k * B:(k + 1) * B] = 2.0 * dehat * y
+        pdru_all = prep(dru_s[:])
+        rbtdru_all = dotf(rbT, pdru_all)
+
+        # --- sequential reverse spine: dy -> (abT dy, bbT dy) only
+        for k in reversed(range(K)):
+            # dn2 used at step k = the cotangent of n2_k: from step k+1's
+            # e-division, or the block-exit renorm for the last step
+            dn2_k = dn2_from_e[k + 1] if k < K - 1 else dn2_exit
+            y = st_s[:, (k + 1) * B:(k + 2) * B]
+            c = (2.0 * y * dn2_k
+                 + 2.0 * dehats[k] * ru_all[:, k * B:(k + 1) * B]
+                 + rbtdru_all[:, k * B:(k + 1) * B])
+            dy = dt + c
+            dy_s[:, k * B:(k + 1) * B] = dy
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)
+            dtn = dotf(abT, pdy) + ss[k] * du
+            t_k = st_s[:, k * B:(k + 1) * B]
+            ds = (dargs[k] * es[k]
+                  + jnp.sum(du * t_k, axis=0, keepdims=True))
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+
+        # --- batched parameter cotangents: one lane-contraction each
+        pdy_all = prep(dy_s[:])
+        d_rb = dotnt(pdru_all, pys)
+        d_ab = dotnt(pdy_all, prep(st_s[:, 0:K * B]))
+        d_bb = dotnt(pdy_all, prep(pu_s[:]))
+
+        dt_s[:] = dt
+        aab_s[:] = aab_s[:] + d_ab
+        abb_s[:] = abb_s[:] + d_bb
+        arb_s[:] = arb_s[:] + d_rb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            drb_ref[:] = arb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
 def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int,
                          precision: str, defer_norm: bool):
     # log_eps <= 0 reproduces the reference's unclamped NaN semantics
@@ -540,25 +726,57 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
 
 @functools.lru_cache(maxsize=64)
 def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
-                       interpret: bool, precision: str, defer_norm: bool):
+                       interpret: bool, precision: str, defer_norm: bool,
+                       batched: Optional[bool] = None):
     """Custom-VJP fused NLL over block constants. The primal returns
-    PER-EXAMPLE losses [B]; the VJP takes the matching [B] cotangent."""
+    PER-EXAMPLE losses [B]; the VJP takes the matching [B] cotangent.
+
+    `batched` selects the spine/limbs-split kernels
+    (_make_psi_*_kernel_batched; requires defer_norm and, on real TPU,
+    B % 128 == 0 for the state buffers' static lane slices). Default OFF
+    for psi — measured NOT a win on v5e (see the comment at the
+    selection); tests pass batched=True with interpret=True to keep the
+    variant pinned."""
     D = cfg.bond_dim
     D2 = 2 * D
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
+    if batched is None:
+        # Measured on v5e (D=64, B=128, T=16384): the psi spine/limbs
+        # split is NOT a win — 30.9 vs 29.7 ms bf16x3, ~parity fp32 —
+        # because psi has no segment reductions to batch and its loss-path
+        # dots already overlap the spine; the VMEM state-buffer round
+        # trips cost more than the saved dispatches. Default OFF for psi
+        # (the rho factory, whose skinny seg dots DO batch, defaults ON).
+        batched = False
+    if batched and not defer_norm:
+        raise ValueError("batched kernels implement the deferred-"
+                         "normalization semantics only")
 
-    fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, precision, defer_norm)
-    bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_blocks,
-                                             precision) if defer_norm else
-                  _make_psi_bwd_kernel(cfg, unroll, n_blocks, precision))
-    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
-    sem_bwd = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
-                                   vmem_limit_bytes=100 * 1024 * 1024)
+    if batched:
+        fwd_kernel = _make_psi_fwd_kernel_batched(cfg, unroll, precision)
+        bwd_kernel = _make_psi_bwd_kernel_batched(cfg, unroll, n_blocks,
+                                                  precision)
+    else:
+        fwd_kernel = _make_psi_fwd_kernel(cfg, unroll, precision,
+                                          defer_norm)
+        bwd_kernel = (_make_psi_bwd_kernel_defer(cfg, unroll, n_blocks,
+                                                 precision) if defer_norm
+                      else _make_psi_bwd_kernel(cfg, unroll, n_blocks,
+                                                precision))
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=100 * 1024 * 1024)
+    sem_bwd = sem
 
     def run_fwd(ab, bb, rb, t0, se):
         se3 = se.reshape(n_blocks, unroll, B)
+        scratch = [
+            pltpu.VMEM((D2, B), jnp.float32),
+            pltpu.VMEM((1, B), jnp.float32),
+        ]
+        if batched:
+            scratch.append(pltpu.VMEM((D2, unroll * B), jnp.float32))
         loss, ck = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
@@ -575,10 +793,7 @@ def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
                 jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, D2, B), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((D2, B), jnp.float32),
-                pltpu.VMEM((1, B), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=sem,
             interpret=interpret,
         )(se3, t0, ab, bb, rb)
@@ -587,6 +802,19 @@ def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
     def run_bwd(ab, bb, rb, se, ck, g):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, B)
+        scratch = [
+            pltpu.VMEM((D2, B), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+        ]
+        if batched:
+            scratch += [
+                pltpu.VMEM((D2, (unroll + 1) * B), jnp.float32),  # states
+                pltpu.VMEM((D2, unroll * B), jnp.float32),        # s*t
+                pltpu.VMEM((D2, unroll * B), jnp.float32),        # dru
+                pltpu.VMEM((D2, unroll * B), jnp.float32),        # dy
+            ]
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_blocks,),
@@ -608,12 +836,7 @@ def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
                 jax.ShapeDtypeStruct((D2, D2), jnp.float32),
                 jax.ShapeDtypeStruct((D2, B), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((D2, B), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=sem_bwd,
             interpret=interpret,
         )(se3, g, ck, ab, bb, rb)
@@ -716,6 +939,205 @@ def _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps, norm_eps,
     arg = jnp.maximum(1.0 + e_bc * s, log_eps)
     tr_bc = seg(jnp.sum(y * y, axis=0, keepdims=True))
     return dict(bt=bt, y=y, gx=gx, e_bc=e_bc, arg=arg, tr_bc=tr_bc)
+
+
+def _make_rho_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
+                                 rank: int, precision: str):
+    """rho deferred forward, spine/limbs split (see
+    _make_psi_fwd_kernel_batched): per step only the factor recurrence is
+    latency-bound; the expectation GEMM X^T H runs once per block over the
+    stored states, and ALL the skinny per-example segment reductions batch
+    into a single [2K, BR]@[BR, B] dot."""
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, _, dotf, _ = _make_dot_ops_bwd(precision)
+    segdot = _make_seg_dot(precision)
+    K = unroll
+
+    def kernel(se_ref, seb_ref, t0_ref, ab_ref, bb_ref, xb_ref,
+               z_ref, zt_ref,
+               loss_ref, ck_ref, t_s, acc_s, ys_s, parts_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        z, zt = z_ref[:], zt_ref[:]
+        t = t_s[:]
+        BR = t.shape[1]
+        ck_ref[0] = t
+        # --- sequential spine (trace partials stored as rows)
+        tp = prep(t)
+        ss_b = []
+        for k in range(K):
+            s = se_ref[0, k:k + 1, :]
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tp = prep(y)
+            ys_s[:, k * BR:(k + 1) * BR] = y
+            parts_s[K + k:K + k + 1, :] = jnp.sum(y * y, axis=0,
+                                                  keepdims=True)
+            ss_b.append(seb_ref[0, k:k + 1, :])
+            t = y
+        # --- batched loss limb: one wide GEMM + one stacked seg dot
+        ys = ys_s[:]
+        gx_all = dotf(xb, prep(ys))
+        e_lane = jnp.sum(ys * gx_all, axis=0, keepdims=True)  # [1, K*BR]
+        for k in range(K):
+            parts_s[k:k + 1, :] = e_lane[:, k * BR:(k + 1) * BR]
+        red = segdot(parts_s[:], z)                  # [2K, B]
+        acc_b = acc_s[:]
+        trp_b = jnp.ones_like(acc_b)
+        for k in range(K):
+            ehat_b = red[k:k + 1]
+            e_b = ehat_b / jnp.maximum(trp_b, norm_eps)
+            arg_b = jnp.maximum(1.0 + e_b * ss_b[k], log_eps)
+            acc_b = acc_b - jnp.log(arg_b)
+            trp_b = red[K + k:K + k + 1]
+        inv_b = jax.lax.rsqrt(jnp.maximum(trp_b, norm_eps))
+        t_s[:] = t * segdot(inv_b, zt)
+        acc_s[:] = acc_b
+        loss_ref[0] = acc_b
+
+    return kernel
+
+
+def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
+                                 n_blocks: int, inv_batch: float,
+                                 rank: int, precision: str):
+    """rho deferred adjoint, spine/limbs split (see
+    _make_psi_bwd_kernel_batched): the reverse spine is
+    dy -> (Ab^T dy, Bb^T dy) only; the X^T matvecs/adjoints, every
+    parameter cotangent, and every segment reduction/broadcast run as
+    per-block batched GEMMs over VMEM state buffers."""
+    log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
+    norm_eps = cfg.norm_eps
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr = _make_dot_ops(precision)
+    segdot = _make_seg_dot(precision)
+    K = unroll
+
+    def kernel(se_ref, seb_ref, ck_ref, ab_ref, bb_ref, xb_ref,
+               z_ref, zt_ref,
+               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, axb_s, st_s, pu_s, dgx_s, dy_s,
+               parts_s, rows_s):
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, axb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        abT, bbT, xbT = tr(ab), tr(bb), tr(xb)
+        z, zt = z_ref[:], zt_ref[:]
+
+        # --- recompute spine (identical arithmetic to the forward)
+        t = ck_ref[0]
+        BR = t.shape[1]
+        st_s[:, 0:BR] = t
+        tp = prep(t)
+        ss, ss_b = [], []
+        for k in range(K):
+            s = se_ref[0, k:k + 1, :]
+            pu_s[:, k * BR:(k + 1) * BR] = s * t
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tp = prep(y)
+            st_s[:, (k + 1) * BR:(k + 2) * BR] = y
+            parts_s[K + k:K + k + 1, :] = jnp.sum(y * y, axis=0,
+                                                  keepdims=True)
+            ss.append(s)
+            ss_b.append(seb_ref[0, k:k + 1, :])
+            t = y
+        # --- batched forward tail
+        ys = st_s[:, BR:(K + 1) * BR]
+        pys = prep(ys)
+        gx_all = dotf(xb, pys)
+        e_lane = jnp.sum(ys * gx_all, axis=0, keepdims=True)
+        for k in range(K):
+            parts_s[k:k + 1, :] = e_lane[:, k * BR:(k + 1) * BR]
+        red = segdot(parts_s[:], z)                  # [2K, B]
+        trp_bs = [jnp.ones_like(red[0:1])] + [red[K + k:K + k + 1]
+                                              for k in range(K - 1)]
+
+        # --- block-exit renormalization adjoint seeds (per-example)
+        dt_in = dt_s[:]
+        trK_b = red[2 * K - 1:2 * K]
+        inv_b = jax.lax.rsqrt(jnp.maximum(trK_b, norm_eps))
+        dt = dt_in * segdot(inv_b, zt)
+        dinv_b = segdot(jnp.sum(dt_in * t, axis=0, keepdims=True), z)
+        dtr_exit = jnp.where(trK_b > norm_eps,
+                             -0.5 * dinv_b * inv_b * inv_b * inv_b,
+                             jnp.zeros_like(dinv_b))
+
+        # --- batched reverse precompute (all forward-computable):
+        # per-step [1,B] scalars, then ONE stacked broadcast [3K,B]@[B,BR]
+        es_b, dargs_b, dtr_from_e = [], [], []
+        for k in range(K):
+            trp_c = jnp.maximum(trp_bs[k], norm_eps)
+            e_b = red[k:k + 1] / trp_c
+            arg_b = jnp.maximum(1.0 + e_b * ss_b[k], log_eps)
+            darg_b = jnp.where(arg_b > log_eps, -inv_batch / arg_b,
+                               jnp.zeros_like(arg_b))
+            de_b = darg_b * ss_b[k]
+            dtr_from_e.append(jnp.where(trp_bs[k] > norm_eps,
+                                        -de_b * e_b / trp_c,
+                                        jnp.zeros_like(de_b)))
+            es_b.append(e_b)
+            dargs_b.append(darg_b)
+            rows_s[K + k:K + k + 1, :] = de_b / trp_c
+            rows_s[2 * K + k:2 * K + k + 1, :] = darg_b * e_b
+        for k in range(K):
+            # dtr used at step k = cotangent of tr_k (next step's
+            # e-division, or the exit renorm for the last step)
+            rows_s[k:k + 1, :] = (dtr_from_e[k + 1] if k < K - 1
+                                  else dtr_exit)
+        lanes = segdot(rows_s[:], zt)                # [3K, BR]
+        for k in range(K):
+            y = st_s[:, (k + 1) * BR:(k + 2) * BR]
+            dgx_s[:, k * BR:(k + 1) * BR] = lanes[K + k:K + k + 1] * y
+        pdgx_all = prep(dgx_s[:])
+        xbtdgx_all = dotf(xbT, pdgx_all)
+
+        # --- sequential reverse spine
+        for k in reversed(range(K)):
+            y = st_s[:, (k + 1) * BR:(k + 2) * BR]
+            c = (2.0 * y * lanes[k:k + 1]
+                 + lanes[K + k:K + k + 1] * gx_all[:, k * BR:(k + 1) * BR]
+                 + xbtdgx_all[:, k * BR:(k + 1) * BR])
+            dy = dt + c
+            dy_s[:, k * BR:(k + 1) * BR] = dy
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)
+            dtn = dotf(abT, pdy) + ss[k] * du
+            t_k = st_s[:, k * BR:(k + 1) * BR]
+            ds = (lanes[2 * K + k:2 * K + k + 1] * (1.0 / rank)
+                  + jnp.sum(du * t_k, axis=0, keepdims=True))
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+
+        # --- batched parameter cotangents
+        pdy_all = prep(dy_s[:])
+        d_xb = dotnt(pdgx_all, pys)
+        d_ab = dotnt(pdy_all, prep(st_s[:, 0:K * BR]))
+        d_bb = dotnt(pdy_all, prep(pu_s[:]))
+
+        dt_s[:] = dt
+        aab_s[:] = aab_s[:] + d_ab
+        abb_s[:] = abb_s[:] + d_bb
+        axb_s[:] = axb_s[:] + d_xb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            dxb_ref[:] = axb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
 
 
 def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
@@ -1048,26 +1470,50 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
 @functools.lru_cache(maxsize=64)
 def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                        unroll: int, interpret: bool, precision: str,
-                       defer_norm: bool):
+                       defer_norm: bool, batched: Optional[bool] = None):
+    """`batched=None` auto-selects the spine/limbs-split kernels when
+    defer_norm is on and B*rank is a multiple of 128 (tile-aligned static
+    lane slices of the VMEM state buffers); tests pin the numerics at
+    small shapes via batched=True + interpret."""
     D2 = 2 * cfg.bond_dim
     BR = B * rank
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
+    if batched is None:
+        batched = defer_norm and BR % 128 == 0
+    if batched and not defer_norm:
+        raise ValueError("batched kernels implement the deferred-"
+                         "normalization semantics only")
 
-    fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, rank, precision,
-                                      defer_norm)
-    bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_blocks,
-                                             1.0 / B, rank, precision)
-                  if defer_norm else
-                  _make_rho_bwd_kernel(cfg, unroll, n_blocks,
-                                       1.0 / (B * rank), precision))
+    if batched:
+        fwd_kernel = _make_rho_fwd_kernel_batched(cfg, unroll, rank,
+                                                  precision)
+        bwd_kernel = _make_rho_bwd_kernel_batched(cfg, unroll, n_blocks,
+                                                  1.0 / B, rank, precision)
+    else:
+        fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, rank, precision,
+                                          defer_norm)
+        bwd_kernel = (_make_rho_bwd_kernel_defer(cfg, unroll, n_blocks,
+                                                 1.0 / B, rank, precision)
+                      if defer_norm else
+                      _make_rho_bwd_kernel(cfg, unroll, n_blocks,
+                                           1.0 / (B * rank), precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                vmem_limit_bytes=100 * 1024 * 1024)
 
     def run_fwd(ab, bb, xb, t0, se, seb, z, zt):
         se3 = se.reshape(n_blocks, unroll, BR)
         seb3 = seb.reshape(n_blocks, unroll, B)
+        scratch = [
+            pltpu.VMEM((D2, BR), jnp.float32),
+            pltpu.VMEM((1, B if defer_norm else BR), jnp.float32),
+        ]
+        if batched:
+            scratch += [
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),   # states
+                pltpu.VMEM((2 * unroll, BR), jnp.float32),    # seg partials
+            ]
         loss, ck = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
@@ -1086,10 +1532,7 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((D2, BR), jnp.float32),
-                pltpu.VMEM((1, B if defer_norm else BR), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=sem,
             interpret=interpret,
         )(se3, seb3, t0, ab, bb, xb, z, zt)
@@ -1116,6 +1559,21 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 _full((BR, B)), _full((B, BR)),
             ]
             args = (se3, ck, ab, bb, xb, z, zt)
+        scratch = [
+            pltpu.VMEM((D2, BR), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+        ]
+        if batched:
+            scratch += [
+                pltpu.VMEM((D2, (unroll + 1) * BR), jnp.float32),  # states
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),        # s*t
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),        # dgx
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),        # dy
+                pltpu.VMEM((2 * unroll, BR), jnp.float32),  # seg partials
+                pltpu.VMEM((3 * unroll, B), jnp.float32),   # bcast rows
+            ]
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_blocks,),
@@ -1132,12 +1590,7 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 jax.ShapeDtypeStruct((D2, D2), jnp.float32),
                 jax.ShapeDtypeStruct((D2, BR), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((D2, BR), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=sem,
             interpret=interpret,
         )(*args)

@@ -194,3 +194,97 @@ def test_forward_only_nll_block_matches_split(defer):
     vb = float(rho_nll_pallas(rp, hp, _data(), layout="block",
                               defer_norm=defer))
     np.testing.assert_allclose(vb, vs, rtol=1e-5, atol=1e-7)
+
+
+def test_batched_limb_kernels_match_standard():
+    """The spine/limbs-split kernels (_make_psi_*_kernel_batched — auto
+    path for B % 128 == 0 on TPU) reproduce the standard defer kernels'
+    values AND gradients exactly; pinned at small B via the explicit
+    batched=True factory knob (interpret mode has no lane-alignment
+    constraint)."""
+    from audio_mps_tpu.ops.pallas_block import _psi_block_factory
+    from audio_mps_tpu.models import core as _core
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 197, cfg.delta_t)
+    pp = init_psi(jax.random.PRNGKey(1), cfg)
+
+    from audio_mps_tpu.models.cell import make_constants
+    from audio_mps_tpu.ops.pallas_block import (_psi_block_constants,
+                                                _psi_block_t0)
+    from audio_mps_tpu.ops.pallas_scan import _pad_rows
+
+    def nll(params, batched):
+        cc = make_constants(params, cfg)
+        B, T = data.shape
+        unroll = 8
+        n_steps = T - 1
+        n_blocks = max(1, -(-n_steps // unroll))
+        incs = (data[:, 1:] - data[:, :-1]).T / cc.A
+        se = _pad_rows(incs, n_blocks * unroll)
+        ab, bb, rb = _psi_block_constants(cc)
+        pr0, pi0 = _core.psi0(params, cfg)
+        t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None], (8, B)),
+                           jnp.broadcast_to(pi0[:, None], (8, B)))
+        fused = _psi_block_factory(cfg, B, T, unroll, True, "highest",
+                                   True, batched)
+        return jnp.mean(fused(ab, bb, rb, t0, se))
+
+    v_std = float(nll(pp, False))
+    v_bat = float(nll(pp, True))
+    np.testing.assert_allclose(v_bat, v_std, rtol=1e-6)
+    # reference value: the XLA scan
+    np.testing.assert_allclose(v_bat, float(_core.psi_nll(pp, cfg, data)),
+                               rtol=3e-4)
+
+    g_std = jax.grad(lambda p: nll(p, False))(pp)
+    g_bat = jax.grad(lambda p: nll(p, True))(pp)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_bat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)
+
+
+def test_batched_limb_kernels_match_standard_rho():
+    """rho spine/limbs-split kernels == the standard [1,B]-space defer
+    kernels (values, all parameter grads, per-step signal cotangents)."""
+    from audio_mps_tpu.ops.pallas_block import (_rho_block_constants,
+                                                _rho_block_factory,
+                                                _rho_block_t0,
+                                                _rho_factor_inputs)
+    from audio_mps_tpu.models import core as _core
+    from audio_mps_tpu.models.cell import make_constants
+    from audio_mps_tpu.ops.pallas_scan import _pad_rows
+
+    cfg = CMPSConfig(minibatch_size=3, bond_dim=8, scan_chunk=0,
+                     initial_rank=2)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 3, 133, cfg.delta_t)
+    pp = init_rho(jax.random.PRNGKey(1), cfg)
+    rank = 2
+
+    def nll(params, batched):
+        cc = make_constants(params, cfg)
+        B, T = data.shape
+        unroll = 8
+        n_blocks = max(1, -(-(T - 1) // unroll))
+        t_pad = n_blocks * unroll
+        incs = (data[:, 1:] - data[:, :-1]).T / cc.A
+        seb = _pad_rows(incs, t_pad)
+        se = jnp.repeat(seb, rank, axis=1)
+        h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B)
+        ab, bb, xb = _rho_block_constants(cc)
+        t0 = _rho_block_t0(cc, h0r, h0i)
+        fused = _rho_block_factory(cfg, B, T, rank, unroll, True,
+                                   "highest", True, batched)
+        return fused(ab, bb, xb, t0, se, seb, zmat, zmat.T)
+
+    v_std = float(nll(pp, False))
+    v_bat = float(nll(pp, True))
+    np.testing.assert_allclose(v_bat, v_std, rtol=1e-6)
+    np.testing.assert_allclose(
+        v_bat, float(_core.rho_nll_factor(pp, cfg, data)), rtol=3e-4)
+
+    g_std = jax.grad(lambda p: nll(p, False))(pp)
+    g_bat = jax.grad(lambda p: nll(p, True))(pp)
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_bat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-8)

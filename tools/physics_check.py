@@ -65,14 +65,16 @@ def spectral_peak_hz(waves, delta_t):
 
 
 def run(steps=1200, T=2 ** 16, bond_dim=8, batch=8, tol_hz=15.0,
-        seed=0, lr=1e-3, sample_temp=1e-6, fused=None, verbose=True):
+        seed=0, lr=1e-3, sample_temp=1e-6, fused=None, verbose=True,
+        precision="highest"):
     from audio_mps_tpu.config import CMPSConfig
     from audio_mps_tpu.data import damped_sine_batch
     from audio_mps_tpu.models import core
     from audio_mps_tpu.training import init_params_for, make_train_step
 
     cfg = CMPSConfig(bond_dim=bond_dim, minibatch_size=batch,
-                     learning_rate=lr, scan_chunk=256)
+                     learning_rate=lr, scan_chunk=256,
+                     kernel_precision=precision)
     key = jax.random.PRNGKey(seed)
     key, ik = jax.random.split(key)
     params = init_params_for("psi_mps", ik, cfg)
@@ -101,6 +103,7 @@ def run(steps=1200, T=2 ** 16, bond_dim=8, batch=8, tol_hz=15.0,
     result = {
         "config": {"steps": steps, "T": T, "bond_dim": bond_dim,
                    "batch": batch, "lr": lr, "seed": seed,
+                   "precision": precision,
                    "device": str(jax.devices()[0])},
         "loss_curve": losses,
         "target_hz": MIDDLE_C_HZ,
@@ -120,7 +123,7 @@ def main(argv):
     out = "PHYSICS.json"
     casts = {"steps": int, "T": int, "bond_dim": int, "batch": int,
              "tol_hz": float, "seed": int, "lr": float,
-             "sample_temp": float}
+             "sample_temp": float, "precision": str}
     for a in argv:
         if not a.startswith("--"):
             continue
