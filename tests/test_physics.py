@@ -29,30 +29,38 @@ def test_spectral_peak_detector():
     assert abs(peak - 440.0) < 3.0, peak
 
 
-def test_dominant_learned_hz_on_known_params():
-    """A hand-built qubit with freqs (+w, -w) and R coupling 0<->1 has its
-    dominant line at |f0 - f1| / 2pi."""
+def test_learned_line_hz_on_known_params():
+    """A hand-built qubit with freqs (+w/2, -w/2) and R coupling 0<->1
+    has its one significant emission line at w / 2pi; weak couplings are
+    excluded by the weight floor."""
     import jax
     from audio_mps_tpu.config import CMPSConfig
     from audio_mps_tpu.models.params import init_psi
-    from physics_check import dominant_learned_hz
+    from physics_check import learned_line_hz
     w = 2 * np.pi * 261.6
-    R = np.zeros((2, 2), dtype=np.complex64)
+    cfg = CMPSConfig(bond_dim=3)
+    R = np.zeros((3, 3), dtype=np.complex64)
     R[0, 1] = 1.0
-    cfg = CMPSConfig(bond_dim=2)
+    R[0, 2] = 0.01          # insignificant line at a wrong frequency
     params = init_psi(jax.random.PRNGKey(0), cfg,
-                      freqs_in=np.array([w / 2, -w / 2], np.float32),
+                      freqs_in=np.array([w / 2, -w / 2, w * 3],
+                                        np.float32),
                       R_in=R)
-    assert abs(dominant_learned_hz(params) - 261.6) < 1e-3
+    assert abs(learned_line_hz(params) - 261.6) < 1e-3
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_PHYSICS"),
-                    reason="slow physics run; set RUN_SLOW_PHYSICS=1 "
-                           "(full-scale result recorded in BASELINE.md)")
-def test_training_learns_middle_c_scaled_down():
+                    reason="slow physics run; set RUN_SLOW_PHYSICS=1 on a "
+                           "TPU host (~4 min; results recorded in "
+                           "PHYSICS.json / BASELINE.md)")
+def test_training_learns_middle_c():
+    """The validated full-scale recipe (D=8, T=2^16, 3000 steps at
+    reference defaults): smaller configs were measured NOT to lock onto
+    middle C (D=4/T=8192 converges to a 427.8 Hz attractor), so the
+    opt-in test runs the real thing — intended for a TPU host, where it
+    takes ~4 minutes with the fused kernels."""
     from physics_check import run
-    result, _ = run(steps=int(os.environ.get("PHYSICS_STEPS", 400)),
-                    T=8192, bond_dim=4, batch=4, tol_hz=25.0,
+    result, _ = run(steps=int(os.environ.get("PHYSICS_STEPS", 3000)),
                     verbose=False)
     assert result["freqs_pass"], result
     assert result["spectrum_pass"], result
