@@ -617,8 +617,10 @@ def auto_unroll(D: int, cols: int, unroll: Optional[int]) -> int:
     return int(max(2, min(DEFAULT_UNROLL, (80 << 20) // max(per_step, 1))))
 
 
-# Scoped VMEM budget the fused kernels request (v5e has 128 MiB physical).
-FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+# Budget calibrated to the MEASURED compile boundary on v5e (see
+# fused_supported): the scoped-VMEM request is capped at 100 MiB, but the
+# backend's compiler falls over before the estimate reaches it.
+FUSED_VMEM_LIMIT = 48 * 1024 * 1024
 
 
 def fused_vmem_bytes(bond_dim: int, cols: int, unroll: int = 2) -> int:
@@ -635,15 +637,19 @@ def fused_vmem_bytes(bond_dim: int, cols: int, unroll: int = 2) -> int:
 
 def fused_supported(cfg: CMPSConfig, batch: int,
                     rank: Optional[int] = None) -> bool:
-    """Do the fused training kernels fit VMEM at this (D, B, rank), at the
-    MINIMUM unroll of 2? Above this the chunked-remat XLA scan is the
+    """Do the fused training kernels fit this backend at (D, B, rank), at
+    the MINIMUM unroll of 2? Above this the chunked-remat XLA scan is the
     fallback (training.nll_fn_for applies it automatically).
 
-    Measured on v5e: D=128 (BENCH) and D=256 full-rank rho at B=8 fit;
-    the formula puts the full-rank-rho ceiling between D=256 and D=512 at
-    B=8 (psi scales much further — its lane count is B, not B*rank). For
-    D beyond the ceiling, shrink B/initial_rank, or shard the bond
-    dimension (TP) — see README's scaling notes."""
+    Boundary MEASURED on v5e (r3, tools-era probes): full-rank rho at B=8
+    compiles and runs through **D=192** (and D=256 at initial_rank=64);
+    full-rank D=256 at B=8 crashes the backend's remote compile helper.
+    The 48 MiB budget on the estimate reproduces exactly that boundary
+    (D=192 full rank -> 34 MB ok; D=256 rank=64 -> 23 MB ok; D=256 full
+    rank -> 61 MB rejected). psi scales far beyond — its lane count is B,
+    not B*rank. For D beyond the ceiling, shrink minibatch_size /
+    initial_rank, or shard the bond dimension (TP) — see README's scaling
+    notes."""
     if rank is None:
         rank = cfg.initial_rank or cfg.bond_dim
     cols = batch * rank

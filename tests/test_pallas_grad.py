@@ -111,11 +111,15 @@ def test_vmem_ceiling_guard():
     from audio_mps_tpu.models.params import init_rho
     from audio_mps_tpu.data import damped_sine_batch
 
-    # the bench-validated configs fit ...
+    # the measured-working configs fit (v5e probes, r3): D<=192 full-rank
+    # rho at B=8, and D=256 at initial_rank=64 ...
     assert fused_supported(CMPSConfig(bond_dim=64), 8)
     assert fused_supported(CMPSConfig(bond_dim=128), 8)
-    assert fused_supported(CMPSConfig(bond_dim=256), 8)
-    # ... full-rank rho at B=8 stops fitting between D=256 and D=512
+    assert fused_supported(CMPSConfig(bond_dim=192), 8)
+    assert fused_supported(CMPSConfig(bond_dim=256, initial_rank=64), 8)
+    # ... and the measured-failing ones are rejected (full-rank D=256 at
+    # B=8 crashed the remote compile helper)
+    assert not fused_supported(CMPSConfig(bond_dim=256), 8)
     assert not fused_supported(CMPSConfig(bond_dim=512), 8)
     # psi (rank 1) scales far beyond
     assert fused_supported(CMPSConfig(bond_dim=512), 128, rank=1)
