@@ -78,7 +78,15 @@ class Estimator:
         self.model_dir = model_dir
         self.save_checkpoints_steps = save_checkpoints_steps
         self.optimizer, self._step_fn = make_train_step(mps_model, cfg)
-        self._loss_fn = jax.jit(make_loss_fn(mps_model, cfg))
+        # the latent family's ELBO takes a PRNG key; derive it from the
+        # global step so chunked resume replays the identical stream
+        self._latent = mps_model == "latent"
+        if self._latent:
+            from .training import make_latent_loss_fn
+            self._loss_fn = jax.jit(make_latent_loss_fn(cfg))
+            self._base_key = jax.random.PRNGKey(seed + 1)
+        else:
+            self._loss_fn = jax.jit(make_loss_fn(mps_model, cfg))
         self.params = init_params_for(mps_model, jax.random.PRNGKey(seed),
                                       cfg)
         self.opt_state = self.optimizer.init(self.params)
@@ -104,8 +112,13 @@ class Estimator:
         metrics = {}
         for _ in range(steps):
             batch = jnp.asarray(next(it))
-            self.params, self.opt_state, metrics = self._step_fn(
-                self.params, self.opt_state, batch)
+            if self._latent:
+                key = jax.random.fold_in(self._base_key, self.global_step)
+                self.params, self.opt_state, metrics = self._step_fn(
+                    self.params, self.opt_state, batch, key)
+            else:
+                self.params, self.opt_state, metrics = self._step_fn(
+                    self.params, self.opt_state, batch)
             self.global_step += 1
             if self.global_step % self.save_checkpoints_steps == 0:
                 self._ckpt.maybe_save(self.global_step, self.params,
@@ -125,9 +138,15 @@ class Estimator:
         eval_metric_ops mean-loss, training_estimators.py:112)."""
         it = input_fn()
         losses = []
-        for _ in range(steps):
+        for i in range(steps):
             batch = jnp.asarray(next(it))
-            _, metrics = self._loss_fn(self.params, batch)
+            if self._latent:
+                # eval keys live in a disjoint fold range from training's
+                # global-step keys
+                key = jax.random.fold_in(self._base_key, 2 ** 31 + i)
+                _, metrics = self._loss_fn(self.params, batch, key)
+            else:
+                _, metrics = self._loss_fn(self.params, batch)
             losses.append(float(metrics["model_loss"]))
         return {"loss": float(np.mean(losses))}
 

@@ -43,3 +43,28 @@ def test_symmetrize():
     np.testing.assert_allclose(S, S.T)
     np.testing.assert_allclose(np.diag(S), np.diag(M))
     np.testing.assert_allclose(np.tril(S), np.tril(M))
+
+
+def test_estimator_latent_train_eval_resume(tmp_path):
+    """The latent (ELBO) family rides the chunked estimator driver too:
+    the key stream derives from the global step, so resumed training
+    replays the identical reparameterization noise."""
+    cfg = CMPSConfig(minibatch_size=2, bond_dim=4, scan_chunk=32,
+                     latent_dim=4, latent_hidden=8)
+    ec = EstimatorConfig(sample_duration=128, batch_size=2)
+    input_fn = build_input_fn(ec, cfg)
+
+    est = Estimator("latent", cfg, str(tmp_path), save_checkpoints_steps=2)
+    m = est.train(input_fn, steps=4)
+    assert est.global_step == 4
+    assert np.isfinite(m["model_loss"]) and np.isfinite(m["kl"])
+    ev = est.evaluate(input_fn, steps=2)
+    assert np.isfinite(ev["loss"])
+    est.close()
+
+    est2 = Estimator("latent", cfg, str(tmp_path), save_checkpoints_steps=2)
+    assert est2.global_step == 4          # resumed from the checkpoint
+    m2 = est2.train(input_fn, steps=2)
+    assert est2.global_step == 6
+    assert np.isfinite(m2["model_loss"])
+    est2.close()
