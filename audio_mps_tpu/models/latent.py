@@ -157,6 +157,9 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
     bit-identical to the single-device step)."""
     mu, logvar = encode(params, signals)
     if eps is None:
+        if key is None:
+            raise ValueError("elbo_loss needs either `key` (to sample the "
+                             "reparameterization noise) or explicit `eps`")
         eps = jax.random.normal(key, mu.shape)
     z = mu + jnp.exp(0.5 * logvar) * eps
     psi0_pair = decode_psi0(params, z, cfg)

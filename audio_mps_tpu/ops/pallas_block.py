@@ -387,7 +387,7 @@ def _make_psi_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
                              jnp.zeros_like(dinv))
 
         # --- batched reverse precompute (all forward-computable)
-        es, dargs, des, dehats, dn2_from_e = [], [], [], [], []
+        es, dargs, dehats, dn2_from_e = [], [], [], []
         for k in range(K):
             n2p_c = jnp.maximum(n2ps[k], norm_eps)
             e = ehat_lane[:, k * B:(k + 1) * B] / n2p_c
@@ -401,7 +401,6 @@ def _make_psi_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
                                         jnp.zeros_like(de)))
             es.append(e)
             dargs.append(darg)
-            des.append(de)
             dehats.append(dehat)
             y = st_s[:, (k + 1) * B:(k + 2) * B]
             dru_s[:, k * B:(k + 1) * B] = 2.0 * dehat * y
@@ -753,6 +752,11 @@ def _psi_block_factory(cfg: CMPSConfig, B: int, T: int, unroll: int,
     if batched and not defer_norm:
         raise ValueError("batched kernels implement the deferred-"
                          "normalization semantics only")
+    if batched and not interpret and B % 128 != 0:
+        raise ValueError(
+            f"batched psi kernels need B % 128 == 0 on TPU (static lane "
+            f"slices of the VMEM state buffers must be tile-aligned), "
+            f"got B={B}")
 
     if batched:
         fwd_kernel = _make_psi_fwd_kernel_batched(cfg, unroll, precision)
@@ -1075,7 +1079,7 @@ def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
 
         # --- batched reverse precompute (all forward-computable):
         # per-step [1,B] scalars, then ONE stacked broadcast [3K,B]@[B,BR]
-        es_b, dargs_b, dtr_from_e = [], [], []
+        dtr_from_e = []
         for k in range(K):
             trp_c = jnp.maximum(trp_bs[k], norm_eps)
             e_b = red[k:k + 1] / trp_c
@@ -1086,8 +1090,6 @@ def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
             dtr_from_e.append(jnp.where(trp_bs[k] > norm_eps,
                                         -de_b * e_b / trp_c,
                                         jnp.zeros_like(de_b)))
-            es_b.append(e_b)
-            dargs_b.append(darg_b)
             rows_s[K + k:K + k + 1, :] = de_b / trp_c
             rows_s[2 * K + k:2 * K + k + 1, :] = darg_b * e_b
         for k in range(K):
@@ -1165,10 +1167,6 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
 
         def seg(row):
             return _dot(_dot(row, z, seg_prec), zt, seg_prec)
-
-        def seg_b(row):
-            """[1,BR] rank-group partial sums -> per-example [1,B]."""
-            return _dot(row, z, seg_prec)
 
         t = t_s[:]
         ck_ref[0] = t
@@ -1485,6 +1483,11 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
     if batched and not defer_norm:
         raise ValueError("batched kernels implement the deferred-"
                          "normalization semantics only")
+    if batched and not interpret and BR % 128 != 0:
+        raise ValueError(
+            f"batched rho kernels need B*rank % 128 == 0 on TPU (static "
+            f"lane slices of the VMEM state buffers must be tile-aligned), "
+            f"got B*rank={BR}")
 
     if batched:
         fwd_kernel = _make_rho_fwd_kernel_batched(cfg, unroll, rank,

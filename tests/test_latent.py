@@ -85,14 +85,21 @@ def test_fused_sampler_matches_xla(bond_dim):
     np.testing.assert_allclose(w_fus, w_ref, rtol=2e-4, atol=1e-7)
 
 
-def test_dp_sample_keyword_threads_temperature():
-    params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=4)
-    w_cold = np.asarray(sample_latent(params, CFG, jax.random.PRNGKey(5),
-                                      2, 64, temp=1e-12))
-    w_hot = np.asarray(sample_latent(params, CFG, jax.random.PRNGKey(5),
-                                     2, 64, temp=100.0))
-    # higher temperature -> strictly more SDE noise energy
-    assert np.abs(w_hot).sum() != np.abs(w_cold).sum()
+def test_dp_sample_threads_temperature():
+    """Temperature reaches the SDE through the SHARDED latent sampler
+    (parallel.make_dp_sample build(..., temp=...)): hot chains must carry
+    strictly more high-frequency noise energy than near-deterministic
+    cold chains from the same key."""
+    from audio_mps_tpu.parallel import make_dp_sample, make_mesh, replicate
+    mesh = make_mesh()
+    params = replicate(init_latent(jax.random.PRNGKey(0), CFG,
+                                   latent_dim=4), mesh)
+    build = make_dp_sample("latent", CFG, mesh)
+    key = jax.random.PRNGKey(5)
+    w_cold = np.asarray(build(8, 64, temp=1e-12)(params, key))
+    w_hot = np.asarray(build(8, 64, temp=1e12)(params, key))
+    diff_energy = lambda w: float(np.abs(np.diff(w, axis=1)).sum())
+    assert diff_energy(w_hot) > 10 * diff_energy(w_cold)
 
 
 def test_fused_recon_per_example_matches_unfused():

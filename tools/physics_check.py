@@ -63,8 +63,9 @@ def learned_line_hz(params, target_hz: float = MIDDLE_C_HZ,
 
 
 def spectral_peak_hz(waves, delta_t):
-    """FFT-peak frequency (Hz) of [N, T] waveforms, mean over examples,
-    ignoring DC and the slow damped-envelope bins (< 30 Hz)."""
+    """FFT-peak frequency (Hz) of [N, T] waveforms — the MEDIAN over
+    examples (robust to one bad chain) — ignoring DC and the slow
+    damped-envelope bins (< 30 Hz)."""
     w = np.asarray(waves, dtype=np.float64)
     w = w - w.mean(axis=1, keepdims=True)
     spec = np.abs(np.fft.rfft(w, axis=1)) ** 2
