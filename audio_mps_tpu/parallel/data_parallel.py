@@ -20,7 +20,8 @@ from .compat import shard_map
 
 from ..config import CMPSConfig
 from ..models import core
-from ..training import make_latent_loss_fn, make_loss_fn, make_optimizer
+from ..training import (_on_tpu, make_latent_loss_fn, make_loss_fn,
+                        make_optimizer)
 from .mesh import DATA_AXIS
 
 
@@ -106,14 +107,30 @@ def _make_dp_latent_step(cfg: CMPSConfig, mesh: Mesh, optimizer, axis: str,
 
 
 def make_dp_sample(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
-                   axis: str = DATA_AXIS):
+                   axis: str = DATA_AXIS, fused: Optional[bool] = None):
     """Sharded ancestral sampling: samples split across chips (generation is
     irreducibly serial in time — throughput comes from batching across the
     mesh, SURVEY.md §7 hard parts). Supports all three families (latent
-    samples from the prior via its decoded per-example psi_0)."""
+    samples from the prior via its decoded per-example psi_0).
+
+    `fused=None` auto-selects the fused Pallas SDE sampler kernels inside
+    each shard on TPU (interpret mode elsewhere when forced True) — the
+    same dispatch `sample.py --fused` uses, riding shard_map like the DP
+    training step."""
+    if fused is None:
+        fused = _on_tpu()
     if mps_model == "latent":
         from ..models.latent import sample_latent
-        fn = sample_latent
+        if fused:
+            import functools
+            fn = functools.partial(sample_latent, fused=True)
+        else:
+            fn = sample_latent
+    elif fused:
+        from ..ops.pallas_scan import (psi_sample_pallas_keyed,
+                                       rho_sample_pallas_keyed)
+        fn = (rho_sample_pallas_keyed if mps_model == "rho_mps"
+              else psi_sample_pallas_keyed)
     else:
         fn = core.sample_rho if mps_model == "rho_mps" else core.sample_psi
 

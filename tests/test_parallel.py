@@ -286,3 +286,22 @@ def test_combined_dp_time_sharded_matches_single_device():
         for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("mps_model", ["psi_mps", "rho_mps", "latent"])
+def test_dp_sample_fused_matches_xla(mps_model):
+    """Sharded sampling through the fused Pallas SDE kernels (interpret
+    mode under shard_map on the CPU mesh) == the sharded XLA-scan sampler
+    for the same key, for all three families."""
+    mesh = make_mesh()
+    cfg = dataclasses.replace(CFG, latent_dim=4, latent_hidden=16)
+    params = replicate(init_params_for(mps_model, jax.random.PRNGKey(0),
+                                       cfg), mesh)
+    key = jax.random.PRNGKey(5)
+    w_xla = np.asarray(make_dp_sample(mps_model, cfg, mesh, fused=False)(
+        8, 48)(params, key))
+    w_fus = np.asarray(make_dp_sample(mps_model, cfg, mesh, fused=True)(
+        8, 48)(params, key))
+    assert w_fus.shape == (8, 48)
+    np.testing.assert_allclose(w_fus, w_xla, rtol=2e-4,
+                               atol=2e-6 * np.abs(w_xla).max() + 1e-9)

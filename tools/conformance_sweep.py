@@ -2,7 +2,7 @@
 of the XLA scan across random (model, D, B, T, rank, defer, unroll)
 configs — an out-of-suite stress companion to tests/test_pallas_block.py
 (run it after kernel changes: `python tools/conformance_sweep.py [seed]`;
-14 cases, ~8 min on one CPU; expect `FAILURES: 0`)."""
+14 public-API cases + 6 batched spine/limbs-kernel cases, ~10 min on one CPU; expect `FAILURES: 0`)."""
 import os, sys, random
 # only append XLA flags the caller hasn't set (same guard as
 # tests/conftest.py)
@@ -70,4 +70,83 @@ for (model, D, B, T, rank, defer, unroll) in cases:
     except Exception as e:
         print(f"ERR  {tag}: {str(e)[:110]}", flush=True)
         fails += 1
+# --- batched spine/limbs kernels (the TPU default for rho when
+# B*rank % 128 == 0): randomized shapes vs jax.grad of the scan, via the
+# factory's explicit batched=True knob (interpret mode has no alignment
+# constraint, so small shapes exercise the same code path)
+from audio_mps_tpu.models.cell import make_constants
+from audio_mps_tpu.ops.pallas_block import (_psi_block_constants,
+                                            _psi_block_factory,
+                                            _psi_block_t0,
+                                            _rho_block_constants,
+                                            _rho_block_factory,
+                                            _rho_block_t0,
+                                            _rho_factor_inputs)
+from audio_mps_tpu.ops.pallas_scan import _pad_rows
+import jax.numpy as jnp
+
+for i in range(6):
+    D = rng.choice([4, 8, 16])
+    B = rng.choice([1, 2, 3])
+    T = rng.choice([17, 49, 97])
+    unroll = rng.choice([4, 8])
+    model = rng.choice(["psi", "rho"])
+    rank = rng.choice([1, 2, D // 2]) if model == "rho" else None
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=0,
+                     initial_rank=rank)
+    data = damped_sine_batch(jax.random.PRNGKey(T + D + i), B, T,
+                             cfg.delta_t)
+    tag = f"batched {model} D={D} B={B} T={T} rank={rank} u={unroll}"
+    try:
+        n_blocks = max(1, -(-(T - 1) // unroll))
+        t_pad = n_blocks * unroll
+        if model == "psi":
+            pp = init_psi(jax.random.PRNGKey(D + i), cfg)
+            ref_fn = core.psi_nll
+
+            def pal(p):
+                cc = make_constants(p, cfg)
+                incs = (data[:, 1:] - data[:, :-1]).T / cc.A
+                se = _pad_rows(incs, t_pad)
+                ab, bb, rb = _psi_block_constants(cc)
+                pr0, pi0 = core.psi0(p, cfg)
+                t0 = _psi_block_t0(cc, jnp.broadcast_to(pr0[:, None],
+                                                        (D, B)),
+                                   jnp.broadcast_to(pi0[:, None], (D, B)))
+                fused = _psi_block_factory(cfg, B, T, unroll, True,
+                                           "highest", True, True)
+                return jnp.mean(fused(ab, bb, rb, t0, se))
+        else:
+            pp = init_rho(jax.random.PRNGKey(D + i), cfg)
+            ref_fn = core.rho_nll_factor
+            rk = rank or D
+
+            def pal(p):
+                cc = make_constants(p, cfg)
+                incs = (data[:, 1:] - data[:, :-1]).T / cc.A
+                seb = _pad_rows(incs, t_pad)
+                se = jnp.repeat(seb, rk, axis=1)
+                h0r, h0i, zmat = _rho_factor_inputs(p, cfg, B)
+                ab, bb, xb = _rho_block_constants(cc)
+                t0 = _rho_block_t0(cc, h0r, h0i)
+                fused = _rho_block_factory(cfg, B, T, rk, unroll, True,
+                                           "highest", True, True)
+                return fused(ab, bb, xb, t0, se, seb, zmat, zmat.T)
+        v_ref = float(ref_fn(pp, cfg, data))
+        v_pal = float(pal(pp))
+        g_ref = jax.grad(lambda p: ref_fn(p, cfg, data))(pp)
+        g_pal = jax.grad(pal)(pp)
+        ok = abs(v_pal - v_ref) < 1e-6 + 1e-5 * abs(v_ref)
+        gerr = max(
+            np.abs(np.asarray(a) - np.asarray(b)).max() /
+            (np.abs(np.asarray(a)).max() + 1e-12)
+            for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)))
+        ok = ok and gerr < 3e-4
+        print(("OK  " if ok else "FAIL") + f" {tag}  v={v_ref:+.5f} "
+              f"gerr={gerr:.1e}", flush=True)
+        fails += 0 if ok else 1
+    except Exception as e:
+        print(f"ERR  {tag}: {str(e)[:110]}", flush=True)
+        fails += 1
+
 print("FAILURES:", fails, flush=True)
