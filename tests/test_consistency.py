@@ -23,6 +23,8 @@ from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
                                                   rho_nll_pipelined)
+from audio_mps_tpu.parallel.rank_parallel import (make_model_mesh,
+                                                  rho_nll_rank_sharded)
 from audio_mps_tpu.parallel.time_pscan import (psi_nll_time_sharded,
                                                rho_nll_time_sharded)
 
@@ -72,6 +74,9 @@ def test_rho_nll_all_implementations_agree(bond_dim):
         "time_sharded":
             lambda: jax.jit(lambda: rho_nll_time_sharded(params, cfg, data,
                                                          mesh))(),
+        "rank_sharded":
+            lambda: jax.jit(lambda: rho_nll_rank_sharded(
+                params, cfg, data, make_model_mesh(bond_dim)))(),
         "chunked_remat":
             lambda: core.rho_nll_factor(
                 params, dataclasses.replace(cfg, scan_chunk=32), data),

@@ -305,3 +305,53 @@ def test_dp_sample_fused_matches_xla(mps_model):
     assert w_fus.shape == (8, 48)
     np.testing.assert_allclose(w_fus, w_xla, rtol=2e-4,
                                atol=2e-6 * np.abs(w_xla).max() + 1e-9)
+
+
+def test_rank_sharded_matches_single_device():
+    """Purification-rank sharding (the rho family's TP): NLL with the
+    rank rows split over an 8-device 'model' mesh == the single-device
+    factor scan, values AND gradients (incl. the W-shard cotangents
+    gathering back to the full [rank, D] parameters)."""
+    from audio_mps_tpu.parallel import make_model_mesh, \
+        rho_nll_rank_sharded
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=32)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 161, cfg.delta_t)
+    mesh = make_model_mesh(8)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)   # rank = D = 8 over 8 devs
+
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    v = float(jax.jit(lambda p: rho_nll_rank_sharded(p, cfg, data,
+                                                     mesh))(pr))
+    np.testing.assert_allclose(v, ref, rtol=1e-5)
+
+    g_ref = jax.grad(_core.rho_nll_factor)(pr, cfg, data)
+    g_sh = jax.jit(jax.grad(
+        lambda p: rho_nll_rank_sharded(p, cfg, data, mesh)))(pr)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_rank_sharded_low_rank_and_validation():
+    from audio_mps_tpu.parallel import make_model_mesh, \
+        rho_nll_rank_sharded
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    mesh = make_model_mesh(4)
+    cfg = CMPSConfig(minibatch_size=2, bond_dim=6, scan_chunk=0,
+                     initial_rank=4)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 2, 65, cfg.delta_t)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    v = float(jax.jit(lambda p: rho_nll_rank_sharded(p, cfg, data,
+                                                     mesh))(pr))
+    np.testing.assert_allclose(v, float(_core.rho_nll_factor(pr, cfg,
+                                                             data)),
+                               rtol=1e-5, atol=1e-6)
+    # rank must divide the model axis
+    mesh3 = make_model_mesh(3)
+    with pytest.raises(ValueError, match="must divide"):
+        rho_nll_rank_sharded(pr, cfg, data, mesh3)
