@@ -3,10 +3,12 @@ from .combined import (make_2d_mesh, make_dp_time_train_step,
 from .data_parallel import (make_dp_sample, make_dp_train_step, replicate,
                             shard_batch)
 from .mesh import DATA_AXIS, ensure_devices, make_mesh
-from .rank_parallel import (MODEL_AXIS, make_model_mesh,
+from .rank_parallel import (MODEL_AXIS, make_2d_rank_mesh,
+                            make_dp_rank_train_step, make_model_mesh,
                             rho_nll_rank_sharded)
 
 __all__ = ["make_2d_mesh", "make_dp_time_train_step", "shard_batch_2d",
            "make_dp_sample", "make_dp_train_step", "replicate",
            "shard_batch", "DATA_AXIS", "ensure_devices", "make_mesh",
-           "MODEL_AXIS", "make_model_mesh", "rho_nll_rank_sharded"]
+           "MODEL_AXIS", "make_model_mesh", "rho_nll_rank_sharded",
+           "make_2d_rank_mesh", "make_dp_rank_train_step"]

@@ -61,16 +61,25 @@ def _param_specs(params, axis: str):
 
 
 def rho_nll_rank_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
-                         axis: str = MODEL_AXIS):
+                         axis: str = MODEL_AXIS,
+                         data_axis: str = None):
     """Mean NLL of waveforms [B, T] with the purification rank sharded
     over `axis` (semantics of core.rho_nll_factor; reference hot loop:
     model.py:132-142). Differentiable — W-shard cotangents gather back to
-    the full [rank, D] parameters."""
+    the full [rank, D] parameters, replicated-parameter cotangents sum
+    across shards (shard_map's transpose handles both).
+
+    `data_axis`: optional second mesh axis to ALSO shard the batch over —
+    the combined DP x TP composition on a 2D (data, model) mesh (the
+    rank psums stay axis-local; the final batch mean pmeans over data)."""
     rank = params.Wx.shape[0]
     n = mesh.shape[axis]
     if rank % n:
         raise ValueError(f"purification rank {rank} must divide the "
                          f"{axis!r} axis size {n}")
+    if data_axis is not None and signals.shape[0] % mesh.shape[data_axis]:
+        raise ValueError(f"batch {signals.shape[0]} must divide the "
+                         f"{data_axis!r} axis size {mesh.shape[data_axis]}")
 
     def local(p, sig):
         # p.Wx/p.Wy are the LOCAL rank rows; all other params replicated
@@ -114,9 +123,59 @@ def rho_nll_rank_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
 
         carry = (gr, gi, jnp.zeros((B,), sig.dtype))
         _, _, loss = core.chunked_scan(step, carry, incs, cfg.scan_chunk)
-        return jnp.mean(loss)
+        local_mean = jnp.mean(loss)
+        if data_axis is not None:
+            local_mean = jax.lax.pmean(local_mean, data_axis)
+        return local_mean
 
+    sig_spec = P() if data_axis is None else P(data_axis, None)
     sharded = shard_map(local, mesh=mesh,
-                        in_specs=(_param_specs(params, axis), P()),
+                        in_specs=(_param_specs(params, axis), sig_spec),
                         out_specs=P(), check=False)
     return sharded(params, signals)
+
+
+def make_2d_rank_mesh(n_data: int, n_model: int,
+                      data_axis: str = "data",
+                      model_axis: str = MODEL_AXIS) -> Mesh:
+    import numpy as np
+    devices = np.array(jax.devices()[: n_data * n_model])
+    return Mesh(devices.reshape(n_data, n_model), (data_axis, model_axis))
+
+
+def make_dp_rank_train_step(cfg: CMPSConfig, mesh: Mesh, optimizer=None,
+                            data_axis: str = "data",
+                            model_axis: str = MODEL_AXIS):
+    """Combined 2D (data x model) mesh training for the rho family —
+    DP x TP, the analogue of parallel/combined.py's DP x time
+    composition. The loss internally shard_maps (batch over `data_axis`,
+    rank rows over `model_axis`, rank psums axis-local) and
+    `value_and_grad` runs OUTSIDE it, so shard_map's transpose produces
+    the full global gradients (W shards gather, replicated-param
+    contributions sum across every device); the optimizer update runs
+    redundantly-replicated like the plain DP step. step(params,
+    opt_state, batch) with the make_dp_train_step contract; pinned == the
+    single-device step by tests/test_parallel.py."""
+    import optax
+    from functools import partial
+    from ..training import make_optimizer
+
+    optimizer = optimizer or make_optimizer(cfg)
+
+    def loss_fn(params, batch):
+        nll = rho_nll_rank_sharded(params, cfg, batch, mesh,
+                                   axis=model_axis, data_axis=data_axis)
+        total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
+        return total, {"model_loss": nll, "total_loss": total,
+                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
+                       "A": params.A}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return optimizer, step

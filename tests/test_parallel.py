@@ -355,3 +355,31 @@ def test_rank_sharded_low_rank_and_validation():
     mesh3 = make_model_mesh(3)
     with pytest.raises(ValueError, match="must divide"):
         rho_nll_rank_sharded(pr, cfg, data, mesh3)
+
+
+def test_dp_rank_2d_train_step_matches_single_device():
+    """Combined 2D (data x model) mesh — DP x rank-TP for the rho family:
+    one training step on the 2x4 mesh (batch over data, purification rank
+    over model) == the single-device step, values and parameters."""
+    from audio_mps_tpu.parallel.rank_parallel import (
+        make_2d_rank_mesh, make_dp_rank_train_step)
+    from audio_mps_tpu.models.params import init_rho
+
+    mesh = make_2d_rank_mesh(2, 4)
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=32)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 129, cfg.delta_t)
+
+    pr = init_rho(jax.random.PRNGKey(1), cfg)     # rank 8 over 4 shards
+    opt2, step2 = make_dp_rank_train_step(cfg, mesh)
+    p2, _, m2 = step2(pr, opt2.init(pr), data)
+
+    opt_s, step_s = make_train_step("rho_mps", cfg, fused=False)
+    pr_s = init_rho(jax.random.PRNGKey(1), cfg)
+    p1, _, m1 = step_s(pr_s, opt_s.init(pr_s), data)
+
+    np.testing.assert_allclose(float(m2["model_loss"]),
+                               float(m1["model_loss"]), rtol=1e-5,
+                               atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
