@@ -196,6 +196,10 @@ class RunConfig:
     # through the reservoir shuffle (data/pipeline.py) instead of loading
     # them into host RAM; "true"/"false" force.
     stream: str = "auto"
+    # Multi-chip training from the CLI: "" = single device; "dp" =
+    # data-parallel shard_map over ALL local devices; "dp:N" = over the
+    # first N. The minibatch must divide the mesh size.
+    mesh: str = ""
 
     def __post_init__(self):
         if self.fused not in ("auto", "true", "false"):
@@ -206,6 +210,11 @@ class RunConfig:
             raise ValueError(
                 f"stream must be 'auto', 'true', or 'false', got "
                 f"{self.stream!r}")
+        if self.mesh and not (self.mesh == "dp"
+                              or (self.mesh.startswith("dp:")
+                                  and self.mesh[3:].isdigit())):
+            raise ValueError(
+                f"mesh must be '', 'dp', or 'dp:N', got {self.mesh!r}")
 
     def run_logdir(self, cfg: CMPSConfig) -> str:
         """Run-parameterized logdir (reference: train.py:94)."""
@@ -221,7 +230,7 @@ def parse_argv(argv, run: RunConfig = RunConfig()) -> RunConfig:
         "sample_rate": int, "visualize": bool, "num_samples": int,
         "hparams": str, "datadir": str, "logdir": str, "max_steps": int,
         "checkpoint_secs": float, "summary_every": int, "seed": int,
-        "profile_steps": int, "fused": str, "stream": str,
+        "profile_steps": int, "fused": str, "stream": str, "mesh": str,
     }
     updates = {}
     for arg in argv:

@@ -40,8 +40,28 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
 
     params = init_params_for(run.mps_model, init_key, cfg)
     fused = {"auto": None, "true": True, "false": False}[run.fused]
-    optimizer, step_fn = make_train_step(run.mps_model, cfg, fused=fused)
-    opt_state = optimizer.init(params)
+    mesh = None
+    if run.mesh:
+        # data-parallel over the local devices (--mesh=dp or dp:N):
+        # replicated params, batch sharded each step, pmean'd grads
+        from .parallel import (make_dp_train_step, make_mesh, replicate,
+                               shard_batch)
+        n = int(run.mesh[3:]) if ":" in run.mesh else len(jax.devices())
+        mesh = make_mesh(n)
+        if cfg.minibatch_size % n:
+            raise ValueError(f"minibatch_size={cfg.minibatch_size} must "
+                             f"divide the {n}-device mesh (--mesh={run.mesh})")
+        optimizer, step_fn = make_dp_train_step(run.mps_model, cfg, mesh,
+                                                fused=fused)
+        params = replicate(params, mesh)
+        opt_state = replicate(optimizer.init(params), mesh)
+        if verbose:
+            print(f"data-parallel over {n} devices "
+                  f"({jax.devices()[0].platform})", flush=True)
+    else:
+        optimizer, step_fn = make_train_step(run.mps_model, cfg,
+                                             fused=fused)
+        opt_state = optimizer.init(params)
 
     logdir = run.run_logdir(cfg)
     os.makedirs(logdir, exist_ok=True)
@@ -53,6 +73,12 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
     ckpt = Checkpointer(logdir + "/checkpoints",
                         save_secs=run.checkpoint_secs)
     params, opt_state, start_step = ckpt.restore(params, opt_state)
+    if mesh is not None and start_step:
+        # a restored checkpoint carries ITS run's sharding (possibly a
+        # different mesh size); re-place onto the current mesh
+        from .parallel import replicate
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
     writer = summaries_lib.make_writer(logdir)
 
     if run.mps_model == "latent":
@@ -75,6 +101,9 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                 jax.profiler.stop_trace()
                 profiling = False
             batch = jnp.asarray(next(data_iter))
+            if mesh is not None:
+                from .parallel import shard_batch
+                batch = shard_batch(batch, mesh)
             if latent:
                 key, lkey = jax.random.split(key)
                 params, opt_state, metrics = step_fn(params, opt_state,

@@ -217,3 +217,30 @@ def test_kernel_knobs_ride_hparams_string():
         CMPSConfig().parse("kernel_layout=block,bond_dim=6")
     with pytest.raises(ValueError):
         CMPSConfig().parse("kernel_layout=blocky")
+
+
+def test_train_cli_data_parallel_mesh(tmp_path):
+    """--mesh=dp trains data-parallel over the virtual 8-device mesh
+    through the real CLI path (replicated params, sharded batches) and
+    the checkpoint restores; --mesh=dp:N and validation both work."""
+    from audio_mps_tpu.train import train
+    from audio_mps_tpu.config import RunConfig
+
+    run = RunConfig(mps_model="psi_mps", dataset="damped_sine",
+                    sample_duration=128, max_steps=3, summary_every=10,
+                    visualize=False, num_samples=0, mesh="dp",
+                    logdir=str(tmp_path), checkpoint_secs=1e9,
+                    hparams="bond_dim=4,minibatch_size=8,scan_chunk=32")
+    params, metrics = train(run, verbose=False)
+    assert np.isfinite(float(metrics["model_loss"]))
+
+    # resume continues from the saved step on a smaller explicit mesh
+    run2 = dataclasses.replace(run, mesh="dp:4", max_steps=5)
+    params2, metrics2 = train(run2, verbose=False)
+    assert np.isfinite(float(metrics2["model_loss"]))
+
+    with pytest.raises(ValueError, match="mesh must be"):
+        RunConfig(mesh="tp")
+    with pytest.raises(ValueError, match="must divide"):
+        bad = dataclasses.replace(run, mesh="dp:3")
+        train(bad, verbose=False)
