@@ -470,23 +470,35 @@ def _make_psi_fwd_kernel(cfg: CMPSConfig, unroll: int,
         acc = acc_s[:]
         if defer_norm:
             # deferred chain is t_{k+1} = y_k, so each step's state prep
-            # is the previous step's prep(y): ONE fresh split per step
+            # is the previous step's prep(y): ONE fresh split per step.
+            # HAND-PIPELINED (r3 probe: -6-10% on v5e): the loss tail of
+            # step k is emitted AFTER step k+1's state dots, giving the
+            # mostly-in-order Mosaic schedule independent MXU work to
+            # overlap the latency-serialized state chain with. Identical
+            # arithmetic, pure reordering.
+            def loss_tail(acc, pend):
+                y0, py0, s0, n2p0 = pend
+                ru0 = dotf(rb, py0)
+                ehat0 = 2.0 * jnp.sum(y0 * ru0, axis=0, keepdims=True)
+                e0 = ehat0 / jnp.maximum(n2p0, norm_eps)
+                # no padding gates: padded rows have s=0, so arg == 1
+                # (zero loss term) and zero cotangents — see module doc
+                return acc - jnp.log(jnp.maximum(1.0 + e0 * s0, log_eps))
+
             n2p = jnp.ones_like(acc)
             tp = prep(t)
+            pend = None
             for k in range(unroll):
                 s = se_ref[0, k:k + 1, :]
                 bt = dotf(bb, tp)
                 y = dotf(ab, tp) + s * bt
                 tp = prep(y)
-                ru = dotf(rb, tp)
-                ehat = 2.0 * jnp.sum(y * ru, axis=0, keepdims=True)
-                e = ehat / jnp.maximum(n2p, norm_eps)
-                # no padding gates: padded rows have s=0, so arg == 1
-                # (zero loss term) and zero cotangents — see module doc
-                arg = jnp.maximum(1.0 + e * s, log_eps)
-                acc = acc - jnp.log(arg)
+                if pend is not None:
+                    acc = loss_tail(acc, pend)
+                pend = (y, tp, s, n2p)
                 t = y
                 n2p = jnp.sum(y * y, axis=0, keepdims=True)
+            acc = loss_tail(acc, pend)
             inv = jax.lax.rsqrt(jnp.maximum(n2p, norm_eps))
             t = t * inv          # block-exit renormalization
         else:
@@ -638,6 +650,9 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
 
         # --- recompute the unnormalized chain from the checkpoint,
         # saving the PREPPED operands for the reverse sweep
+        # (bwd-side hand-pipelining was measured a small LOSS for bf16x3
+        # on v5e — extra live split pairs — so only the forward kernels
+        # reorder; see CLAUDE.md r3 notes)
         t = ck_ref[0]
         tp = prep(t)
         n2p = jnp.ones_like(se_ref[0, 0:1, :])
@@ -647,8 +662,7 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             pu = prep(s * t)
             y = dotf(ab, tp) + dotf(bb, pu)       # Ab t + Bb (s t)
             py = prep(y)
-            ru = dotf(rb, py)
-            saved.append((tp, pu, py, ru, n2p))
+            saved.append((tp, pu, py, dotf(rb, py), n2p))
             t = y                                  # defer: t_{k+1} = y_k
             tp = py                                # ... so its prep too
             n2p = jnp.sum(y * y, axis=0, keepdims=True)
@@ -691,21 +705,18 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             # ru = Rb y adjoint
             pdru = prep(dru)
             dy = dy + dotf(rbT, pdru)
-            d_rb = dotnt(pdru, py_k)               # dru @ y^T
             # y = Ab t + Bb u, u = s .* t
             pdy = prep(dy)
             du = dotf(bbT, pdy)                    # Bb^T dy
             dtn = dotf(abT, pdy) + s * du          # s commutes per lane
             ds = ds + jnp.sum(du * t_k, axis=0, keepdims=True)
-            d_ab = dotnt(pdy, tp_k)                # dy @ t^T
-            d_bb = dotnt(pdy, pu_k)                # dy @ u^T == (s dy) t^T
+            a_rb = a_rb + dotnt(pdru, py_k)        # dru @ y^T
+            a_ab = a_ab + dotnt(pdy, tp_k)         # dy @ t^T
+            a_bb = a_bb + dotnt(pdy, pu_k)         # dy @ u^T = (s dy) t^T
 
             dse_ref[0, k:k + 1, :] = ds
             dt = dtn
             dn2 = dn2_new
-            a_ab = a_ab + d_ab
-            a_bb = a_bb + d_bb
-            a_rb = a_rb + d_rb
         # leftover dn2 sits on the block-entry norm (a constant 1): discard
 
         dt_s[:] = dt
@@ -1177,26 +1188,36 @@ def _make_rho_fwd_kernel(cfg: CMPSConfig, unroll: int,
             # [2,BR]@[BR,B] contraction; the state path is broadcast-free,
             # so only the block-exit renormalization pays one
             # [1,B]@[B,BR] dot.
+            # HAND-PIPELINED (r3): step k's loss tail (expectation GEMM +
+            # stacked seg contraction) is emitted after step k+1's state
+            # dots — identical arithmetic, pure reordering
             segdot = _make_seg_dot(precision)
+
+            def loss_tail(acc_b, trp_b, pend):
+                y0, py0, s_b0 = pend
+                gx0 = dotf(xb, py0)
+                parts = jnp.concatenate(
+                    [jnp.sum(y0 * gx0, axis=0, keepdims=True),
+                     jnp.sum(y0 * y0, axis=0, keepdims=True)], axis=0)
+                red = segdot(parts, z)                 # [2, B]
+                e_b = red[0:1] / jnp.maximum(trp_b, norm_eps)
+                arg_b = jnp.maximum(1.0 + e_b * s_b0, log_eps)
+                return acc_b - jnp.log(arg_b), red[1:2]
+
             acc_b = acc_s[:]
             trp_b = jnp.ones_like(acc_b)
             tp = prep(t)
+            pend = None
             for k in range(unroll):
                 s = se_ref[0, k:k + 1, :]
                 s_b = seb_ref[0, k:k + 1, :]
                 y = dotf(ab, tp) + s * dotf(bb, tp)
                 tp = prep(y)          # deferred chain: reused next step
-                gx = dotf(xb, tp)
-                parts = jnp.concatenate(
-                    [jnp.sum(y * gx, axis=0, keepdims=True),
-                     jnp.sum(y * y, axis=0, keepdims=True)], axis=0)
-                red = segdot(parts, z)                 # [2, B]
-                ehat_b = red[0:1]
-                e_b = ehat_b / jnp.maximum(trp_b, norm_eps)
-                arg_b = jnp.maximum(1.0 + e_b * s_b, log_eps)
-                acc_b = acc_b - jnp.log(arg_b)
-                trp_b = red[1:2]
+                if pend is not None:
+                    acc_b, trp_b = loss_tail(acc_b, trp_b, pend)
+                pend = (y, tp, s_b)
                 t = y
+            acc_b, trp_b = loss_tail(acc_b, trp_b, pend)
             inv_b = jax.lax.rsqrt(jnp.maximum(trp_b, norm_eps))
             t = t * _dot(inv_b, zt, seg_prec)
             t_s[:] = t
@@ -1380,8 +1401,7 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             pu = prep(s * t)
             y = dotf(ab, tp) + dotf(bb, pu)       # Ab t + Bb (s t)
             py = prep(y)
-            gx = dotf(xb, py)
-            saved.append((tp, pu, py, gx, trp_b))
+            saved.append((tp, pu, py, dotf(xb, py), trp_b))
             t = y                                  # defer: t_{k+1} = y_k
             tp = py
             trp_b = seg_b(jnp.sum(y * y, axis=0, keepdims=True))
@@ -1429,7 +1449,6 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             # gx = Xb y adjoint
             pdgx = prep(dgx)
             dy = dy + dotf(xbT, pdgx)
-            d_xb = dotnt(pdgx, py_k)               # dgx @ y^T
             # y = Ab t + Bb u, u = s .* t
             pdy = prep(dy)
             du = dotf(bbT, pdy)                    # Bb^T dy
@@ -1439,15 +1458,13 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
             # state term sum(du . t) is genuinely per-lane
             ds = (lanes[2:3] * (1.0 / rank)
                   + jnp.sum(du * t_k, axis=0, keepdims=True))
-            d_ab = dotnt(pdy, tp_k)                # dy @ t^T
-            d_bb = dotnt(pdy, pu_k)                # dy @ u^T == (s dy) t^T
+            a_xb = a_xb + dotnt(pdgx, py_k)        # dgx @ y^T
+            a_ab = a_ab + dotnt(pdy, tp_k)         # dy @ t^T
+            a_bb = a_bb + dotnt(pdy, pu_k)         # dy @ u^T = (s dy) t^T
 
             dse_ref[0, k:k + 1, :] = ds
             dt = dtn
             dtr_b = dtr_b_new
-            a_ab = a_ab + d_ab
-            a_bb = a_bb + d_bb
-            a_xb = a_xb + d_xb
         # leftover dtr_b sits on the block-entry trace (constant 1): discard
 
         dt_s[:] = dt
