@@ -75,11 +75,12 @@ def rho_nll_rank_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
     rank = params.Wx.shape[0]
     n = mesh.shape[axis]
     if rank % n:
-        raise ValueError(f"purification rank {rank} must divide the "
-                         f"{axis!r} axis size {n}")
+        raise ValueError(f"purification rank {rank} must be divisible by "
+                         f"the {axis!r} axis size {n}")
     if data_axis is not None and signals.shape[0] % mesh.shape[data_axis]:
-        raise ValueError(f"batch {signals.shape[0]} must divide the "
-                         f"{data_axis!r} axis size {mesh.shape[data_axis]}")
+        raise ValueError(
+            f"batch {signals.shape[0]} must be divisible by the "
+            f"{data_axis!r} axis size {mesh.shape[data_axis]}")
 
     def local(p, sig):
         # p.Wx/p.Wy are the LOCAL rank rows; all other params replicated

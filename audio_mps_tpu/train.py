@@ -49,8 +49,9 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
         n = int(run.mesh[3:]) if ":" in run.mesh else len(jax.devices())
         mesh = make_mesh(n)
         if cfg.minibatch_size % n:
-            raise ValueError(f"minibatch_size={cfg.minibatch_size} must "
-                             f"divide the {n}-device mesh (--mesh={run.mesh})")
+            raise ValueError(
+                f"minibatch_size={cfg.minibatch_size} must be divisible "
+                f"by the {n}-device mesh size (--mesh={run.mesh})")
         optimizer, step_fn = make_dp_train_step(run.mps_model, cfg, mesh,
                                                 fused=fused)
         params = replicate(params, mesh)
@@ -102,7 +103,6 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                 profiling = False
             batch = jnp.asarray(next(data_iter))
             if mesh is not None:
-                from .parallel import shard_batch
                 batch = shard_batch(batch, mesh)
             if latent:
                 key, lkey = jax.random.split(key)

@@ -48,3 +48,6 @@ def test_dryrun_multichip_after_backend_init():
         "import __graft_entry__ as g; g.dryrun_multichip(4)")
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip(4): ok" in res.stdout, res.stdout
+    # the DP x rank (strategy 6) branch gates on mesh shape — pin that it
+    # actually executed on the 2x2 mesh
+    assert "dp_rank_loss=" in res.stdout, res.stdout
