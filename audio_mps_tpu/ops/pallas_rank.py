@@ -1,0 +1,479 @@
+"""Rank-partials fused kernels: the rho family's scale-out/scale-up path.
+
+The block-layout training kernels (ops/pallas_block.py) accumulate the
+loss IN-kernel, which requires the full rank-group sums per step — that
+is why (a) rank-sharded tensor parallelism previously had to ride the
+7x-slower XLA scan (rank_parallel.py r3) and (b) the single-chip VMEM
+ceiling stops full-rank rho between D=192 and D=256 (fused_supported).
+
+This module restructures the kernel BOUNDARY instead of the math: the
+purification-factor update ``G <- G U(s)^dag`` (rho = G^dag G) is
+row-independent in the rank dimension, so a kernel that owns only a
+SUBSET of the rank rows can evolve them exactly — all it cannot compute
+is the cross-row sums (the per-step expectation and trace). The kernels
+here therefore emit, per step, the per-example partial pair
+
+    ehat[t] = sum_local-rows Re<row| X |row>   (block-entry scale)
+    tr[t]   = sum_local-rows ||row||^2         (block-entry scale)
+
+and renormalize the local rows by the LOCAL trace at each unroll-block
+exit (the defer_norm trick: within a block the evolution is linear, so
+normalization is a pure rescale and can be deferred/deterministically
+undone). The global NLL is then reconstructed OUTSIDE the kernel, in
+plain differentiable XLA, from every group's partial sequences combined
+in the log domain:
+
+    gamma^g[t] = absolute log ||local rows||^2 at block entry
+               = log tr0^g + cumsum_blocks log tr^g[block exit]
+    e[t] = sum_g ehat^g[t] e^{gamma^g - m} / sum_g trp^g[t] e^{gamma^g - m}
+    loss = mean_B sum_t -log(max(1 + e[t] s[t], log_eps))
+
+with m = max_g gamma^g (the logsumexp shift) and trp the previous step's
+trace partial. e is exactly the expectation of the globally-normalized
+state — the per-group local renormalizations cancel by construction —
+so values and gradients match the single-kernel fused path to fp
+reassociation (pinned by tests/test_parallel.py, tests/test_pallas_rank.py).
+
+Two consumers:
+
+- **rank-sharded TP** (parallel/rank_parallel.rho_nll_rank_sharded_fused):
+  each chip runs ONE kernel over its rank shard; the only communication is
+  a single all_gather of the [3, T-1, B] partials (a few MB) instead of
+  the XLA path's 65k per-step psums — and, unlike the XLA path, the hot
+  loop is the fused Pallas kernel.
+- **single-chip rank chunking** (rho_nll_rank_chunked): beyond the
+  fused_supported ceiling, split the rank rows into chunks that fit VMEM,
+  run the same kernel per chunk, and combine — lifting the D-ceiling
+  (full-rank D=256 runs as e.g. 4 chunks of 64 rows) with zero
+  communication.
+
+Gradients: the custom VJP takes STREAMED per-step cotangent rows
+(d ehat, d tr) produced by autodiff of the combination math — the
+backward kernel recomputes each block from its checkpoint (exactly like
+the defer backward in pallas_block.py) and injects the streamed rows
+where the in-kernel loss adjoint used to be.
+
+Reference semantics anchored: model.py:132-203 (the rho hot loop);
+the purification-factor form is core.rho_nll_factor (pinned == the
+literal density-matrix transcription).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import CMPSConfig
+from ..models.cell import make_constants
+from .pallas_block import (_dot, _make_dot_ops, _make_dot_ops_bwd,
+                           _make_seg_dot, _rho_block_constants,
+                           _rho_block_t0, supports_block)
+from .pallas_grad import FUSED_VMEM_LIMIT, auto_unroll, fused_vmem_bytes
+from .pallas_scan import _full, _on_tpu, _pad_rows
+
+
+def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
+                                   precision: str):
+    """Forward: evolve the local rank rows (block layout, defer-norm
+    within each unroll block, rotation folded into the constants) and
+    stream the per-step (ehat, tr) per-example partial rows out.
+    Hand-pipelined like the r3 forward kernels: step k's partial tail
+    (expectation GEMM + stacked seg contraction) issues after step k+1's
+    state dots."""
+    norm_eps = cfg.norm_eps
+    prep, dotf, _ = _make_dot_ops(precision)
+    seg_prec = "highest" if precision == "high" else precision
+    segdot = _make_seg_dot(precision)
+
+    def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               eh_ref, tr_ref, ck_ref, t_s):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            t_s[:] = t0_ref[:]
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        z, zt = z_ref[:], zt_ref[:]
+        t = t_s[:]
+        ck_ref[0] = t
+
+        def tail(pend):
+            y0, py0, k0 = pend
+            gx0 = dotf(xb, py0)
+            parts = jnp.concatenate(
+                [jnp.sum(y0 * gx0, axis=0, keepdims=True),
+                 jnp.sum(y0 * y0, axis=0, keepdims=True)], axis=0)
+            red = segdot(parts, z)                 # [2, B]
+            eh_ref[0, k0:k0 + 1, :] = red[0:1]
+            tr_ref[0, k0:k0 + 1, :] = red[1:2]
+            return red[1:2]
+
+        tp = prep(t)
+        pend = None
+        tr_b = None
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            y = dotf(ab, tp) + s * dotf(bb, tp)
+            tp = prep(y)                # deferred chain: reused next step
+            if pend is not None:
+                tr_b = tail(pend)
+            pend = (y, tp, k)
+            t = y
+        tr_b = tail(pend)
+        inv_b = jax.lax.rsqrt(jnp.maximum(tr_b, norm_eps))
+        t_s[:] = t * _dot(inv_b, zt, seg_prec)
+
+    return kernel
+
+
+def _make_rank_partials_bwd_kernel(cfg: CMPSConfig, unroll: int,
+                                   n_blocks: int, precision: str):
+    """Adjoint with STREAMED per-step cotangent rows (d ehat, d tr) in
+    place of the in-kernel loss adjoint. Same restructured reverse sweep
+    as pallas_block._make_rho_bwd_kernel_defer: the recompute saves the
+    prepped tp/pu/py operands, parameter cotangents use lane-contraction
+    dotnt (no per-step transposes)."""
+    norm_eps = cfg.norm_eps
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr_op = _make_dot_ops(precision)
+    segdot = _make_seg_dot(precision)
+
+    def kernel(se_ref, deh_ref, dtr_ref, ck_ref, ab_ref, bb_ref, xb_ref,
+               z_ref, zt_ref,
+               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, axb_s):
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
+
+        @pl.when(i == 0)
+        def _init():
+            for ref in (dt_s, aab_s, abb_s, axb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        abT, bbT, xbT = tr_op(ab), tr_op(bb), tr_op(xb)
+        z, zt = z_ref[:], zt_ref[:]
+
+        def seg_b(row):
+            return segdot(row, z)
+
+        def bcast(row_b):
+            return segdot(row_b, zt)
+
+        # --- recompute the unnormalized block chain from the checkpoint,
+        # saving the PREPPED operands for the reverse sweep
+        t = ck_ref[0]
+        tp = prep(t)
+        saved = []
+        for k in range(unroll):
+            s = se_ref[0, k:k + 1, :]
+            pu = prep(s * t)
+            y = dotf(ab, tp) + dotf(bb, pu)        # Ab t + Bb (s t)
+            py = prep(y)
+            saved.append((tp, pu, py, dotf(xb, py)))
+            t = y                                   # defer: t_{k+1} = y_k
+            tp = py
+        tr_last = seg_b(jnp.sum(t * t, axis=0, keepdims=True))
+
+        # --- block-exit renormalization adjoint seeds: the exit rescale
+        # consumed tr[K-1], so its cotangent joins the streamed one
+        dt_in = dt_s[:]
+        inv_b = jax.lax.rsqrt(jnp.maximum(tr_last, norm_eps))
+        dt = dt_in * bcast(inv_b)
+        dinv_b = seg_b(jnp.sum(dt_in * t, axis=0, keepdims=True))
+        dtr_exit = jnp.where(tr_last > norm_eps,
+                             -0.5 * dinv_b * inv_b * inv_b * inv_b,
+                             jnp.zeros_like(dinv_b))
+
+        a_ab, a_bb, a_xb = aab_s[:], abb_s[:], axb_s[:]
+        for k in reversed(range(unroll)):
+            s = se_ref[0, k:k + 1, :]
+            tp_k, pu_k, py_k, gx = saved[k]
+            t_k = rec(tp_k)
+            y = rec(py_k)
+            deh_b = deh_ref[0, k:k + 1, :]
+            dtr_b = dtr_ref[0, k:k + 1, :]
+            if k == unroll - 1:
+                dtr_b = dtr_b + dtr_exit
+            # ONE stacked broadcast back to lanes per step
+            rows = jnp.concatenate([dtr_b, deh_b], axis=0)
+            lanes = bcast(rows)                    # [2, BR]
+            dtr_l, deh_l = lanes[0:1], lanes[1:2]
+            # ehat = sum(y * (Xb y)): dy += deh*(gx) + Xb^T (deh*y);
+            # tr = sum(y*y): dy += 2 y dtr
+            dy = dt + 2.0 * y * dtr_l + deh_l * gx
+            dgx = deh_l * y
+            pdgx = prep(dgx)
+            dy = dy + dotf(xbT, pdgx)
+            # y = Ab t + Bb u, u = s .* t
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)
+            dtn = dotf(abT, pdy) + s * du
+            ds = jnp.sum(du * t_k, axis=0, keepdims=True)
+            a_xb = a_xb + dotnt(pdgx, py_k)        # dgx @ y^T
+            a_ab = a_ab + dotnt(pdy, tp_k)         # dy @ t^T
+            a_bb = a_bb + dotnt(pdy, pu_k)         # dy @ u^T
+            dse_ref[0, k:k + 1, :] = ds
+            dt = dtn
+
+        dt_s[:] = dt
+        aab_s[:] = a_ab
+        abb_s[:] = a_bb
+        axb_s[:] = a_xb
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            dxb_ref[:] = axb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
+                           unroll: int, interpret: bool, precision: str):
+    """custom_vjp fused fn (ab, bb, xb, t0, se, z, zt) ->
+    (ehat [t_pad, B], tr [t_pad, B]) whose VJP consumes per-step
+    cotangent rows for both outputs."""
+    D2 = 2 * cfg.bond_dim
+    BR = B * r_loc
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    fwd_kernel = _make_rank_partials_fwd_kernel(cfg, unroll, precision)
+    bwd_kernel = _make_rank_partials_bwd_kernel(cfg, unroll, n_blocks,
+                                                precision)
+    sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
+                               vmem_limit_bytes=100 * 1024 * 1024)
+
+    def run_fwd(ab, bb, xb, t0, se, z, zt):
+        se3 = se.reshape(n_blocks, unroll, BR)
+        eh, trr, ck = pl.pallas_call(
+            fwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, BR), lambda i: (i, 0, 0)),
+                _full((D2, BR)),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
+                jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((D2, BR), jnp.float32)],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se3, t0, ab, bb, xb, z, zt)
+        return eh.reshape(t_pad, B), trr.reshape(t_pad, B), ck
+
+    def run_bwd(ab, bb, xb, se, z, zt, ck, deh, dtr):
+        rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
+        se3 = se.reshape(n_blocks, unroll, BR)
+        deh3 = deh.reshape(n_blocks, unroll, B)
+        dtr3 = dtr.reshape(n_blocks, unroll, B)
+        outs = pl.pallas_call(
+            bwd_kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((1, unroll, BR), rev3),
+                pl.BlockSpec((1, unroll, B), rev3),
+                pl.BlockSpec((1, unroll, B), rev3),
+                pl.BlockSpec((1, D2, BR), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((BR, B)), _full((B, BR)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, unroll, BR), rev3),
+                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+                _full((D2, BR)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks, unroll, BR), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, D2), jnp.float32),
+                jax.ShapeDtypeStruct((D2, BR), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((D2, BR), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+                pltpu.VMEM((D2, D2), jnp.float32),
+            ],
+            compiler_params=sem,
+            interpret=interpret,
+        )(se3, deh3, dtr3, ck, ab, bb, xb, z, zt)
+        return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
+
+    @jax.custom_vjp
+    def fused(ab, bb, xb, t0, se, z, zt):
+        eh, trr, _ = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return eh, trr
+
+    def fused_fwd(ab, bb, xb, t0, se, z, zt):
+        eh, trr, ck = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return (eh, trr), (ab, bb, xb, se, z, zt, ck)
+
+    def fused_bwd(res, g):
+        ab, bb, xb, se, z, zt, ck = res
+        deh, dtr = g
+        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, z, zt, ck,
+                                          deh, dtr)
+        return (dab, dbb, dxb, dt0, dse,
+                jnp.zeros_like(z), jnp.zeros_like(zt))
+
+    fused.defvjp(fused_fwd, fused_bwd)
+    return fused
+
+
+def partials_supported(cfg: CMPSConfig, batch: int, r_loc: int) -> bool:
+    """Does the partials backward fit VMEM at (D, B, r_loc)? Same live-set
+    structure as the single-kernel defer backward (fused_vmem_bytes), so
+    the same measured 48 MiB budget applies — with cols = B * r_loc."""
+    return fused_vmem_bytes(cfg.bond_dim, batch * r_loc, 2) \
+        <= FUSED_VMEM_LIMIT
+
+
+def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
+    """Largest divisor of `rank` whose partials kernel fits VMEM (None if
+    even a single row does not fit — then only bond-dim reduction helps)."""
+    for c in sorted((c for c in range(1, rank + 1) if rank % c == 0),
+                    reverse=True):
+        if partials_supported(cfg, batch, c):
+            return c
+    return None
+
+
+def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
+                          unroll: Optional[int] = None,
+                          interpret: Optional[bool] = None,
+                          precision: str = "highest"):
+    """Run the partials kernel on params' (local) W rows.
+
+    Returns (ehat, trp, gamma, seb), each [T-1, B]:
+      ehat  — per-step expectation partial sums (block-entry scale)
+      trp   — PREVIOUS step's trace partial (1.0 at block entries)
+      gamma — absolute log squared-norm of the local rows at each step's
+              block entry (log tr0 + cumulative block-exit log traces)
+      seb   — per-example signal increments / A (the combiner's s)
+    Feed stacked groups to `combine_rank_partials` for the global NLL.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"rank-partials kernels use the block layout "
+            f"(bond_dim % 4 == 0), got bond_dim={cfg.bond_dim}")
+    cc = make_constants(params, cfg)
+    B, T = signals.shape
+    D = cfg.bond_dim
+    r_loc = params.Wx.shape[0]
+    unroll = auto_unroll(2 * D, B * r_loc, unroll)
+    n_steps = T - 1
+    n_blocks = max(1, -(-n_steps // unroll))
+    t_pad = n_blocks * unroll
+
+    incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
+    seb = _pad_rows(incs, t_pad)                     # per-example rows
+    se = jnp.repeat(seb, r_loc, axis=1)              # rank-expanded lanes
+
+    # LOCAL initial rows: locally unit-normalized + absolute log-scale
+    # (the global W normalization cancels in e — it is scale-invariant —
+    # so per-group bookkeeping only needs each group's own scale)
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, B))
+    h0i = jnp.tile(wi.T * inv0, (1, B))
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), r_loc, axis=0)
+    c0 = jnp.log(jnp.maximum(tr0, cfg.norm_eps))
+
+    ab, bb, xb = _rho_block_constants(cc)
+    t0 = _rho_block_t0(cc, h0r, h0i)
+    fused = _rank_partials_factory(cfg, B, T, r_loc, unroll,
+                                   bool(interpret), precision)
+    eh, trr = fused(ab, bb, xb, t0, se, zmat, zmat.T)
+
+    K = unroll
+    tr3 = trr.reshape(n_blocks, K, B)
+    trp = jnp.concatenate(
+        [jnp.ones((n_blocks, 1, B), trr.dtype), tr3[:, :K - 1]], axis=1)
+    blk = jnp.log(jnp.maximum(tr3[:, K - 1], cfg.norm_eps))  # [nb, B]
+    offs = jnp.concatenate(
+        [jnp.zeros((1, B), blk.dtype), jnp.cumsum(blk, axis=0)[:-1]],
+        axis=0)
+    gam = c0 + jnp.broadcast_to(offs[:, None, :], (n_blocks, K, B))
+
+    sl = slice(0, n_steps)
+    return (eh[sl], trp.reshape(t_pad, B)[sl],
+            gam.reshape(t_pad, B)[sl], seb[sl])
+
+
+def combine_rank_partials(eh, trp, gam, seb, cfg: CMPSConfig):
+    """Global mean NLL from stacked group partials.
+
+    eh/trp/gam: [G, T-1, B] (stacked rank groups — chips or chunks);
+    seb: [T-1, B]. Log-domain combination: each group's partials are
+    rescaled to a common per-step shift m = max_g gamma, summed, and the
+    expectation e = num/den is exactly the globally-normalized value."""
+    m = jnp.max(gam, axis=0)                          # [T-1, B]
+    w = jnp.exp(gam - m[None])
+    num = jnp.sum(eh * w, axis=0)
+    den = jnp.sum(trp * w, axis=0)
+    e = num / jnp.maximum(den, cfg.norm_eps)
+    arg = 1.0 + e * seb
+    if cfg.log_eps > 0:
+        arg = jnp.maximum(arg, cfg.log_eps)
+    return jnp.mean(jnp.sum(-jnp.log(arg), axis=0))
+
+
+def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
+                         rank_chunk: Optional[int] = None,
+                         unroll: Optional[int] = None,
+                         interpret: Optional[bool] = None,
+                         precision: str = "highest"):
+    """Single-device fused rho NLL BEYOND the single-kernel VMEM ceiling:
+    split the purification rank into chunks, run the partials kernel per
+    chunk (row-independence makes each exact), combine outside. Lifts the
+    measured D-ceiling (full-rank D=256 = e.g. 4 chunks of 64 rows) at
+    the cost of per-chunk kernel dispatches; zero communication.
+
+    `rank_chunk=None` auto-picks the largest VMEM-fitting divisor."""
+    rank = params.Wx.shape[0]
+    B = signals.shape[0]
+    if rank_chunk is None:
+        rank_chunk = rank_chunk_for(cfg, B, rank)
+        if rank_chunk is None:
+            raise ValueError(
+                f"no rank chunk fits VMEM at bond_dim={cfg.bond_dim}, "
+                f"B={B} — shrink minibatch_size or bond_dim")
+    if rank % rank_chunk:
+        raise ValueError(f"rank {rank} must be divisible by "
+                         f"rank_chunk {rank_chunk}")
+    n_chunks = rank // rank_chunk
+    parts = []
+    for c in range(n_chunks):
+        rows = slice(c * rank_chunk, (c + 1) * rank_chunk)
+        p_loc = params.replace(Wx=params.Wx[rows], Wy=params.Wy[rows])
+        parts.append(rho_nll_rank_partials(
+            p_loc, cfg, signals, unroll=unroll, interpret=interpret,
+            precision=precision))
+    eh = jnp.stack([p[0] for p in parts])
+    trp = jnp.stack([p[1] for p in parts])
+    gam = jnp.stack([p[2] for p in parts])
+    seb = parts[0][3]
+    return combine_rank_partials(eh, trp, gam, seb, cfg)

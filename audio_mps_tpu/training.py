@@ -38,18 +38,35 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
 
     VMEM ceiling: past the bond dimension where the fused backward no
     longer fits VMEM at minimum unroll (ops/pallas_grad.fused_supported —
-    full-rank rho between D=256 and D=512 at B=8 on v5e), an
-    auto-selected fused path falls back to the chunked-remat XLA scan
-    with a warning; an EXPLICIT fused=True raises with the remedy."""
+    full-rank rho between D=192 and D=256 at B=8 on v5e), the rho family
+    stays fused via RANK CHUNKING (ops/pallas_rank.py: VMEM-fitting
+    subsets of the purification rank run the partials kernel, combined
+    exactly outside); psi past its ceiling — and rho when even one rank
+    row doesn't fit — falls back to the chunked-remat XLA scan with a
+    warning (an EXPLICIT fused=True raises with the remedy there)."""
     explicit = fused is True
     if fused is None:
         fused = _on_tpu()
 
-    def _guarded(kernel_fn, xla_fn, rank_of):
+    def _guarded(kernel_fn, xla_fn, rank_of, rank_chunked: bool = False):
         def _nll(params, cfg, signals):
             from .ops.pallas_grad import fused_supported
             rank = rank_of(params)
             if not fused_supported(cfg, signals.shape[0], rank):
+                if rank_chunked:
+                    # beyond the single-kernel ceiling the rho family
+                    # stays FUSED by splitting the purification rank into
+                    # VMEM-fitting chunks (ops/pallas_rank.py — the rank
+                    # rows evolve independently, so each chunk is exact)
+                    from .ops.pallas_block import supports_block
+                    from .ops.pallas_rank import (rank_chunk_for,
+                                                  rho_nll_rank_chunked)
+                    chunk = (rank_chunk_for(cfg, signals.shape[0], rank)
+                             if supports_block(cfg) else None)
+                    if chunk is not None:
+                        return rho_nll_rank_chunked(
+                            params, cfg, signals, rank_chunk=chunk,
+                            precision=cfg.kernel_precision)
                 msg = (f"fused kernels exceed the VMEM ceiling at "
                        f"bond_dim={cfg.bond_dim}, B={signals.shape[0]}, "
                        f"rank={rank}; shrink minibatch_size/initial_rank "
@@ -68,7 +85,7 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
         if fused:
             from .ops.pallas_grad import rho_nll_pallas_trainable
             return _guarded(rho_nll_pallas_trainable, core.rho_nll_factor,
-                            lambda p: p.Wx.shape[0])
+                            lambda p: p.Wx.shape[0], rank_chunked=True)
         # factor evolution: same value as core.rho_nll (pinned by tests),
         # half the matmul FLOPs
         return core.rho_nll_factor

@@ -351,9 +351,9 @@ def test_rank_sharded_low_rank_and_validation():
     np.testing.assert_allclose(v, float(_core.rho_nll_factor(pr, cfg,
                                                              data)),
                                rtol=1e-5, atol=1e-6)
-    # rank must divide the model axis
+    # the model axis size must divide the rank
     mesh3 = make_model_mesh(3)
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be divisible"):
         rho_nll_rank_sharded(pr, cfg, data, mesh3)
 
 
@@ -383,3 +383,39 @@ def test_dp_rank_2d_train_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_time_strategies_survive_multi_step_training():
+    """Regression (r4): params-derived arrays used to enter the time
+    shard_maps as CLOSURE captures; once a step's committed outputs (with
+    their mesh NamedSharding) fed the next call, the scan transpose built
+    cotangent zeros with Auto-mesh avals inside the Manual context and
+    raised. Three consecutive optimizer steps through both time
+    strategies must run (constants now enter as replicated operands)."""
+    import optax
+    from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
+                                                      rho_nll_pipelined)
+    from audio_mps_tpu.parallel.time_pscan import rho_nll_time_sharded
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=4, scan_chunk=32)
+    mesh = make_time_mesh(4)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 4, 65, cfg.delta_t)
+    opt = optax.adam(1e-3)
+
+    for nll in (lambda p, b: rho_nll_pipelined(p, cfg, b, mesh,
+                                               num_microbatches=4),
+                lambda p, b: rho_nll_time_sharded(p, cfg, b, mesh,
+                                                  time_chunk=16)):
+        @jax.jit
+        def step(p, s, b, nll=nll):
+            loss, g = jax.value_and_grad(nll)(p, b)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, loss
+
+        p = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+        s = opt.init(p)
+        losses = []
+        for _ in range(3):
+            p, s, loss = step(p, s, batch)
+            losses.append(float(loss))
+        assert all(np.isfinite(v) for v in losses), losses
