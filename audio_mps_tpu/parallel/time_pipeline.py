@@ -61,7 +61,11 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
     # [M, b, S, Tc] -> time-major per stage [M, S, Tc, b]
     incs = incs.reshape(M, b, S, Tc).transpose(0, 2, 3, 1)
 
-    def local(incs_local):
+    # params/constants enter as replicated shard_map OPERANDS, not closure
+    # captures: captured arrays keep their outer Auto-mesh avals inside
+    # the Manual context and break the scan transpose once the step's
+    # donated outputs (NamedSharding on this mesh) feed the next step
+    def local(cc, params, incs_local):
         # incs_local: [M, 1, Tc, b] — this stage's chunk of every microbatch
         incs_local = incs_local[:, 0]                    # [M, Tc, b]
         s_idx = jax.lax.axis_index(axis)
@@ -112,10 +116,10 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None, None),),
+        in_specs=(P(), P(), P(None, axis, None, None)),
         out_specs=P(axis),
         check=False)
-    return jnp.mean(sharded(incs))
+    return jnp.mean(sharded(cc, params, incs))
 
 
 def _psi_state0(params, cfg, b):

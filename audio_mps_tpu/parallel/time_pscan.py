@@ -77,20 +77,30 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A    # [T-1, B]
 
     d = cdr.shape[-1]
+    # params-derived constants enter as shard_map OPERANDS (replicated
+    # specs), not closure captures: captured arrays keep their outer
+    # Auto-mesh avals inside the Manual context, and the scan transpose
+    # then builds cotangent zeros with the wrong mesh kind (surfaced by
+    # multi-step training, where donated step outputs carry the 2D-mesh
+    # NamedSharding)
+    consts = (g0r, g0i, cdr, cdi, rdr, rdi, xpr, xpi)
 
-    def _apply_g0(er, ei):
-        """G_0 @ E for a [B, D, D] operator (factor [B, r, D])."""
-        gr = _em('brd,bde->bre', g0r, er) - _em('brd,bde->bre', g0i, ei)
-        gi = _em('brd,bde->bre', g0r, ei) + _em('brd,bde->bre', g0i, er)
-        return gr, gi
+    def local(consts, s_chunk):                            # [Tc, Bl]
+        g0r, g0i, cdr, cdi, rdr, rdi, xpr, xpi = consts
 
-    def _sub_ops(s_sub):
-        """Per-step transfer operators of one sub-chunk [sub, B, D, D]."""
-        sb = s_sub[:, :, None, None]
-        return (cdr[None, None] + sb * rdr[None, None],
-                cdi[None, None] + sb * rdi[None, None])
+        def _apply_g0(er, ei):
+            """G_0 @ E for a [B, D, D] operator (factor [B, r, D])."""
+            gr = _em('brd,bde->bre', g0r, er) - _em('brd,bde->bre', g0i, ei)
+            gi = _em('brd,bde->bre', g0r, ei) + _em('brd,bde->bre', g0i, er)
+            return gr, gi
 
-    def local(s_chunk):                                    # [Tc, Bl]
+        def _sub_ops(s_sub):
+            """Per-step transfer operators of one sub-chunk
+            [sub, B, D, D]."""
+            sb = s_sub[:, :, None, None]
+            return (cdr[None, None] + sb * rdr[None, None],
+                    cdi[None, None] + sb * rdi[None, None])
+
         idx = jax.lax.axis_index(axis)
         subs = s_chunk.reshape(n_sub, sub, Bl)
 
@@ -159,9 +169,9 @@ def rho_nll_time_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
         return jax.lax.psum(local_loss, axis)[None]
 
     sharded = shard_map(local, mesh=mesh,
-                        in_specs=(P(axis, batch_axis),),
+                        in_specs=(P(), P(axis, batch_axis)),
                         out_specs=P(axis, batch_axis), check=False)
-    losses = sharded(incs)                                 # [S, B] (equal rows)
+    losses = sharded(consts, incs)                         # [S, B] (equal rows)
     return jnp.mean(losses[0])
 
 

@@ -40,25 +40,89 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
 
     params = init_params_for(run.mps_model, init_key, cfg)
     fused = {"auto": None, "true": True, "false": False}[run.fused]
-    mesh = None
+    mesh = None          # set only for the dp strategy (explicit batch
+    # sharding + replicated-param placement on restore); the other
+    # strategies take plain arrays — their shard_maps place internally
     if run.mesh:
-        # data-parallel over the local devices (--mesh=dp or dp:N):
-        # replicated params, batch sharded each step, pmean'd grads
-        from .parallel import (make_dp_train_step, make_mesh, replicate,
-                               shard_batch)
-        n = int(run.mesh[3:]) if ":" in run.mesh else len(jax.devices())
-        mesh = make_mesh(n)
-        if cfg.minibatch_size % n:
-            raise ValueError(
-                f"minibatch_size={cfg.minibatch_size} must be divisible "
-                f"by the {n}-device mesh size (--mesh={run.mesh})")
-        optimizer, step_fn = make_dp_train_step(run.mps_model, cfg, mesh,
-                                                fused=fused)
-        params = replicate(params, mesh)
-        opt_state = replicate(optimizer.init(params), mesh)
+        from .config import parse_mesh_spec
+        kind, dims = parse_mesh_spec(run.mesh)
+        n_dev = len(jax.devices())
+        if kind == "dp":
+            # data-parallel over the local devices: replicated params,
+            # batch sharded each step, pmean'd grads
+            from .parallel import (make_dp_train_step, make_mesh,
+                                   replicate, shard_batch)
+            n = dims or n_dev
+            mesh = make_mesh(n)
+            if cfg.minibatch_size % n:
+                raise ValueError(
+                    f"minibatch_size={cfg.minibatch_size} must be "
+                    f"divisible by the {n}-device mesh size "
+                    f"(--mesh={run.mesh})")
+            optimizer, step_fn = make_dp_train_step(run.mps_model, cfg,
+                                                    mesh, fused=fused)
+            params = replicate(params, mesh)
+            opt_state = replicate(optimizer.init(params), mesh)
+        elif kind == "rank":
+            # purification-rank tensor parallelism (rho family)
+            if run.mps_model != "rho_mps":
+                raise ValueError(
+                    f"--mesh={run.mesh} shards the purification rank — "
+                    f"a rho_mps strategy (got {run.mps_model})")
+            from .parallel import make_model_mesh, make_rank_train_step
+            n = dims or n_dev
+            if n > n_dev:
+                raise ValueError(f"requested {n} devices, have {n_dev}")
+            rank = cfg.initial_rank or cfg.bond_dim
+            if rank % n:
+                raise ValueError(
+                    f"purification rank {rank} must be divisible by the "
+                    f"{n}-device mesh size (--mesh={run.mesh})")
+            optimizer, step_fn = make_rank_train_step(
+                cfg, make_model_mesh(n), fused=fused)
+            opt_state = optimizer.init(params)
+        elif kind == "dpxrank":
+            # combined 2D (data x model) mesh: DP x rank-TP
+            if run.mps_model != "rho_mps":
+                raise ValueError(
+                    f"--mesh={run.mesh} shards the purification rank — "
+                    f"a rho_mps strategy (got {run.mps_model})")
+            from .parallel import (make_2d_rank_mesh,
+                                   make_dp_rank_train_step)
+            a, b = dims
+            if a * b > n_dev:
+                raise ValueError(f"requested {a}x{b} devices, have {n_dev}")
+            if cfg.minibatch_size % a:
+                raise ValueError(
+                    f"minibatch_size={cfg.minibatch_size} must be "
+                    f"divisible by the data axis size {a} "
+                    f"(--mesh={run.mesh})")
+            optimizer, step_fn = make_dp_rank_train_step(
+                cfg, make_2d_rank_mesh(a, b), fused=fused)
+            opt_state = optimizer.init(params)
+        else:   # dpxtime
+            # combined 2D (data x time) mesh: DP x sequence parallelism
+            from .parallel import make_2d_mesh, make_dp_time_train_step
+            a, b = dims
+            if a * b > n_dev:
+                raise ValueError(f"requested {a}x{b} devices, have {n_dev}")
+            if cfg.minibatch_size % a:
+                raise ValueError(
+                    f"minibatch_size={cfg.minibatch_size} must be "
+                    f"divisible by the data axis size {a} "
+                    f"(--mesh={run.mesh})")
+            if (run.sample_duration - 1) % b:
+                raise ValueError(
+                    f"sample_duration-1={run.sample_duration - 1} must be "
+                    f"divisible by the time axis size {b} "
+                    f"(--mesh={run.mesh})")
+            optimizer, step_fn = make_dp_time_train_step(
+                run.mps_model, cfg, make_2d_mesh(a, b),
+                time_chunk=min(1024, (run.sample_duration - 1) // b))
+            opt_state = optimizer.init(params)
         if verbose:
-            print(f"data-parallel over {n} devices "
-                  f"({jax.devices()[0].platform})", flush=True)
+            print(f"--mesh={run.mesh} ({kind}) over "
+                  f"{jax.devices()[0].platform} devices", flush=True)
     else:
         optimizer, step_fn = make_train_step(run.mps_model, cfg,
                                              fused=fused)
@@ -80,6 +144,12 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
         from .parallel import replicate
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
+    elif run.mesh and start_step:
+        # rank/2D strategies: their shard_maps place internally, but the
+        # restored arrays may sit on a DIFFERENT previous mesh — pull to
+        # host so the jitted step re-places them
+        params = jax.tree.map(np.asarray, params)
+        opt_state = jax.tree.map(np.asarray, opt_state)
     writer = summaries_lib.make_writer(logdir)
 
     if run.mps_model == "latent":

@@ -241,6 +241,68 @@ def test_train_cli_data_parallel_mesh(tmp_path):
 
     with pytest.raises(ValueError, match="mesh must be"):
         RunConfig(mesh="tp")
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be divisible"):
         bad = dataclasses.replace(run, mesh="dp:3")
         train(bad, verbose=False)
+
+
+def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
+    """Every --mesh strategy drives end-to-end through the real CLI
+    (config persistence, checkpointing, summaries) and reproduces the
+    single-device loss (VERDICT r3 item 3): rank-TP, DP x rank (2D), and
+    DP x time (2D) — dp is covered by test_train_cli_data_parallel_mesh."""
+    from audio_mps_tpu.train import train
+
+    base = RunConfig(mps_model="rho_mps", dataset="damped_sine",
+                     sample_duration=129, max_steps=2, summary_every=10,
+                     visualize=False, num_samples=0,
+                     checkpoint_secs=1e9,
+                     hparams="bond_dim=4,minibatch_size=8,scan_chunk=32")
+
+    losses = {}
+    for mesh in ("", "rank:4", "dpxrank:2x4", "dpxtime:2x4"):
+        run = dataclasses.replace(
+            base, mesh=mesh, logdir=str(tmp_path / (mesh or "single")))
+        _, metrics = train(run, verbose=False)
+        losses[mesh] = float(metrics["model_loss"])
+    for mesh, v in losses.items():
+        np.testing.assert_allclose(v, losses[""], rtol=5e-5, atol=1e-7,
+                                   err_msg=f"--mesh={mesh}")
+
+
+def test_train_cli_rank_mesh_resume_and_validation(tmp_path):
+    """rank-TP checkpoints restore across mesh changes (rank:4 ->
+    single-device -> rank:2), and the CLI rejects bad strategy shapes
+    with actionable errors."""
+    from audio_mps_tpu.train import train
+
+    run = RunConfig(mps_model="rho_mps", dataset="damped_sine",
+                    sample_duration=129, max_steps=2, summary_every=10,
+                    visualize=False, num_samples=0, mesh="rank:4",
+                    logdir=str(tmp_path), checkpoint_secs=1e9,
+                    hparams="bond_dim=4,minibatch_size=4,scan_chunk=32")
+    _, m1 = train(run, verbose=False)
+    assert np.isfinite(float(m1["model_loss"]))
+    # resume on a different placement (single device), then back on TP
+    _, m2 = train(dataclasses.replace(run, mesh="", max_steps=4),
+                  verbose=False)
+    _, m3 = train(dataclasses.replace(run, mesh="rank:2", max_steps=6),
+                  verbose=False)
+    assert np.isfinite(float(m3["model_loss"]))
+
+    with pytest.raises(ValueError, match="rho_mps strategy"):
+        train(dataclasses.replace(run, mps_model="psi_mps",
+                                  logdir=str(tmp_path / "x")),
+              verbose=False)
+    with pytest.raises(ValueError, match="rank 4 must be divisible"):
+        train(dataclasses.replace(run, mesh="rank:3",
+                                  logdir=str(tmp_path / "y")),
+              verbose=False)
+    with pytest.raises(ValueError, match="time axis"):
+        train(dataclasses.replace(run, mesh="dpxtime:2x3",
+                                  logdir=str(tmp_path / "z")),
+              verbose=False)
+    with pytest.raises(ValueError, match="mesh must be"):
+        RunConfig(mesh="dpxrank:2")
+    with pytest.raises(ValueError, match="mesh must be"):
+        RunConfig(mesh="rank:0")
