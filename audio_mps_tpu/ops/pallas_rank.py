@@ -77,7 +77,7 @@ from .pallas_scan import _full, _on_tpu, _pad_rows
 
 
 def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
-                                   precision: str):
+                                   n_blocks: int, precision: str):
     """Forward: evolve the local rank rows (block layout, defer-norm
     within each unroll block, rotation folded into the constants) and
     stream the per-step (ehat, tr) per-example partial rows out.
@@ -90,7 +90,7 @@ def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
     segdot = _make_seg_dot(precision)
 
     def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
-               eh_ref, tr_ref, ck_ref, t_s):
+               eh_ref, tr_ref, ck_ref, tfin_ref, t_s):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -126,7 +126,14 @@ def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
             t = y
         tr_b = tail(pend)
         inv_b = jax.lax.rsqrt(jnp.maximum(tr_b, norm_eps))
-        t_s[:] = t * _dot(inv_b, zt, seg_prec)
+        t_out = t * _dot(inv_b, zt, seg_prec)
+        t_s[:] = t_out
+
+        # final (block-exit renormalized) state out — lets a time-segment
+        # scan chain kernel calls with bounded checkpoint memory
+        @pl.when(i == n_blocks - 1)
+        def _emit_state():
+            tfin_ref[:] = t_out
 
     return kernel
 
@@ -143,15 +150,18 @@ def _make_rank_partials_bwd_kernel(cfg: CMPSConfig, unroll: int,
     _, _, tr_op = _make_dot_ops(precision)
     segdot = _make_seg_dot(precision)
 
-    def kernel(se_ref, deh_ref, dtr_ref, ck_ref, ab_ref, bb_ref, xb_ref,
-               z_ref, zt_ref,
+    def kernel(se_ref, deh_ref, dtr_ref, ck_ref, dtfin_ref,
+               ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
                dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
                dt_s, aab_s, abb_s, axb_s):
         i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
         def _init():
-            for ref in (dt_s, aab_s, abb_s, axb_s):
+            # the final-state cotangent seeds the carry (zero when the
+            # tfin output is unused)
+            dt_s[:] = dtfin_ref[:]
+            for ref in (aab_s, abb_s, axb_s):
                 ref[:] = jnp.zeros_like(ref)
 
         ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
@@ -239,15 +249,17 @@ def _make_rank_partials_bwd_kernel(cfg: CMPSConfig, unroll: int,
 def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
                            unroll: int, interpret: bool, precision: str):
     """custom_vjp fused fn (ab, bb, xb, t0, se, z, zt) ->
-    (ehat [t_pad, B], tr [t_pad, B]) whose VJP consumes per-step
-    cotangent rows for both outputs."""
+    (ehat [t_pad, B], tr [t_pad, B], t_fin [2D, BR]) whose VJP consumes
+    per-step cotangent rows for the partials plus the final-state
+    cotangent (zero when t_fin is unused — the single-shot case)."""
     D2 = 2 * cfg.bond_dim
     BR = B * r_loc
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
-    fwd_kernel = _make_rank_partials_fwd_kernel(cfg, unroll, precision)
+    fwd_kernel = _make_rank_partials_fwd_kernel(cfg, unroll, n_blocks,
+                                                precision)
     bwd_kernel = _make_rank_partials_bwd_kernel(cfg, unroll, n_blocks,
                                                 precision)
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
@@ -255,7 +267,7 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
 
     def run_fwd(ab, bb, xb, t0, se, z, zt):
         se3 = se.reshape(n_blocks, unroll, BR)
-        eh, trr, ck = pl.pallas_call(
+        eh, trr, ck, tfin = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
@@ -268,19 +280,21 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
                 pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
+                _full((D2, BR)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
+                jax.ShapeDtypeStruct((D2, BR), jnp.float32),
             ],
             scratch_shapes=[pltpu.VMEM((D2, BR), jnp.float32)],
             compiler_params=sem,
             interpret=interpret,
         )(se3, t0, ab, bb, xb, z, zt)
-        return eh.reshape(t_pad, B), trr.reshape(t_pad, B), ck
+        return eh.reshape(t_pad, B), trr.reshape(t_pad, B), ck, tfin
 
-    def run_bwd(ab, bb, xb, se, z, zt, ck, deh, dtr):
+    def run_bwd(ab, bb, xb, se, z, zt, ck, deh, dtr, dtfin):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, BR)
         deh3 = deh.reshape(n_blocks, unroll, B)
@@ -293,6 +307,7 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
                 pl.BlockSpec((1, unroll, B), rev3),
                 pl.BlockSpec((1, unroll, B), rev3),
                 pl.BlockSpec((1, D2, BR), rev3),
+                _full((D2, BR)),
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
                 _full((BR, B)), _full((B, BR)),
             ],
@@ -316,23 +331,23 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
             ],
             compiler_params=sem,
             interpret=interpret,
-        )(se3, deh3, dtr3, ck, ab, bb, xb, z, zt)
+        )(se3, deh3, dtr3, ck, dtfin, ab, bb, xb, z, zt)
         return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
 
     @jax.custom_vjp
     def fused(ab, bb, xb, t0, se, z, zt):
-        eh, trr, _ = run_fwd(ab, bb, xb, t0, se, z, zt)
-        return eh, trr
+        eh, trr, _, tfin = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return eh, trr, tfin
 
     def fused_fwd(ab, bb, xb, t0, se, z, zt):
-        eh, trr, ck = run_fwd(ab, bb, xb, t0, se, z, zt)
-        return (eh, trr), (ab, bb, xb, se, z, zt, ck)
+        eh, trr, ck, tfin = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return (eh, trr, tfin), (ab, bb, xb, se, z, zt, ck)
 
     def fused_bwd(res, g):
         ab, bb, xb, se, z, zt, ck = res
-        deh, dtr = g
+        deh, dtr, dtfin = g
         dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, z, zt, ck,
-                                          deh, dtr)
+                                          deh, dtr, dtfin)
         return (dab, dbb, dxb, dt0, dse,
                 jnp.zeros_like(z), jnp.zeros_like(zt))
 
@@ -340,12 +355,21 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
     return fused
 
 
+# Calibrated to the MEASURED compile boundary on v5e (r4): the partials
+# backward streams two extra cotangent inputs plus the dse/ck blocks on
+# top of the defer backward's live set, so its budget on the SAME
+# fused_vmem_bytes estimate is tighter than the single-kernel 48 MiB.
+# D=256 B=8: chunk=128 (estimate 35.7 MB) hit a clean scoped-VMEM OOM at
+# 105.25M/100.5M; chunk=64 (estimate 23 MB) compiles and runs.
+PARTIALS_VMEM_LIMIT = 32 * 1024 * 1024
+
+
 def partials_supported(cfg: CMPSConfig, batch: int, r_loc: int) -> bool:
     """Does the partials backward fit VMEM at (D, B, r_loc)? Same live-set
-    structure as the single-kernel defer backward (fused_vmem_bytes), so
-    the same measured 48 MiB budget applies — with cols = B * r_loc."""
+    STRUCTURE as the single-kernel defer backward (fused_vmem_bytes), with
+    cols = B * r_loc — but under the tighter measured budget above."""
     return fused_vmem_bytes(cfg.bond_dim, batch * r_loc, 2) \
-        <= FUSED_VMEM_LIMIT
+        <= PARTIALS_VMEM_LIMIT
 
 
 def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
@@ -358,10 +382,20 @@ def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
     return None
 
 
+# Per-kernel-call budget for the HBM the backward checkpoints occupy
+# (one [2D, B*r_loc] block-entry state per unroll block): past it the
+# partials run segments the TIME axis — lax.scan of kernel calls chained
+# through the t_fin state output, jax.checkpoint'd so only ONE segment's
+# checkpoints materialize during the backward (full-rank D=256 at the
+# reference T=2^16 would otherwise need ~137 GB of residuals).
+SEGMENT_CK_BUDGET = 1 << 30
+
+
 def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
                           unroll: Optional[int] = None,
                           interpret: Optional[bool] = None,
-                          precision: str = "highest"):
+                          precision: str = "highest",
+                          time_segment: Optional[int] = None):
     """Run the partials kernel on params' (local) W rows.
 
     Returns (ehat, trp, gamma, seb), each [T-1, B]:
@@ -371,6 +405,12 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
               block entry (log tr0 + cumulative block-exit log traces)
       seb   — per-example signal increments / A (the combiner's s)
     Feed stacked groups to `combine_rank_partials` for the global NLL.
+
+    `time_segment`: steps per kernel call (rounded up to a whole number
+    of unroll blocks); None auto-segments only when the checkpoint HBM
+    would exceed SEGMENT_CK_BUDGET. Segmentation is exact — the kernel
+    renormalizes at every block exit anyway, so segment boundaries are
+    just block boundaries with the state carried through t_fin.
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -384,7 +424,20 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     r_loc = params.Wx.shape[0]
     unroll = auto_unroll(2 * D, B * r_loc, unroll)
     n_steps = T - 1
+    D2, BR = 2 * D, B * r_loc
     n_blocks = max(1, -(-n_steps // unroll))
+
+    if time_segment is None:
+        blocks_budget = max(1, SEGMENT_CK_BUDGET // (D2 * BR * 4))
+        if n_blocks > blocks_budget:
+            time_segment = blocks_budget * unroll
+    if time_segment is not None:
+        seg_blocks = max(1, -(-time_segment // unroll))
+        if seg_blocks >= n_blocks:
+            time_segment = None                      # one segment: inline
+    if time_segment is not None:
+        n_seg = -(-n_steps // (seg_blocks * unroll))
+        n_blocks = n_seg * seg_blocks
     t_pad = n_blocks * unroll
 
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
@@ -404,9 +457,24 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)
-    fused = _rank_partials_factory(cfg, B, T, r_loc, unroll,
-                                   bool(interpret), precision)
-    eh, trr = fused(ab, bb, xb, t0, se, zmat, zmat.T)
+    if time_segment is None:
+        fused = _rank_partials_factory(cfg, B, t_pad + 1, r_loc, unroll,
+                                       bool(interpret), precision)
+        eh, trr, _ = fused(ab, bb, xb, t0, se, zmat, zmat.T)
+    else:
+        L = seg_blocks * unroll
+        fused = _rank_partials_factory(cfg, B, L + 1, r_loc, unroll,
+                                       bool(interpret), precision)
+        zt = zmat.T
+
+        def seg_fn(t_in, se_seg):
+            eh_s, tr_s, t_out = fused(ab, bb, xb, t_in, se_seg, zmat, zt)
+            return t_out, (eh_s, tr_s)
+
+        _, (ehs, trs) = jax.lax.scan(jax.checkpoint(seg_fn), t0,
+                                     se.reshape(n_seg, L, BR))
+        eh = ehs.reshape(t_pad, B)
+        trr = trs.reshape(t_pad, B)
 
     K = unroll
     tr3 = trr.reshape(n_blocks, K, B)
@@ -445,7 +513,8 @@ def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
                          rank_chunk: Optional[int] = None,
                          unroll: Optional[int] = None,
                          interpret: Optional[bool] = None,
-                         precision: str = "highest"):
+                         precision: str = "highest",
+                         time_segment: Optional[int] = None):
     """Single-device fused rho NLL BEYOND the single-kernel VMEM ceiling:
     split the purification rank into chunks, run the partials kernel per
     chunk (row-independence makes each exact), combine outside. Lifts the
@@ -471,7 +540,7 @@ def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
         p_loc = params.replace(Wx=params.Wx[rows], Wy=params.Wy[rows])
         parts.append(rho_nll_rank_partials(
             p_loc, cfg, signals, unroll=unroll, interpret=interpret,
-            precision=precision))
+            precision=precision, time_segment=time_segment))
     eh = jnp.stack([p[0] for p in parts])
     trp = jnp.stack([p[1] for p in parts])
     gam = jnp.stack([p[2] for p in parts])

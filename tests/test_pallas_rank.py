@@ -206,3 +206,21 @@ def test_validation_errors():
     with pytest.raises(ValueError, match="divisible by"):
         rho_nll_rank_sharded_fused(params, CFG, sig, mesh,
                                    interpret=True)
+
+
+@pytest.mark.parametrize("time_segment", [8, 20])
+def test_time_segmented_matches_unsegmented(time_segment):
+    """Time segmentation (scan of kernel calls chained through t_fin with
+    per-segment remat) is exact: values AND grads match the unsegmented
+    chunked path and the XLA scan — including a segment length that does
+    not divide T-1 (padding crosses the final segment)."""
+    params, sig = _params(), _sig()
+    ref = float(core.rho_nll_factor(params, CFG, sig))
+    fn = lambda p: rho_nll_rank_chunked(p, CFG, sig, rank_chunk=4,
+                                        unroll=4, interpret=True,
+                                        time_segment=time_segment)
+    np.testing.assert_allclose(float(fn(params)), ref, rtol=1e-5,
+                               atol=1e-6)
+    g_ref = jax.grad(lambda p: core.rho_nll_factor(p, CFG, sig))(params)
+    g_seg = jax.grad(fn)(params)
+    _assert_grads_close(g_ref, g_seg)
