@@ -49,7 +49,7 @@ class LatentCMPSParams(CMPSParams):
 
 
 N_FRAMES = 64          # framewise feature resolution
-N_STATS = 3            # mean, std, absmax per frame
+N_STATS = 5            # mean, std, absmax, mean |diff|, zero-cross rate
 
 
 def init_latent(key, cfg: CMPSConfig, latent_dim: int = 8,
@@ -77,12 +77,24 @@ def init_latent(key, cfg: CMPSConfig, latent_dim: int = 8,
 
 
 def _features(signals):
-    """Framewise stats [B, N_FRAMES * N_STATS] of waveforms [B, T]."""
+    """Framewise stats [B, N_FRAMES * N_STATS] of waveforms [B, T].
+
+    The last two stats carry PITCH: mean |first difference| scales with
+    frequency x amplitude and the zero-crossing rate with frequency alone
+    — amplitude stats by themselves cannot separate pitches, which the
+    latent quality anchor (tools/latent_check.py) requires the posterior
+    to do. Both are plain VPU ops (no FFT — complex dtypes are
+    unsupported on this TPU backend), and non-smoothness is fine here:
+    features are functions of the DATA only, so no gradient flows
+    through them (the encoder differentiates w.r.t. its weights)."""
     B, T = signals.shape
     frame = T // N_FRAMES
     x = signals[:, : frame * N_FRAMES].reshape(B, N_FRAMES, frame)
+    dx = x[:, :, 1:] - x[:, :, :-1]
+    zc = 0.5 * jnp.abs(jnp.sign(x[:, :, 1:]) - jnp.sign(x[:, :, :-1]))
     feats = jnp.concatenate(
-        [x.mean(-1), x.std(-1), jnp.abs(x).max(-1)], axis=-1)
+        [x.mean(-1), x.std(-1), jnp.abs(x).max(-1),
+         jnp.abs(dx).mean(-1), zc.mean(-1)], axis=-1)
     return feats
 
 
@@ -168,6 +180,33 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
     kl = 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=-1)
     loss = jnp.mean(recon + beta * kl)
     return loss, {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
+
+
+def sample_latent_conditional(params: LatentCMPSParams, cfg: CMPSConfig,
+                              key, signals, length: int, temp=1.0,
+                              fused: bool = False):
+    """Generate waveforms CONDITIONED on input examples: encode each
+    signal to its posterior mean mu, decode psi_0(mu), and run the SDE
+    from there — the latent family's reconstruction-by-generation path
+    (one sample per input row). The quality anchor asserts these samples'
+    spectral peaks track the conditioning example's pitch
+    (tools/latent_check.py)."""
+    mu, _ = encode(params, signals)
+    psi0_pair = decode_psi0(params, mu, cfg)
+    cc = make_constants(params, cfg)
+    std = cfg.sigma * jnp.sqrt(jnp.asarray(temp) * cfg.delta_t)
+    noise = std * jax.random.normal(key, (length, signals.shape[0]),
+                                    jnp.float32)
+    if fused:
+        from ..ops.pallas_scan import psi_sample_pallas
+        return psi_sample_pallas(params, cfg, noise, psi0_pair=psi0_pair)
+
+    def step(c, zt):
+        c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, zt)
+        return c2, inc
+
+    _, incs = jax.lax.scan(step, psi0_pair, noise)
+    return cc.A * jnp.cumsum(incs, axis=0).T
 
 
 def sample_latent(params: LatentCMPSParams, cfg: CMPSConfig, key,
