@@ -148,3 +148,56 @@ def test_fused_recon_matches_xla():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_multi_pitch_batch_labels_and_pitch():
+    """Two-pitch anchor dataset (tools/latent_check.py): labels index
+    freqs_hz and the waveforms actually carry the labeled pitch (higher
+    class has more zero crossings)."""
+    from audio_mps_tpu.data.synthetic import multi_pitch_batch
+    waves, labels = multi_pitch_batch(jax.random.PRNGKey(3), 16, 2048,
+                                      CFG.delta_t, (261.6, 1046.4))
+    assert waves.shape == (16, 2048) and labels.shape == (16,)
+    labels = np.asarray(labels)
+    assert set(np.unique(labels)) <= {0, 1}
+    assert 0 in labels and 1 in labels  # both classes present at B=16
+    w = np.asarray(waves)
+    zc = (np.abs(np.diff(np.sign(w), axis=1)) > 1).sum(axis=1)
+    assert zc[labels == 1].min() > zc[labels == 0].max()
+
+
+def test_features_carry_pitch():
+    """The encoder's framewise stats separate pitch: the zero-crossing
+    block must be larger for a 4x higher frequency (amplitude stats alone
+    cannot distinguish equal-amplitude sines — the latent quality anchor
+    depends on this)."""
+    from audio_mps_tpu.models.latent import N_FRAMES, N_STATS, _features
+    k = jax.random.PRNGKey(4)
+    low = damped_sine_batch(k, 2, 2048, CFG.delta_t, freq_hz=261.6)
+    high = damped_sine_batch(k, 2, 2048, CFG.delta_t, freq_hz=1046.4)
+    f_low, f_high = np.asarray(_features(low)), np.asarray(_features(high))
+    assert f_low.shape == (2, N_FRAMES * N_STATS)
+    zc_lo = f_low[:, 4 * N_FRAMES:].mean()
+    zc_hi = f_high[:, 4 * N_FRAMES:].mean()
+    assert zc_hi > 2.0 * zc_lo
+
+
+@pytest.mark.parametrize("bond_dim", [4, 8])
+def test_conditional_sampler_fused_matches_xla(bond_dim):
+    """sample_latent_conditional (encode -> psi0 -> SDE): deterministic
+    in (params, key, signals), finite, and the fused kernel path (split
+    at D=4, block at D=8) reproduces the XLA scan exactly."""
+    import dataclasses
+
+    from audio_mps_tpu.models.latent import sample_latent_conditional
+    cfg = dataclasses.replace(CFG, bond_dim=bond_dim)
+    params = init_latent(jax.random.PRNGKey(0), cfg, latent_dim=4)
+    sigs = _data()
+    key = jax.random.PRNGKey(7)
+    w = np.asarray(sample_latent_conditional(params, cfg, key, sigs, 96))
+    assert w.shape == (4, 96) and np.isfinite(w).all()
+    w2 = np.asarray(sample_latent_conditional(params, cfg, key, sigs, 96))
+    np.testing.assert_array_equal(w, w2)
+    w_fus = np.asarray(sample_latent_conditional(params, cfg, key, sigs,
+                                                 96, fused=True))
+    np.testing.assert_allclose(w_fus, w, rtol=2e-4, atol=1e-7)
