@@ -57,16 +57,34 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                     # beyond the single-kernel ceiling the rho family
                     # stays FUSED by splitting the purification rank into
                     # VMEM-fitting chunks (ops/pallas_rank.py — the rank
-                    # rows evolve independently, so each chunk is exact)
+                    # rows evolve independently, so each chunk is exact).
+                    # Auto applies it only where it is measured faster
+                    # (RANKBENCH_r04.json, D=256 full-rank B=8): 1.9x for
+                    # bf16x3 "high", but 0.93x for 6-pass fp32 "highest"
+                    # (the chunked two-pass structure costs relatively
+                    # more there, and the XLA scan is already MXU-bound).
+                    # An EXPLICIT fused=True still gets the chunked
+                    # kernel at any precision.
                     from .ops.pallas_block import supports_block
                     from .ops.pallas_rank import (rank_chunk_for,
                                                   rho_nll_rank_chunked)
                     chunk = (rank_chunk_for(cfg, signals.shape[0], rank)
                              if supports_block(cfg) else None)
-                    if chunk is not None:
+                    if chunk is not None and (
+                            explicit or cfg.kernel_precision != "highest"):
                         return rho_nll_rank_chunked(
                             params, cfg, signals, rank_chunk=chunk,
                             precision=cfg.kernel_precision)
+                    if chunk is not None:
+                        import warnings
+                        warnings.warn(
+                            f"bond_dim={cfg.bond_dim} exceeds the fused "
+                            f"single-kernel VMEM ceiling; using the XLA "
+                            f"scan — measured faster than rank-chunking "
+                            f"for kernel_precision='highest' "
+                            f"(RANKBENCH_r04.json). fused=True forces "
+                            f"the chunked kernel.")
+                        return xla_fn(params, cfg, signals)
                 msg = (f"fused kernels exceed the VMEM ceiling at "
                        f"bond_dim={cfg.bond_dim}, B={signals.shape[0]}, "
                        f"rank={rank}; shrink minibatch_size/initial_rank "

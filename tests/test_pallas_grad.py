@@ -149,3 +149,46 @@ def test_vmem_ceiling_guard():
         float(v), float(nll_fn_for("rho_mps", fused=False)(params, cfg,
                                                            data)),
         rtol=1e-6)
+
+
+def test_beyond_ceiling_precision_gate():
+    """Beyond the single-kernel VMEM ceiling (full-rank rho D=256 B=8)
+    auto-fused applies rank chunking only where it is measured faster
+    (RANKBENCH_r04.json): bf16x3 "high" -> chunked kernel (1.9x), fp32
+    "highest" -> XLA scan (chunked measured 0.93x). An explicit
+    fused=True still forces the chunked kernel at any precision."""
+    import dataclasses
+    import warnings as warnings_mod
+
+    from audio_mps_tpu.data import damped_sine_batch
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.training import nll_fn_for
+    import audio_mps_tpu.training as training_mod
+
+    cfg_hi = CMPSConfig(bond_dim=256, minibatch_size=8, scan_chunk=0,
+                        kernel_precision="highest")
+    cfg_h3 = dataclasses.replace(cfg_hi, kernel_precision="high")
+    params = init_rho(jax.random.PRNGKey(0), cfg_hi)
+    data = damped_sine_batch(jax.random.PRNGKey(1), 8, 3, cfg_hi.delta_t)
+    ref = float(nll_fn_for("rho_mps", fused=False)(params, cfg_hi, data))
+
+    orig = training_mod._on_tpu
+    training_mod._on_tpu = lambda: True
+    try:
+        auto_nll = nll_fn_for("rho_mps", fused=None)
+    finally:
+        training_mod._on_tpu = orig
+
+    with pytest.warns(UserWarning, match="measured faster"):
+        v_hi = float(auto_nll(params, cfg_hi, data))
+    np.testing.assert_allclose(v_hi, ref, rtol=1e-6)
+
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        v_h3 = float(auto_nll(params, cfg_h3, data))
+    assert not [w for w in caught if "XLA scan" in str(w.message)], \
+        "bf16x3 beyond the ceiling must use the chunked kernel, not XLA"
+    np.testing.assert_allclose(v_h3, ref, rtol=1e-3)
+
+    v_exp = float(nll_fn_for("rho_mps", fused=True)(params, cfg_hi, data))
+    np.testing.assert_allclose(v_exp, ref, rtol=1e-5)
