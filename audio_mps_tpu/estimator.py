@@ -72,7 +72,12 @@ class Estimator:
     training_estimators.py:105-115)."""
 
     def __init__(self, mps_model: str, cfg: CMPSConfig, model_dir: str,
-                 save_checkpoints_steps: int = 2, seed: int = 0):
+                 save_checkpoints_steps=None, seed: int = 0):
+        # None (default) = checkpoint once per train() call — exactly the
+        # reference's checkpoint-per-viz-chunk cadence
+        # (training_estimators.py:108-115, save_checkpoints_steps =
+        # viz_steps with train(steps=viz_steps)). An int adds an
+        # intra-call every-N-steps cadence on top.
         self.mps_model = mps_model
         self.cfg = cfg
         self.model_dir = model_dir
@@ -120,7 +125,8 @@ class Estimator:
                 self.params, self.opt_state, metrics = self._step_fn(
                     self.params, self.opt_state, batch)
             self.global_step += 1
-            if self.global_step % self.save_checkpoints_steps == 0:
+            if (self.save_checkpoints_steps
+                    and self.global_step % self.save_checkpoints_steps == 0):
                 self._ckpt.maybe_save(self.global_step, self.params,
                                       self.opt_state, force=True)
         # final save is forced AND joined: train() returning guarantees a

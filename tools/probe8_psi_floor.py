@@ -41,7 +41,14 @@ from audio_mps_tpu.ops.pallas_block import (_make_dot_ops, _dot,
 from audio_mps_tpu.ops.pallas_scan import _full, _on_tpu, _pad_rows
 
 
-def build_variant(cfg, K, precision, G, paired, B, T, interpret):
+def build_variant(cfg, K, precision, G, paired, B, T, interpret,
+                  noloss=False):
+    """noloss=True: STATE-CHAIN-ONLY diagnostic — the per-step work is
+    exactly the two dependent state dots + operand prep, with the whole
+    loss tail (R-matvec, two full-array VPU reductions, scalar math)
+    stripped. Its ns/step attributes the fixed floor: chain-only time ~
+    MXU passes => the floor is the loss tail's VPU work; chain-only time
+    >> passes => it is dependent-dot latency."""
     H = B // G
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
@@ -87,6 +94,20 @@ def build_variant(cfg, K, precision, G, paired, B, T, interpret):
             accs[g] = acc
             pend[g] = []
 
+        if noloss:
+            for k in range(K):
+                for g in range(G):
+                    s = se_refs[g][0, k:k + 1, :]
+                    y = dotf(ab, tps[g]) + s * dotf(bb, tps[g])
+                    tps[g] = prep(y)
+                    ts[g] = y
+            for g in range(G):
+                n2 = jnp.sum(ts[g] * ts[g], axis=0, keepdims=True)
+                inv = jax.lax.rsqrt(jnp.maximum(n2, norm_eps))
+                t_ss[g][:] = ts[g] * inv
+                acc_ss[g][:] = n2
+                loss_refs[g][0] = n2
+            return
         if not paired:
             for k in range(K):
                 newp = []
@@ -199,11 +220,12 @@ def main():
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B)
     params = init_psi(jax.random.PRNGKey(0), cfg)
     sig = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
+    tvariants = [(1, False, True)] + [(g, p, False) for g, p in variants]
     for prec in ("high", "highest"):
         print(f"--- timing {prec} (D={D} B={B} T={T})", flush=True)
-        for G, paired in variants:
+        for G, paired, noloss in tvariants:
             run = jax.jit(build_variant(cfg, 16, prec, G, paired, B, T,
-                                        False))
+                                        False, noloss=noloss))
             for _ in range(2):
                 out = run(params, sig)
             float(out)
@@ -213,7 +235,9 @@ def main():
                 out = run(params, sig)
             loss = float(out)
             dt = (time.time() - t0) / n
-            print(f"  G={G} paired={paired}: {dt*1e3:.2f} ms "
+            tag = "noloss (state chain only)" if noloss else \
+                f"G={G} paired={paired}"
+            print(f"  {tag}: {dt*1e3:.2f} ms "
                   f"({dt/(T-1)*1e9:.0f} ns/step) loss={loss:.4f}",
                   flush=True)
 
