@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from physics_check import spectral_peak_hz
+from physics_check import learned_line_hz, spectral_peak_hz
 
 PITCHES_HZ = (261.6, 392.0)       # C4 and G4
 
@@ -104,6 +104,15 @@ def run(steps=3000, T=2 ** 14, bond_dim=16, batch=16, latent_dim=8,
                       f"kl={losses[-1][2]:.3f} "
                       f"({time.time() - t0:.0f}s)", flush=True)
 
+    # decoder line diagnostic: the shared Hamiltonian must develop BOTH
+    # emission lines for conditional pitch selection to be possible at
+    # all (LatentCMPSParams carries the cMPS freqs/R, so the psi-family
+    # line detector applies directly)
+    lines = {f"learned_line_near_{int(round(p))}_hz":
+             learned_line_hz(params, p) for p in PITCHES_HZ}
+    if verbose:
+        print("learned lines:", lines, flush=True)
+
     # --- POSTERIOR CHECK on fresh (held-out) examples
     key, vk = jax.random.split(key)
     ev_x, ev_y = multi_pitch_batch(vk, n_eval, T, cfg.delta_t, PITCHES_HZ)
@@ -137,6 +146,7 @@ def run(steps=3000, T=2 ** 14, bond_dim=16, batch=16, latent_dim=8,
                    "beta": beta, "seed": seed, "precision": precision,
                    "device": str(jax.devices()[0])},
         "pitches_hz": list(PITCHES_HZ),
+        **lines,
         "loss_curve": losses,
         "posterior_accuracy": acc,
         "posterior_fisher_ratio": fisher,
@@ -170,10 +180,13 @@ def main(argv):
             kw[k] = casts[k](v)
         else:
             raise ValueError(f"unknown flag --{k}")
-    result, _ = run(**kw)
+    result, params = run(**kw)
     print(json.dumps(result, indent=1))
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
+    import pickle
+    with open(out + ".params.pkl", "wb") as f:
+        pickle.dump(jax.device_get(params), f)
     print(f"wrote {out}: pass={result['pass']}")
     return 0 if result["pass"] else 1
 
