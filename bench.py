@@ -223,6 +223,41 @@ def main():
     opt_x, xla_step = make_train_step("rho_mps", cfg_x, fused=False)
     t_xla = time_train_step(xla_step, params_x, opt_x.init(params_x), batch,
                             iters)
+
+    # --- rank-partials kernel (the fused-TP building block, r4): the
+    # per-step [2,B] e/tr partials path that rank-sharded meshes psum —
+    # timed single-chip (rank_chunk == full rank) so its vs-XLA ratio
+    # (the closed 7.2x cliff, RANKBENCH_r04.json) rides the driver
+    # artifact
+    try:
+        import functools
+
+        import optax
+
+        from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
+        from audio_mps_tpu.training import make_optimizer
+        cfg_p = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+        params_p = init_rho(jax.random.PRNGKey(0), cfg_p)
+        opt_p = make_optimizer(cfg_p)
+
+        def _ploss(params, sig):
+            return rho_nll_rank_chunked(params, cfg_p, sig, rank_chunk=D,
+                                        precision="highest")
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def pstep(params, opt_state, sig):
+            loss, grads = jax.value_and_grad(_ploss)(params, sig)
+            updates, opt_state = opt_p.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    {"model_loss": loss})
+
+        t_part = time_train_step(pstep, params_p, opt_p.init(params_p),
+                                 batch, iters)
+        detail["train_step_ms_rho_rank_partials"] = round(t_part * 1e3, 2)
+        detail["rank_partials_vs_xla"] = round(t_xla / t_part, 2)
+    except Exception as e:
+        detail["rank_partials_error"] = str(e)[:120]
+
     rho_tfs, rho_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho)
     h3r_tfs, h3r_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho_h3,
                             precision="high")
