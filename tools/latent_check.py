@@ -43,8 +43,14 @@ def posterior_accuracy(mu, labels):
     mean (2-fold: class means from one half classify the other)."""
     mu = np.asarray(mu, np.float64)
     labels = np.asarray(labels)
-    idx = np.arange(len(labels))
-    folds = (idx % 2 == 0, idx % 2 == 1)
+    # STRATIFIED 2-fold (alternate within each class): an index-parity
+    # split would leave a fold single-class whenever the label order
+    # correlates with index parity (empty class-mean -> garbage)
+    fold0 = np.zeros(len(labels), bool)
+    for c in np.unique(labels):
+        idx_c = np.flatnonzero(labels == c)
+        fold0[idx_c[::2]] = True
+    folds = (fold0, ~fold0)
     correct = total = 0
     for fit, ev in ((folds[0], folds[1]), (folds[1], folds[0])):
         means = np.stack([mu[fit & (labels == c)].mean(axis=0)
