@@ -18,6 +18,7 @@ from audio_mps_tpu.models import core, reference_transcription
 from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
                                            rho_nll_pallas_trainable)
+from audio_mps_tpu.ops.pallas_block import psi_nll_block_trainable
 from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
 from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
@@ -175,6 +176,11 @@ def test_psi_nll_all_implementations_agree(bond_dim):
                                                  interpret=True,
                                                  layout="block",
                                                  defer_norm=True),
+            "pallas_block_streamed_states":
+                lambda: psi_nll_block_trainable(params, cfg, data,
+                                                interpret=True,
+                                                defer_norm=True,
+                                                stream=True),
             "rank1_dp_time_combined_2d":
                 lambda: jax.jit(lambda: psi_nll_time_sharded(
                     params, cfg, data, mesh2, time_chunk=24,

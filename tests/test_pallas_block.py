@@ -288,3 +288,99 @@ def test_batched_limb_kernels_match_standard_rho():
     for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_bat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+@pytest.mark.parametrize("prec", ["highest", "high"])
+def test_streamed_state_kernels_match_defer(prec):
+    """The streamed-states kernels (stream=True — the forward writes every
+    per-step state to HBM so the backward replaces its serial recompute
+    chain with batched GEMMs; auto path on TPU for B % 128 == 0, measured
+    1.25-1.34x on v5e) reproduce the defer kernels' values bitwise and
+    gradients to accumulation-order tolerance."""
+    from audio_mps_tpu.ops.pallas_block import psi_nll_block_trainable
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 197, cfg.delta_t)
+    pp = init_psi(jax.random.PRNGKey(1), cfg)
+
+    def nll(params, stream):
+        return psi_nll_block_trainable(params, cfg, data, unroll=8,
+                                       interpret=True, precision=prec,
+                                       defer_norm=True, stream=stream)
+
+    v_std, g_std = jax.value_and_grad(lambda p: nll(p, False))(pp)
+    v_str, g_str = jax.value_and_grad(lambda p: nll(p, True))(pp)
+    np.testing.assert_allclose(float(v_str), float(v_std), rtol=1e-6)
+    if prec == "highest":
+        np.testing.assert_allclose(
+            float(v_str), float(core.psi_nll(pp, cfg, data)), rtol=3e-4)
+    # bf16x3 sees the batched-vs-per-step accumulation order through its
+    # own ~1e-4 rounding (vs scan); fp32 pins tighter
+    tol = 5e-6 if prec == "highest" else 2e-5
+    for a, b in zip(jax.tree.leaves(g_std), jax.tree.leaves(g_str)):
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+            np.abs(np.asarray(a)).max() + 1e-12)
+        assert rel < tol, f"stream grad rel err {rel}"
+
+
+def test_streamed_state_from_state_per_example():
+    """stream=True composes with per-example initial states and
+    reduce='none' (the latent family's consumption pattern), including
+    non-uniform per-example cotangents through the VJP."""
+    from audio_mps_tpu.ops.pallas_block import (
+        psi_nll_block_trainable_from_state)
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 67, cfg.delta_t)
+    pp = init_psi(jax.random.PRNGKey(1), cfg)
+    B, D = 4, cfg.bond_dim
+    pr0 = jax.random.normal(jax.random.PRNGKey(7), (B, D))
+    pi0 = jax.random.normal(jax.random.PRNGKey(8), (B, D))
+    n = jnp.sqrt(jnp.sum(pr0 ** 2 + pi0 ** 2, 1, keepdims=True))
+    pair = (pr0 / n, pi0 / n)
+    kw = dict(unroll=8, interpret=True, reduce="none", defer_norm=True)
+
+    l_std = psi_nll_block_trainable_from_state(pp, cfg, data, pair,
+                                               stream=False, **kw)
+    l_str = psi_nll_block_trainable_from_state(pp, cfg, data, pair,
+                                               stream=True, **kw)
+    assert l_str.shape == (B,)
+    np.testing.assert_allclose(np.asarray(l_str), np.asarray(l_std),
+                               rtol=1e-6)
+
+    def wloss(pair, stream):
+        w = jnp.asarray([1.0, 2.0, 0.5, 3.0])
+        return jnp.sum(w * psi_nll_block_trainable_from_state(
+            pp, cfg, data, pair, stream=stream, **kw))
+
+    g_std = jax.grad(wloss)(pair, False)
+    g_str = jax.grad(wloss)(pair, True)
+    for a, b in zip(g_std, g_str):
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+            np.abs(np.asarray(a)).max() + 1e-12)
+        assert rel < 5e-6, f"psi0 cotangent rel err {rel}"
+
+
+def test_auto_stream_gate():
+    """stream=None resolution: ON only on real TPU (not interpret) with
+    defer_norm, lane-aligned B, and a state stream inside the HBM budget;
+    explicit stream=True without defer_norm raises."""
+    from audio_mps_tpu.ops.pallas_block import (auto_stream,
+                                                psi_nll_block_trainable)
+
+    cfg = CMPSConfig(bond_dim=64)
+    assert auto_stream(cfg, 128, 16384, True, False)
+    assert auto_stream(cfg, 512, 16384, True, False)
+    assert not auto_stream(cfg, 128, 16384, True, True)      # interpret
+    assert not auto_stream(cfg, 128, 16384, False, False)    # no defer
+    assert not auto_stream(cfg, 100, 16384, True, False)     # lane align
+    assert not auto_stream(cfg, 1024, 16384, True, False)    # HBM budget
+    assert not auto_stream(CMPSConfig(bond_dim=128), 128, 65536,
+                           True, False)                      # HBM budget
+
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 67,
+                             CMPSConfig().delta_t)
+    pp = init_psi(jax.random.PRNGKey(1), CMPSConfig(bond_dim=8))
+    with pytest.raises(ValueError, match="deferred"):
+        psi_nll_block_trainable(pp, CMPSConfig(bond_dim=8), data,
+                                interpret=True, defer_norm=False,
+                                stream=True)
