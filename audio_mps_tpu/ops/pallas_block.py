@@ -742,20 +742,21 @@ def _make_psi_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
 STREAM_HBM_LIMIT = 6 * 1024 ** 3
 
 
-def auto_stream(cfg: CMPSConfig, B: int, T: int, defer_norm: bool,
+def auto_stream(cfg: CMPSConfig, cols: int, T: int, defer_norm: bool,
                 interpret: bool) -> bool:
     """Resolve stream=None: ON on real TPU whenever the streamed-states
-    kernels are supported (defer-norm block path, lane-aligned B) and the
-    state stream fits the HBM budget. Measured on v5e (D=64/128, B=128,
-    T=16384): 1.25-1.34x over the defer kernels at both precisions — the
-    backward's serial recompute chain is replaced by batched GEMMs over
-    the streamed states. OFF under interpret (CPU tests exercise it
-    explicitly; small-B TPU configs keep the defer path)."""
+    kernels are supported (defer-norm block path, lane-aligned columns —
+    B for psi, B*rank for rho) and the state stream fits the HBM budget.
+    Measured on v5e (D=64/128, B=128, T=16384): 1.25-1.34x over the defer
+    kernels at both precisions — the backward's serial recompute chain is
+    replaced by batched GEMMs over the streamed states. OFF under
+    interpret (CPU tests exercise it explicitly; small-column TPU configs
+    keep the non-streamed path)."""
     if not defer_norm or interpret:
         return False
-    if B % 128 != 0:
+    if cols % 128 != 0:
         return False
-    return 8 * cfg.bond_dim * B * T <= STREAM_HBM_LIMIT
+    return 8 * cfg.bond_dim * cols * T <= STREAM_HBM_LIMIT
 
 
 def _make_psi_fwd_kernel_stream(cfg: CMPSConfig, unroll: int,
@@ -1241,7 +1242,8 @@ def _rho_step_defer(ab, bb, xb, seg, t, trp, s, log_eps, norm_eps,
 
 
 def _make_rho_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
-                                 rank: int, precision: str):
+                                 rank: int, precision: str,
+                                 stream: bool = False):
     """rho deferred forward, spine/limbs split (see
     _make_psi_fwd_kernel_batched): per step only the factor recurrence is
     latency-bound; the expectation GEMM X^T H runs once per block over the
@@ -1253,9 +1255,15 @@ def _make_rho_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
     segdot = _make_seg_dot(precision)
     K = unroll
 
-    def kernel(se_ref, seb_ref, t0_ref, ab_ref, bb_ref, xb_ref,
-               z_ref, zt_ref,
-               loss_ref, ck_ref, t_s, acc_s, ys_s, parts_s):
+    def kernel(*refs):
+        if stream:
+            (se_ref, seb_ref, t0_ref, ab_ref, bb_ref, xb_ref,
+             z_ref, zt_ref,
+             loss_ref, ck_ref, ys_ref, t_s, acc_s, ys_s, parts_s) = refs
+        else:
+            (se_ref, seb_ref, t0_ref, ab_ref, bb_ref, xb_ref,
+             z_ref, zt_ref,
+             loss_ref, ck_ref, t_s, acc_s, ys_s, parts_s) = refs
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1282,6 +1290,8 @@ def _make_rho_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
             t = y
         # --- batched loss limb: one wide GEMM + one stacked seg dot
         ys = ys_s[:]
+        if stream:
+            ys_ref[0] = ys           # stream the block states to HBM
         gx_all = dotf(xb, prep(ys))
         e_lane = jnp.sum(ys * gx_all, axis=0, keepdims=True)  # [1, K*BR]
         for k in range(K):
@@ -1305,12 +1315,19 @@ def _make_rho_fwd_kernel_batched(cfg: CMPSConfig, unroll: int,
 
 def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
                                  n_blocks: int, inv_batch: float,
-                                 rank: int, precision: str):
+                                 rank: int, precision: str,
+                                 stream: bool = False):
     """rho deferred adjoint, spine/limbs split (see
     _make_psi_bwd_kernel_batched): the reverse spine is
     dy -> (Ab^T dy, Bb^T dy) only; the X^T matvecs/adjoints, every
     parameter cotangent, and every segment reduction/broadcast run as
-    per-block batched GEMMs over VMEM state buffers."""
+    per-block batched GEMMs over VMEM state buffers.
+
+    ``stream=True`` (round 4): the forward streamed the block states to
+    HBM, so the serial recompute spine disappears entirely — the state
+    buffer fills from the ys input and the trace partials batch into one
+    full-lane reduction; the ONLY serial work left in the whole backward
+    is the reverse spine's 2 dependent dots/step."""
     log_eps = cfg.log_eps if cfg.log_eps > 0 else float("-inf")
     norm_eps = cfg.norm_eps
     prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
@@ -1318,11 +1335,19 @@ def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
     segdot = _make_seg_dot(precision)
     K = unroll
 
-    def kernel(se_ref, seb_ref, ck_ref, ab_ref, bb_ref, xb_ref,
-               z_ref, zt_ref,
-               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
-               dt_s, aab_s, abb_s, axb_s, st_s, pu_s, dgx_s, dy_s,
-               parts_s, rows_s):
+    def kernel(*refs):
+        if stream:
+            (se_ref, seb_ref, ck_ref, ys_ref, ab_ref, bb_ref, xb_ref,
+             z_ref, zt_ref,
+             dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+             dt_s, aab_s, abb_s, axb_s, st_s, pu_s, dgx_s, dy_s,
+             parts_s, rows_s) = refs
+        else:
+            (se_ref, seb_ref, ck_ref, ab_ref, bb_ref, xb_ref,
+             z_ref, zt_ref,
+             dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+             dt_s, aab_s, abb_s, axb_s, st_s, pu_s, dgx_s, dy_s,
+             parts_s, rows_s) = refs
         i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
 
         @pl.when(i == 0)
@@ -1334,23 +1359,38 @@ def _make_rho_bwd_kernel_batched(cfg: CMPSConfig, unroll: int,
         abT, bbT, xbT = tr(ab), tr(bb), tr(xb)
         z, zt = z_ref[:], zt_ref[:]
 
-        # --- recompute spine (identical arithmetic to the forward)
+        # --- recompute spine (identical arithmetic to the forward) —
+        # or, with streamed states, NO spine: fill the buffers from the
+        # forward's stream and batch the trace partials
         t = ck_ref[0]
         BR = t.shape[1]
         st_s[:, 0:BR] = t
-        tp = prep(t)
         ss, ss_b = [], []
-        for k in range(K):
-            s = se_ref[0, k:k + 1, :]
-            pu_s[:, k * BR:(k + 1) * BR] = s * t
-            y = dotf(ab, tp) + s * dotf(bb, tp)
-            tp = prep(y)
-            st_s[:, (k + 1) * BR:(k + 2) * BR] = y
-            parts_s[K + k:K + k + 1, :] = jnp.sum(y * y, axis=0,
-                                                  keepdims=True)
-            ss.append(s)
-            ss_b.append(seb_ref[0, k:k + 1, :])
-            t = y
+        if stream:
+            ys_in = ys_ref[0]
+            st_s[:, BR:(K + 1) * BR] = ys_in
+            trs = jnp.sum(ys_in * ys_in, axis=0, keepdims=True)
+            for k in range(K):
+                s = se_ref[0, k:k + 1, :]
+                pu_s[:, k * BR:(k + 1) * BR] = \
+                    s * st_s[:, k * BR:(k + 1) * BR]
+                parts_s[K + k:K + k + 1, :] = trs[:, k * BR:(k + 1) * BR]
+                ss.append(s)
+                ss_b.append(seb_ref[0, k:k + 1, :])
+            t = st_s[:, K * BR:(K + 1) * BR]
+        else:
+            tp = prep(t)
+            for k in range(K):
+                s = se_ref[0, k:k + 1, :]
+                pu_s[:, k * BR:(k + 1) * BR] = s * t
+                y = dotf(ab, tp) + s * dotf(bb, tp)
+                tp = prep(y)
+                st_s[:, (k + 1) * BR:(k + 2) * BR] = y
+                parts_s[K + k:K + k + 1, :] = jnp.sum(y * y, axis=0,
+                                                      keepdims=True)
+                ss.append(s)
+                ss_b.append(seb_ref[0, k:k + 1, :])
+                t = y
         # --- batched forward tail
         ys = st_s[:, BR:(K + 1) * BR]
         pys = prep(ys)
@@ -1769,18 +1809,25 @@ def _make_rho_bwd_kernel_defer(cfg: CMPSConfig, unroll: int,
 @functools.lru_cache(maxsize=64)
 def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                        unroll: int, interpret: bool, precision: str,
-                       defer_norm: bool, batched: Optional[bool] = None):
+                       defer_norm: bool, batched: Optional[bool] = None,
+                       stream: bool = False):
     """`batched=None` auto-selects the spine/limbs-split kernels when
     defer_norm is on and B*rank is a multiple of 128 (tile-aligned static
     lane slices of the VMEM state buffers); tests pin the numerics at
-    small shapes via batched=True + interpret."""
+    small shapes via batched=True + interpret.
+
+    ``stream=True`` (requires the batched kernels): the forward streams
+    the block states to HBM and the backward's recompute spine disappears
+    (see _make_rho_bwd_kernel_batched)."""
     D2 = 2 * cfg.bond_dim
     BR = B * rank
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
     if batched is None:
-        batched = defer_norm and BR % 128 == 0
+        # stream builds on the batched kernels: explicit stream=True at
+        # small BR (interpret-mode tests) implies them
+        batched = (defer_norm and BR % 128 == 0) or stream
     if batched and not defer_norm:
         raise ValueError("batched kernels implement the deferred-"
                          "normalization semantics only")
@@ -1789,12 +1836,17 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
             f"batched rho kernels need B*rank % 128 == 0 on TPU (static "
             f"lane slices of the VMEM state buffers must be tile-aligned), "
             f"got B*rank={BR}")
+    if stream and not batched:
+        raise ValueError("streamed-states rho kernels build on the "
+                         "batched (spine/limbs) kernels; stream=True "
+                         "requires batched")
 
     if batched:
         fwd_kernel = _make_rho_fwd_kernel_batched(cfg, unroll, rank,
-                                                  precision)
+                                                  precision, stream)
         bwd_kernel = _make_rho_bwd_kernel_batched(cfg, unroll, n_blocks,
-                                                  1.0 / B, rank, precision)
+                                                  1.0 / B, rank, precision,
+                                                  stream)
     else:
         fwd_kernel = _make_rho_fwd_kernel(cfg, unroll, rank, precision,
                                           defer_norm)
@@ -1818,7 +1870,21 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 pltpu.VMEM((D2, unroll * BR), jnp.float32),   # states
                 pltpu.VMEM((2 * unroll, BR), jnp.float32),    # seg partials
             ]
-        loss, ck = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
+        ]
+        if stream:
+            out_specs.append(
+                pl.BlockSpec((1, D2, unroll * BR), lambda i: (i, 0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_blocks, D2, unroll * BR),
+                                     jnp.float32))
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
@@ -1828,21 +1894,16 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
                 _full((BR, B)), _full((B, BR)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_blocks, 1, B), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=scratch,
             compiler_params=sem,
             interpret=interpret,
         )(se3, seb3, t0, ab, bb, xb, z, zt)
-        return jnp.mean(loss[-1, 0]), ck
+        return (jnp.mean(outs[0][-1, 0]), outs[1]) + (
+            (outs[2],) if stream else ())
 
-    def run_bwd(ab, bb, xb, se, seb, z, zt, ck):
+    def run_bwd(ab, bb, xb, se, seb, z, zt, ck, ys=None):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, BR)
         seb3 = seb.reshape(n_blocks, unroll, B)
@@ -1855,6 +1916,10 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
                 _full((BR, B)), _full((B, BR)),
             ]
             args = (se3, seb3, ck, ab, bb, xb, z, zt)
+            if stream:
+                in_specs.insert(3, pl.BlockSpec((1, D2, unroll * BR),
+                                                rev3))
+                args = (se3, seb3, ck, ys, ab, bb, xb, z, zt)
         else:
             in_specs = [
                 pl.BlockSpec((1, unroll, BR), rev3),
@@ -1905,12 +1970,14 @@ def _rho_block_factory(cfg: CMPSConfig, B: int, T: int, rank: int,
         return run_fwd(ab, bb, xb, t0, se, seb, z, zt)[0]
 
     def fused_fwd(ab, bb, xb, t0, se, seb, z, zt):
-        loss, ck = run_fwd(ab, bb, xb, t0, se, seb, z, zt)
-        return loss, (ab, bb, xb, se, seb, z, zt, ck)
+        outs = run_fwd(ab, bb, xb, t0, se, seb, z, zt)
+        return outs[0], (ab, bb, xb, se, seb, z, zt) + tuple(outs[1:])
 
     def fused_bwd(res, g):
-        ab, bb, xb, se, seb, z, zt, ck = res
-        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, seb, z, zt, ck)
+        ab, bb, xb, se, seb, z, zt, ck = res[:8]
+        ys = res[8] if stream else None
+        dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, seb, z, zt, ck,
+                                          ys)
         # the loss-path (darg*e) signal cotangent is already folded into
         # the per-lane dse (spread over the rank copies; jnp.repeat's
         # adjoint outside sums them back), so seb carries no cotangent
@@ -1925,10 +1992,13 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
                             unroll: Optional[int] = None,
                             interpret: Optional[bool] = None,
                             precision: str = "highest",
-                            defer_norm: bool = False):
+                            defer_norm: bool = False,
+                            stream: Optional[bool] = None):
     """Block-layout differentiable fused NLL for the mixed-state model
     (purification-factor form; semantics of core.rho_nll); drop-in for
-    pallas_grad.rho_nll_pallas_trainable."""
+    pallas_grad.rho_nll_pallas_trainable. ``stream=None`` auto-enables
+    the streamed-states kernels where measured faster (see
+    auto_stream; columns are B*rank here)."""
     if interpret is None:
         interpret = not _on_tpu()
     if not supports_block(cfg):
@@ -1951,8 +2021,10 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)
+    if stream is None:
+        stream = auto_stream(cfg, B * rank, T, defer_norm, interpret)
     fused = _rho_block_factory(cfg, B, T, rank, unroll, interpret,
-                               precision, defer_norm)
+                               precision, defer_norm, None, stream)
     return fused(ab, bb, xb, t0, se, seb, zmat, zmat.T)
 
 
