@@ -47,7 +47,8 @@ PEAK_BF16_TFLOPS = 197.0
 PASS_FACTOR = {"highest": 6, "high": 3, "default": 1}
 
 
-def _train_flops_per_frame(D: int, lanes_per_example: int = 1) -> float:
+def _train_flops_per_frame(D: int, lanes_per_example: int = 1,
+                           stream: bool = False) -> float:
     """Analytic model FLOPs per audio frame per example for a fused
     training step (fwd + bwd, excluding the tiny Adam update).
 
@@ -59,8 +60,13 @@ def _train_flops_per_frame(D: int, lanes_per_example: int = 1) -> float:
     Total 48 GEMMs -> 96 D^2 lanes FLOPs/step. psi: lanes = B; rho
     (purification factor): lanes = B * rank, i.e. 96 D^2 rank per frame
     per example.
+
+    With the STREAMED-STATES kernels (r4, ops/pallas_block.auto_stream)
+    the backward's recompute drops to one batched expectation apply
+    (R/X on the stored states): 12 fwd + 28 bwd = 40 GEMMs -> 80 D^2 —
+    MFU must count the FLOPs actually executed.
     """
-    return 96.0 * D * D * lanes_per_example
+    return (80.0 if stream else 96.0) * D * D * lanes_per_example
 
 
 def _sample_flops_per_step(D: int, family: str,
@@ -178,9 +184,15 @@ def main():
     T = 4096 if quick else 16384
     iters = 2 if quick else 3
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+    from audio_mps_tpu.ops.pallas_block import auto_stream
+    from audio_mps_tpu.ops.pallas_scan import _on_tpu
+    interp = not _on_tpu()
+    stream_head = auto_stream(cfg, B_wide, T, cfg.defer_norm, interp)
+    stream_rho = auto_stream(cfg, B * D, T, cfg.defer_norm, interp)
     detail = {"bond_dim": D, "batch_headline": B_wide, "batch_ref": B,
               "T": T, "device": str(jax.devices()[0]),
-              "peak_bf16_tflops": PEAK_BF16_TFLOPS}
+              "peak_bf16_tflops": PEAK_BF16_TFLOPS,
+              "stream_headline": stream_head, "stream_rho": stream_rho}
 
     # --- HEADLINE: psi (reference default model) fused training at the
     # throughput batch, vs the lab-frame transcription at the same config.
@@ -189,13 +201,14 @@ def main():
     t_head = bench_fused_train("psi_mps", D, B_wide, T, iters)
     t_head_lab = bench_lab_train("psi_mps", D, B_wide, T, max(1, iters - 1))
     frames_per_sec = B_wide * T / t_head
-    head_tfs, head_mfu = _mfu(_train_flops_per_frame(D), B_wide, T, t_head)
+    head_tfs, head_mfu = _mfu(_train_flops_per_frame(D, 1, stream_head),
+                              B_wide, T, t_head)
     # bf16x3 fast mode at the same config (loss rel-err ~1e-3 at T=16k,
     # vs ~25% for raw bf16 — see CLAUDE.md measured notes)
     t_head_h3 = bench_fused_train("psi_mps", D, B_wide, T, iters,
                                   precision="high")
-    h3_tfs, h3_mfu = _mfu(_train_flops_per_frame(D), B_wide, T, t_head_h3,
-                          precision="high")
+    h3_tfs, h3_mfu = _mfu(_train_flops_per_frame(D, 1, stream_head),
+                          B_wide, T, t_head_h3, precision="high")
     detail.update({
         "headline_config": f"psi_mps fused train fwd+bwd+Adam, B={B_wide}",
         "train_step_ms_headline": round(t_head * 1e3, 2),
@@ -258,11 +271,12 @@ def main():
     except Exception as e:
         detail["rank_partials_error"] = str(e)[:120]
 
-    rho_tfs, rho_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho)
-    h3r_tfs, h3r_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho_h3,
-                            precision="high")
-    bf_tfs, bf_mfu = _mfu(_train_flops_per_frame(D, D), B, T, t_rho_bf,
-                          precision="default")
+    rho_tfs, rho_mfu = _mfu(_train_flops_per_frame(D, D, stream_rho),
+                            B, T, t_rho)
+    h3r_tfs, h3r_mfu = _mfu(_train_flops_per_frame(D, D, stream_rho),
+                            B, T, t_rho_h3, precision="high")
+    bf_tfs, bf_mfu = _mfu(_train_flops_per_frame(D, D, stream_rho),
+                          B, T, t_rho_bf, precision="default")
     detail.update({
         f"train_frames_per_sec_rho_D{D}_B{B}": round(B * T / t_rho, 1),
         "rho_vs_transcription": round(t_rho_lab / t_rho, 3),
@@ -290,10 +304,13 @@ def main():
             t_p128_h3 = bench_fused_train("psi_mps", D_big, B_big, T,
                                           max(1, iters - 1),
                                           precision="high")
-            _, p128_mfu = _mfu(_train_flops_per_frame(D_big), B_big, T,
-                               t_p128)
-            _, p128_h3_mfu = _mfu(_train_flops_per_frame(D_big), B_big, T,
-                                  t_p128_h3, precision="high")
+            stream_128 = auto_stream(CMPSConfig(bond_dim=D_big), B_big,
+                                     T, cfg.defer_norm, interp)
+            _, p128_mfu = _mfu(_train_flops_per_frame(D_big, 1, stream_128),
+                               B_big, T, t_p128)
+            _, p128_h3_mfu = _mfu(
+                _train_flops_per_frame(D_big, 1, stream_128), B_big, T,
+                t_p128_h3, precision="high")
             detail.update({
                 f"train_step_ms_psi_D{D_big}_B{B_big}":
                     round(t_p128 * 1e3, 2),
@@ -317,8 +334,10 @@ def main():
             B_sat = 1024
             t_sat = bench_fused_train("psi_mps", D, B_sat, T,
                                       max(1, iters - 1))
-            sat_tfs, sat_mfu = _mfu(_train_flops_per_frame(D), B_sat, T,
-                                    t_sat)
+            stream_sat = auto_stream(cfg, B_sat, T, cfg.defer_norm,
+                                     interp)
+            sat_tfs, sat_mfu = _mfu(
+                _train_flops_per_frame(D, 1, stream_sat), B_sat, T, t_sat)
             detail.update({
                 f"train_frames_per_sec_psi_D{D}_B{B_sat}_saturated":
                     round(B_sat * T / t_sat, 1),
