@@ -205,7 +205,9 @@ def test_time_sharded_pscan_matches_single_device():
     pr = init_rho(jax.random.PRNGKey(1), cfg)
     ref = float(_core.rho_nll_factor(pr, cfg, data))
     v = float(jax.jit(lambda p: rho_nll_time_sharded(p, cfg, data, mesh))(pr))
-    np.testing.assert_allclose(v, ref, rtol=1e-5)
+    # atol: the mean NLL at this tiny fixture is ~-0.003 (near zero), so a
+    # pure rtol turns reduction-order fp noise into a failure
+    np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-7)
 
     g_ref = jax.grad(_core.rho_nll_factor)(pr, cfg, data)
     g_sh = jax.jit(jax.grad(
@@ -325,7 +327,7 @@ def test_rank_sharded_matches_single_device():
     ref = float(_core.rho_nll_factor(pr, cfg, data))
     v = float(jax.jit(lambda p: rho_nll_rank_sharded(p, cfg, data,
                                                      mesh))(pr))
-    np.testing.assert_allclose(v, ref, rtol=1e-5)
+    np.testing.assert_allclose(v, ref, rtol=1e-5, atol=1e-7)
 
     g_ref = jax.grad(_core.rho_nll_factor)(pr, cfg, data)
     g_sh = jax.jit(jax.grad(
