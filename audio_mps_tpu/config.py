@@ -177,9 +177,9 @@ def parse_mesh_spec(mesh: str):
     """
     err = (f"mesh must be '', 'dp[:N]', 'rank[:N]', 'dpxrank:AxB', or "
            f"'dpxtime:AxB', got {mesh!r}")
-    kind, _, dims = mesh.partition(":")
+    kind, sep, dims = mesh.partition(":")
     if kind in ("dp", "rank"):
-        if not dims:
+        if not sep:
             return kind, None
         if dims.isdigit() and int(dims) > 0:
             return kind, int(dims)

@@ -182,6 +182,27 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
     return loss, {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
 
 
+def _sample_from_psi0(params: LatentCMPSParams, cfg: CMPSConfig, key,
+                      psi0_pair, length: int, temp, fused: bool):
+    """Run the Euler–Maruyama SDE from per-example initial states — the
+    shared tail of both latent samplers (prior and conditional), so the
+    noise convention and fused dispatch live in exactly one place."""
+    cc = make_constants(params, cfg)
+    n = psi0_pair[0].shape[0]
+    std = cfg.sigma * jnp.sqrt(jnp.asarray(temp) * cfg.delta_t)
+    noise = std * jax.random.normal(key, (length, n), jnp.float32)
+    if fused:
+        from ..ops.pallas_scan import psi_sample_pallas
+        return psi_sample_pallas(params, cfg, noise, psi0_pair=psi0_pair)
+
+    def step(c, zt):
+        c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, zt)
+        return c2, inc
+
+    _, incs = jax.lax.scan(step, psi0_pair, noise)
+    return cc.A * jnp.cumsum(incs, axis=0).T
+
+
 def sample_latent_conditional(params: LatentCMPSParams, cfg: CMPSConfig,
                               key, signals, length: int, temp=1.0,
                               fused: bool = False):
@@ -193,20 +214,8 @@ def sample_latent_conditional(params: LatentCMPSParams, cfg: CMPSConfig,
     (tools/latent_check.py)."""
     mu, _ = encode(params, signals)
     psi0_pair = decode_psi0(params, mu, cfg)
-    cc = make_constants(params, cfg)
-    std = cfg.sigma * jnp.sqrt(jnp.asarray(temp) * cfg.delta_t)
-    noise = std * jax.random.normal(key, (length, signals.shape[0]),
-                                    jnp.float32)
-    if fused:
-        from ..ops.pallas_scan import psi_sample_pallas
-        return psi_sample_pallas(params, cfg, noise, psi0_pair=psi0_pair)
-
-    def step(c, zt):
-        c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, zt)
-        return c2, inc
-
-    _, incs = jax.lax.scan(step, psi0_pair, noise)
-    return cc.A * jnp.cumsum(incs, axis=0).T
+    return _sample_from_psi0(params, cfg, key, psi0_pair, length, temp,
+                             fused)
 
 
 def sample_latent(params: LatentCMPSParams, cfg: CMPSConfig, key,
@@ -221,16 +230,5 @@ def sample_latent(params: LatentCMPSParams, cfg: CMPSConfig, key,
     kz, kn = jax.random.split(key)
     z = jax.random.normal(kz, (num_samples, params.enc_w_mu.shape[1]))
     psi0_pair = decode_psi0(params, z, cfg)
-    cc = make_constants(params, cfg)
-    std = cfg.sigma * jnp.sqrt(jnp.asarray(temp) * cfg.delta_t)
-    noise = std * jax.random.normal(kn, (length, num_samples), jnp.float32)
-    if fused:
-        from ..ops.pallas_scan import psi_sample_pallas
-        return psi_sample_pallas(params, cfg, noise, psi0_pair=psi0_pair)
-
-    def step(c, zt):
-        c2, (inc, _state) = cell.psi_sample_step(cc, cfg, c, zt)
-        return c2, inc
-
-    _, incs = jax.lax.scan(step, psi0_pair, noise)
-    return cc.A * jnp.cumsum(incs, axis=0).T
+    return _sample_from_psi0(params, cfg, kn, psi0_pair, length, temp,
+                             fused)

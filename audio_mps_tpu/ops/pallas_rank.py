@@ -77,20 +77,27 @@ from .pallas_scan import _full, _on_tpu, _pad_rows
 
 
 def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
-                                   n_blocks: int, precision: str):
+                                   n_blocks: int, precision: str,
+                                   stream: bool = False):
     """Forward: evolve the local rank rows (block layout, defer-norm
     within each unroll block, rotation folded into the constants) and
     stream the per-step (ehat, tr) per-example partial rows out.
     Hand-pipelined like the r3 forward kernels: step k's partial tail
     (expectation GEMM + stacked seg contraction) issues after step k+1's
-    state dots."""
+    state dots.
+
+    ``stream=True`` additionally streams every post-step state y_k to HBM
+    (one static lane slice per step, off the dependent-dot path — the psi
+    streamed-states trick) so the backward can drop its serial recompute
+    chain entirely (_make_rank_partials_bwd_kernel_stream)."""
     norm_eps = cfg.norm_eps
     prep, dotf, _ = _make_dot_ops(precision)
     seg_prec = "highest" if precision == "high" else precision
     segdot = _make_seg_dot(precision)
 
     def kernel(se_ref, t0_ref, ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
-               eh_ref, tr_ref, ck_ref, tfin_ref, t_s):
+               eh_ref, tr_ref, ck_ref, tfin_ref, *rest):
+        ys_ref, t_s = (rest if stream else (None,) + rest)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -113,12 +120,15 @@ def _make_rank_partials_fwd_kernel(cfg: CMPSConfig, unroll: int,
             tr_ref[0, k0:k0 + 1, :] = red[1:2]
             return red[1:2]
 
+        BR = t.shape[1]
         tp = prep(t)
         pend = None
         tr_b = None
         for k in range(unroll):
             s = se_ref[0, k:k + 1, :]
             y = dotf(ab, tp) + s * dotf(bb, tp)
+            if stream:
+                ys_ref[0, :, k * BR:(k + 1) * BR] = y
             tp = prep(y)                # deferred chain: reused next step
             if pend is not None:
                 tr_b = tail(pend)
@@ -245,9 +255,122 @@ def _make_rank_partials_bwd_kernel(cfg: CMPSConfig, unroll: int,
     return kernel
 
 
+def _make_rank_partials_bwd_kernel_stream(cfg: CMPSConfig, unroll: int,
+                                          n_blocks: int, precision: str):
+    """STREAMED-STATES adjoint for the rank-partials kernel (round 4):
+    the forward streamed every state y_k to HBM, so the serial recompute
+    chain of _make_rank_partials_bwd_kernel disappears — the state buffer
+    fills from the ys input, the expectation matvecs (Xb @ y, Xb^T @ dgx)
+    and all three parameter cotangents run as per-block batched GEMMs,
+    and all 2K streamed cotangent rows broadcast back to lanes in ONE
+    stacked [2K,B]@[B,BR] seg dot. The only serial work left is the true
+    adjoint recurrence (2 dependent dots/step) — exactly the structure
+    that bought rho 1.18-1.35x in pallas_block."""
+    norm_eps = cfg.norm_eps
+    prep, rec, dotf, dotnt = _make_dot_ops_bwd(precision)
+    _, _, tr_op = _make_dot_ops(precision)
+    segdot = _make_seg_dot(precision)
+    K = unroll
+
+    def kernel(se_ref, deh_ref, dtr_ref, ck_ref, ys_ref, dtfin_ref,
+               ab_ref, bb_ref, xb_ref, z_ref, zt_ref,
+               dse_ref, dab_ref, dbb_ref, dxb_ref, dt0_ref,
+               dt_s, aab_s, abb_s, axb_s, st_s, pu_s, dgx_s, dy_s,
+               rows_s):
+        i = pl.program_id(0)    # reversed grid (blockspecs map nb-1-i)
+
+        @pl.when(i == 0)
+        def _init():
+            dt_s[:] = dtfin_ref[:]
+            for ref in (aab_s, abb_s, axb_s):
+                ref[:] = jnp.zeros_like(ref)
+
+        ab, bb, xb = prep(ab_ref[:]), prep(bb_ref[:]), prep(xb_ref[:])
+        abT, bbT, xbT = tr_op(ab), tr_op(bb), tr_op(xb)
+        z, zt = z_ref[:], zt_ref[:]
+
+        # --- NO recompute spine: lane-assemble the shifted states from
+        # the forward's stream (t_k = y_{k-1}; t_0 = block checkpoint)
+        t0 = ck_ref[0]
+        BR = t0.shape[1]
+        st_s[:, 0:BR] = t0
+        ys = ys_ref[0]                        # [2D, K*BR] streamed states
+        if K > 1:
+            st_s[:, BR:K * BR] = ys[:, :(K - 1) * BR]
+        for k in range(K):
+            s = se_ref[0, k:k + 1, :]
+            pu_s[:, k * BR:(k + 1) * BR] = s * st_s[:, k * BR:(k + 1) * BR]
+
+        # --- block-exit renormalization adjoint seeds: the exit rescale
+        # consumed tr[K-1], so its cotangent joins the streamed one
+        t_last = ys[:, (K - 1) * BR:]
+        tr_last = segdot(jnp.sum(t_last * t_last, axis=0, keepdims=True), z)
+        dt_in = dt_s[:]
+        inv_b = jax.lax.rsqrt(jnp.maximum(tr_last, norm_eps))
+        dt = dt_in * segdot(inv_b, zt)
+        dinv_b = segdot(jnp.sum(dt_in * t_last, axis=0, keepdims=True), z)
+        dtr_exit = jnp.where(tr_last > norm_eps,
+                             -0.5 * dinv_b * inv_b * inv_b * inv_b,
+                             jnp.zeros_like(dinv_b))
+
+        # --- ONE stacked broadcast back to lanes for ALL 2K rows
+        for k in range(K):
+            dtr_b = dtr_ref[0, k:k + 1, :]
+            if k == K - 1:
+                dtr_b = dtr_b + dtr_exit
+            rows_s[k:k + 1, :] = dtr_b
+            rows_s[K + k:K + k + 1, :] = deh_ref[0, k:k + 1, :]
+        lanes = segdot(rows_s[:], zt)                       # [2K, BR]
+
+        # --- batched expectation-path work (all forward-computable)
+        PY = prep(ys)
+        gx_all = dotf(xb, PY)
+        for k in range(K):
+            dgx_s[:, k * BR:(k + 1) * BR] = \
+                lanes[K + k:K + k + 1] * ys[:, k * BR:(k + 1) * BR]
+        pdgx_all = prep(dgx_s[:])
+        xbtdgx_all = dotf(xbT, pdgx_all)
+
+        # --- serial adjoint chain: 2 dependent dots per step
+        for k in reversed(range(K)):
+            y = ys[:, k * BR:(k + 1) * BR]
+            # ehat = sum(y * (Xb y)): dy += deh*gx + Xb^T (deh*y);
+            # tr = sum(y*y): dy += 2 y dtr
+            c = (2.0 * y * lanes[k:k + 1]
+                 + lanes[K + k:K + k + 1] * gx_all[:, k * BR:(k + 1) * BR]
+                 + xbtdgx_all[:, k * BR:(k + 1) * BR])
+            dy = dt + c
+            dy_s[:, k * BR:(k + 1) * BR] = dy
+            pdy = prep(dy)
+            du = dotf(bbT, pdy)
+            s = se_ref[0, k:k + 1, :]
+            dtn = dotf(abT, pdy) + s * du
+            t_k = st_s[:, k * BR:(k + 1) * BR]
+            dse_ref[0, k:k + 1, :] = jnp.sum(du * t_k, axis=0,
+                                             keepdims=True)
+            dt = dtn
+
+        # --- batched parameter-cotangent accumulations
+        pdy_all = prep(dy_s[:])
+        aab_s[:] = aab_s[:] + dotnt(pdy_all, prep(st_s[:]))
+        abb_s[:] = abb_s[:] + dotnt(pdy_all, prep(pu_s[:]))
+        axb_s[:] = axb_s[:] + dotnt(pdgx_all, PY)
+        dt_s[:] = dt
+
+        @pl.when(i == n_blocks - 1)
+        def _emit():
+            dab_ref[:] = aab_s[:]
+            dbb_ref[:] = abb_s[:]
+            dxb_ref[:] = axb_s[:]
+            dt0_ref[:] = dt_s[:]
+
+    return kernel
+
+
 @functools.lru_cache(maxsize=64)
 def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
-                           unroll: int, interpret: bool, precision: str):
+                           unroll: int, interpret: bool, precision: str,
+                           stream: bool = False):
     """custom_vjp fused fn (ab, bb, xb, t0, se, z, zt) ->
     (ehat [t_pad, B], tr [t_pad, B], t_fin [2D, BR]) whose VJP consumes
     per-step cotangent rows for the partials plus the final-state
@@ -259,15 +382,36 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
     t_pad = n_blocks * unroll
 
     fwd_kernel = _make_rank_partials_fwd_kernel(cfg, unroll, n_blocks,
-                                                precision)
-    bwd_kernel = _make_rank_partials_bwd_kernel(cfg, unroll, n_blocks,
-                                                precision)
+                                                precision, stream)
+    bwd_kernel = (_make_rank_partials_bwd_kernel_stream(cfg, unroll,
+                                                        n_blocks, precision)
+                  if stream else
+                  _make_rank_partials_bwd_kernel(cfg, unroll, n_blocks,
+                                                 precision))
     sem = pltpu.CompilerParams(dimension_semantics=("arbitrary",),
                                vmem_limit_bytes=100 * 1024 * 1024)
 
     def run_fwd(ab, bb, xb, t0, se, z, zt):
         se3 = se.reshape(n_blocks, unroll, BR)
-        eh, trr, ck, tfin = pl.pallas_call(
+        out_specs = [
+            pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
+            _full((D2, BR)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
+            jax.ShapeDtypeStruct((D2, BR), jnp.float32),
+        ]
+        if stream:
+            out_specs.append(
+                pl.BlockSpec((1, D2, unroll * BR), lambda i: (i, 0, 0)))
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_blocks, D2, unroll * BR),
+                                     jnp.float32))
+        outs = pl.pallas_call(
             fwd_kernel,
             grid=(n_blocks,),
             in_specs=[
@@ -276,41 +420,51 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
                 _full((BR, B)), _full((B, BR)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, D2, BR), lambda i: (i, 0, 0)),
-                _full((D2, BR)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, unroll, B), jnp.float32),
-                jax.ShapeDtypeStruct((n_blocks, D2, BR), jnp.float32),
-                jax.ShapeDtypeStruct((D2, BR), jnp.float32),
-            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((D2, BR), jnp.float32)],
             compiler_params=sem,
             interpret=interpret,
         )(se3, t0, ab, bb, xb, z, zt)
-        return eh.reshape(t_pad, B), trr.reshape(t_pad, B), ck, tfin
+        eh, trr, ck, tfin = outs[:4]
+        return ((eh.reshape(t_pad, B), trr.reshape(t_pad, B), ck, tfin)
+                + ((outs[4],) if stream else ()))
 
-    def run_bwd(ab, bb, xb, se, z, zt, ck, deh, dtr, dtfin):
+    def run_bwd(ab, bb, xb, se, z, zt, ck, deh, dtr, dtfin, ys=None):
         rev3 = lambda i: (n_blocks - 1 - i, 0, 0)
         se3 = se.reshape(n_blocks, unroll, BR)
         deh3 = deh.reshape(n_blocks, unroll, B)
         dtr3 = dtr.reshape(n_blocks, unroll, B)
+        in_specs = [
+            pl.BlockSpec((1, unroll, BR), rev3),
+            pl.BlockSpec((1, unroll, B), rev3),
+            pl.BlockSpec((1, unroll, B), rev3),
+            pl.BlockSpec((1, D2, BR), rev3),
+            _full((D2, BR)),
+            _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
+            _full((BR, B)), _full((B, BR)),
+        ]
+        args = (se3, deh3, dtr3, ck, dtfin, ab, bb, xb, z, zt)
+        scratch = [
+            pltpu.VMEM((D2, BR), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+            pltpu.VMEM((D2, D2), jnp.float32),
+        ]
+        if stream:
+            in_specs.insert(4, pl.BlockSpec((1, D2, unroll * BR), rev3))
+            args = (se3, deh3, dtr3, ck, ys, dtfin, ab, bb, xb, z, zt)
+            scratch += [
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),  # shifted states
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),  # s*t
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),  # dgx
+                pltpu.VMEM((D2, unroll * BR), jnp.float32),  # dy
+                pltpu.VMEM((2 * unroll, B), jnp.float32),    # cotangent rows
+            ]
         outs = pl.pallas_call(
             bwd_kernel,
             grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec((1, unroll, BR), rev3),
-                pl.BlockSpec((1, unroll, B), rev3),
-                pl.BlockSpec((1, unroll, B), rev3),
-                pl.BlockSpec((1, D2, BR), rev3),
-                _full((D2, BR)),
-                _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
-                _full((BR, B)), _full((B, BR)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, unroll, BR), rev3),
                 _full((D2, D2)), _full((D2, D2)), _full((D2, D2)),
@@ -323,31 +477,29 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
                 jax.ShapeDtypeStruct((D2, D2), jnp.float32),
                 jax.ShapeDtypeStruct((D2, BR), jnp.float32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((D2, BR), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-                pltpu.VMEM((D2, D2), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=sem,
             interpret=interpret,
-        )(se3, deh3, dtr3, ck, dtfin, ab, bb, xb, z, zt)
+        )(*args)
         return (outs[0].reshape(t_pad, BR),) + tuple(outs[1:])
 
     @jax.custom_vjp
     def fused(ab, bb, xb, t0, se, z, zt):
-        eh, trr, _, tfin = run_fwd(ab, bb, xb, t0, se, z, zt)
-        return eh, trr, tfin
+        outs = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return outs[0], outs[1], outs[3]
 
     def fused_fwd(ab, bb, xb, t0, se, z, zt):
-        eh, trr, ck, tfin = run_fwd(ab, bb, xb, t0, se, z, zt)
-        return (eh, trr, tfin), (ab, bb, xb, se, z, zt, ck)
+        outs = run_fwd(ab, bb, xb, t0, se, z, zt)
+        return ((outs[0], outs[1], outs[3]),
+                (ab, bb, xb, se, z, zt, outs[2])
+                + ((outs[4],) if stream else ()))
 
     def fused_bwd(res, g):
-        ab, bb, xb, se, z, zt, ck = res
+        ab, bb, xb, se, z, zt, ck = res[:7]
+        ys = res[7] if stream else None
         deh, dtr, dtfin = g
         dse, dab, dbb, dxb, dt0 = run_bwd(ab, bb, xb, se, z, zt, ck,
-                                          deh, dtr, dtfin)
+                                          deh, dtr, dtfin, ys)
         return (dab, dbb, dxb, dt0, dse,
                 jnp.zeros_like(z), jnp.zeros_like(zt))
 
@@ -395,7 +547,9 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
                           unroll: Optional[int] = None,
                           interpret: Optional[bool] = None,
                           precision: str = "highest",
-                          time_segment: Optional[int] = None):
+                          time_segment: Optional[int] = None,
+                          stream: Optional[bool] = None,
+                          hbm_groups: int = 1):
     """Run the partials kernel on params' (local) W rows.
 
     Returns (ehat, trp, gamma, seb), each [T-1, B]:
@@ -411,6 +565,17 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     would exceed SEGMENT_CK_BUDGET. Segmentation is exact — the kernel
     renormalizes at every block exit anyway, so segment boundaries are
     just block boundaries with the state carried through t_fin.
+
+    `stream`: None auto-enables the streamed-states kernels (the forward
+    streams every per-step state to HBM; the backward drops its serial
+    recompute chain — pallas_block.auto_stream's gate on B*r_loc columns,
+    with the HBM budget applied per time segment since jax.checkpoint
+    keeps only one segment's stream alive during the backward).
+
+    `hbm_groups`: how many sibling partials runs hold their residual
+    streams alive at once (the chunked path's n_chunks — every chunk's
+    forward residuals live until its backward unless time segmentation
+    checkpoints them away); scales the auto-stream HBM budget only.
     """
     if interpret is None:
         interpret = not _on_tpu()
@@ -457,14 +622,32 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)
+    if stream is None:
+        from .pallas_block import auto_stream
+        # per-kernel-call steps; with segmentation only ONE segment's
+        # stream is live during the backward (jax.checkpoint), so sibling
+        # groups don't stack either
+        if time_segment is None:
+            seg_steps, groups = t_pad, max(1, hbm_groups)
+        else:
+            seg_steps, groups = seg_blocks * unroll, 1
+        stream = auto_stream(cfg, BR, (seg_steps + 1) * groups, True,
+                             bool(interpret))
+    if stream and not interpret and BR % 128 != 0:
+        raise ValueError(
+            f"streamed rank-partials kernels need B*r_loc % 128 == 0 on "
+            f"TPU (static lane slices of the state stream must be "
+            f"tile-aligned), got B*r_loc={BR}")
     if time_segment is None:
         fused = _rank_partials_factory(cfg, B, t_pad + 1, r_loc, unroll,
-                                       bool(interpret), precision)
+                                       bool(interpret), precision,
+                                       bool(stream))
         eh, trr, _ = fused(ab, bb, xb, t0, se, zmat, zmat.T)
     else:
         L = seg_blocks * unroll
         fused = _rank_partials_factory(cfg, B, L + 1, r_loc, unroll,
-                                       bool(interpret), precision)
+                                       bool(interpret), precision,
+                                       bool(stream))
         zt = zmat.T
 
         def seg_fn(t_in, se_seg):
@@ -514,7 +697,8 @@ def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
                          unroll: Optional[int] = None,
                          interpret: Optional[bool] = None,
                          precision: str = "highest",
-                         time_segment: Optional[int] = None):
+                         time_segment: Optional[int] = None,
+                         stream: Optional[bool] = None):
     """Single-device fused rho NLL BEYOND the single-kernel VMEM ceiling:
     split the purification rank into chunks, run the partials kernel per
     chunk (row-independence makes each exact), combine outside. Lifts the
@@ -540,7 +724,8 @@ def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
         p_loc = params.replace(Wx=params.Wx[rows], Wy=params.Wy[rows])
         parts.append(rho_nll_rank_partials(
             p_loc, cfg, signals, unroll=unroll, interpret=interpret,
-            precision=precision, time_segment=time_segment))
+            precision=precision, time_segment=time_segment,
+            stream=stream, hbm_groups=n_chunks))
     eh = jnp.stack([p[0] for p in parts])
     trp = jnp.stack([p[1] for p in parts])
     gam = jnp.stack([p[2] for p in parts])

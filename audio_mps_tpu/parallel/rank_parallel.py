@@ -147,7 +147,8 @@ def rho_nll_rank_sharded_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
                                data_axis: str = None,
                                precision: str = None,
                                unroll: int = None,
-                               interpret: bool = None):
+                               interpret: bool = None,
+                               stream: bool = None):
     """Rank-sharded rho NLL with the FUSED Pallas hot loop (VERDICT r3
     item 2): each shard runs ops/pallas_rank's partials kernel over its
     local W rows, and the ONLY communication is a single all_gather of
@@ -176,7 +177,7 @@ def rho_nll_rank_sharded_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
     def local(p, sig):
         eh, trp, gam, seb = rho_nll_rank_partials(
             p, cfg, sig, unroll=unroll, interpret=interpret,
-            precision=precision)
+            precision=precision, stream=stream)
         gathered = jax.lax.all_gather(jnp.stack([eh, trp, gam]), axis)
         loss = combine_rank_partials(gathered[:, 0], gathered[:, 1],
                                      gathered[:, 2], seb, cfg)
@@ -196,6 +197,20 @@ def rho_nll_rank_sharded_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
     return sharded(params, signals)
 
 
+def _auto_fused(cfg: CMPSConfig, params, per_shard_batch: int,
+                n_model: int) -> bool:
+    """The ONE auto-select gate for the fused rank-partials path, shared
+    by the 1D and 2D rank train steps: real TPU + block layout + rank
+    divisible over the model axis + per-shard partials kernel fits."""
+    from ..ops.pallas_block import supports_block
+    from ..ops.pallas_rank import partials_supported
+    rank = params.Wx.shape[0]
+    return (jax.devices()[0].platform != "cpu"
+            and supports_block(cfg)
+            and rank % n_model == 0
+            and partials_supported(cfg, per_shard_batch, rank // n_model))
+
+
 def make_rank_train_step(cfg: CMPSConfig, mesh: Mesh, optimizer=None,
                          axis: str = MODEL_AXIS, fused=None):
     """1D rank-TP training step for the rho family: W rows sharded over
@@ -206,33 +221,21 @@ def make_rank_train_step(cfg: CMPSConfig, mesh: Mesh, optimizer=None,
     batch) with the make_dp_train_step contract (params/opt_state
     replicated-or-sharded jax arrays; optimizer update runs redundantly)."""
     import optax
-    from ..training import make_optimizer
+    from ..training import make_loss_fn, make_optimizer
 
     optimizer = optimizer or make_optimizer(cfg)
     n = mesh.shape[axis]
 
-    def nll(params, batch):
+    def nll(params, cfg_, batch):
         use_fused = fused
         if use_fused is None:
-            from ..ops.pallas_block import supports_block
-            from ..ops.pallas_rank import partials_supported
-            rank = params.Wx.shape[0]
-            use_fused = (jax.devices()[0].platform != "cpu"
-                         and supports_block(cfg)
-                         and rank % n == 0
-                         and partials_supported(cfg, batch.shape[0],
-                                                rank // n))
+            use_fused = _auto_fused(cfg_, params, batch.shape[0], n)
         if use_fused:
-            return rho_nll_rank_sharded_fused(params, cfg, batch, mesh,
+            return rho_nll_rank_sharded_fused(params, cfg_, batch, mesh,
                                               axis=axis)
-        return rho_nll_rank_sharded(params, cfg, batch, mesh, axis=axis)
+        return rho_nll_rank_sharded(params, cfg_, batch, mesh, axis=axis)
 
-    def loss_fn(params, batch):
-        model_loss = nll(params, batch)
-        total, (h_sq, r_sq) = core.regularized_loss(model_loss, params, cfg)
-        return total, {"model_loss": model_loss, "total_loss": total,
-                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
-                       "A": params.A}
+    loss_fn = make_loss_fn("rho", cfg, nll=nll)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):
@@ -268,38 +271,26 @@ def make_dp_rank_train_step(cfg: CMPSConfig, mesh: Mesh, optimizer=None,
     single-device step by tests/test_parallel.py."""
     import optax
     from functools import partial
-    from ..training import make_optimizer
+    from ..training import make_loss_fn, make_optimizer
 
     optimizer = optimizer or make_optimizer(cfg)
     n_model = mesh.shape[model_axis]
     n_data = mesh.shape[data_axis]
 
-    def _nll(params, batch):
+    def _nll(params, cfg_, batch):
         use_fused = fused
         if use_fused is None:
-            from ..ops.pallas_block import supports_block
-            from ..ops.pallas_rank import partials_supported
-            rank = params.Wx.shape[0]
-            use_fused = (jax.devices()[0].platform != "cpu"
-                         and supports_block(cfg)
-                         and rank % n_model == 0
-                         and batch.shape[0] % n_data == 0
-                         and partials_supported(
-                             cfg, batch.shape[0] // n_data,
-                             rank // n_model))
+            use_fused = (batch.shape[0] % n_data == 0
+                         and _auto_fused(cfg_, params,
+                                         batch.shape[0] // n_data, n_model))
         if use_fused:
             return rho_nll_rank_sharded_fused(
-                params, cfg, batch, mesh, axis=model_axis,
+                params, cfg_, batch, mesh, axis=model_axis,
                 data_axis=data_axis)
-        return rho_nll_rank_sharded(params, cfg, batch, mesh,
+        return rho_nll_rank_sharded(params, cfg_, batch, mesh,
                                     axis=model_axis, data_axis=data_axis)
 
-    def loss_fn(params, batch):
-        nll = _nll(params, batch)
-        total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
-        return total, {"model_loss": nll, "total_loss": total,
-                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
-                       "A": params.A}
+    loss_fn = make_loss_fn("rho", cfg, nll=_nll)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch):

@@ -27,6 +27,13 @@ from .models import core
 from .training import Checkpointer, init_params_for, make_train_step
 
 
+def _pscan_time_chunk(t_c: int, cap: int = 1024) -> int:
+    """Largest divisor of the per-stage step count <= cap (the time-sharded
+    pscan requires time_chunk | per-chip steps, so a bare min(cap, t_c)
+    would crash valid configs like t_c=1280)."""
+    return max(c for c in range(1, min(cap, t_c) + 1) if t_c % c == 0)
+
+
 def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
     """Run the training loop; returns (params, final metrics)."""
     cfg = cfg if cfg is not None else CMPSConfig().parse(run.hparams)
@@ -97,6 +104,11 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                     f"minibatch_size={cfg.minibatch_size} must be "
                     f"divisible by the data axis size {a} "
                     f"(--mesh={run.mesh})")
+            rank = cfg.initial_rank or cfg.bond_dim
+            if rank % b:
+                raise ValueError(
+                    f"purification rank {rank} must be divisible by the "
+                    f"model axis size {b} (--mesh={run.mesh})")
             optimizer, step_fn = make_dp_rank_train_step(
                 cfg, make_2d_rank_mesh(a, b), fused=fused)
             opt_state = optimizer.init(params)
@@ -116,9 +128,14 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                     f"sample_duration-1={run.sample_duration - 1} must be "
                     f"divisible by the time axis size {b} "
                     f"(--mesh={run.mesh})")
+            if fused is True:
+                raise ValueError(
+                    f"--fused=true is not supported with --mesh={run.mesh}: "
+                    f"the time-sharded step rides the XLA pscan (use "
+                    f"dp/rank/dpxrank for the fused kernels)")
             optimizer, step_fn = make_dp_time_train_step(
                 run.mps_model, cfg, make_2d_mesh(a, b),
-                time_chunk=min(1024, (run.sample_duration - 1) // b))
+                time_chunk=_pscan_time_chunk((run.sample_duration - 1) // b))
             opt_state = optimizer.init(params)
         if verbose:
             print(f"--mesh={run.mesh} ({kind}) over "

@@ -221,6 +221,18 @@ def test_latent_separation_metrics():
     mu_bad = rng.normal(size=(64, 8))
     assert posterior_accuracy(mu_bad, labels) < 0.8
     assert fisher_ratio(mu_bad, labels) < 1.0
+    # degenerate batches must stay finite (review r4): a single-example
+    # class leaves one fit fold without that class — its eval examples
+    # count as misses instead of NaN-poisoning the whole accuracy
+    labels_one = np.zeros(9, int)
+    labels_one[4] = 1
+    mu_one = rng.normal(size=(9, 8)) * 0.1
+    mu_one[4, 0] += 5.0
+    acc = posterior_accuracy(mu_one, labels_one)
+    assert np.isfinite(acc) and 0.0 <= acc <= 1.0
+    # non-(0,1) label values classify correctly too
+    labels_lbl = np.where(labels == 1, 7, 3)
+    assert posterior_accuracy(mu, labels_lbl) == 1.0
 
 
 @pytest.mark.skipif(not os.environ.get("RUN_SLOW_PHYSICS"),

@@ -208,6 +208,60 @@ def test_validation_errors():
                                    interpret=True)
 
 
+@pytest.mark.parametrize("precision", ["highest", "high"])
+def test_streamed_partials_match_nonstreamed(precision):
+    """Streamed-states rank-partials kernels (round 4): the forward
+    streams every state to HBM and the backward drops its serial
+    recompute chain — values AND gradients must match the non-streamed
+    kernels and the XLA factor scan (fp32 to reassociation; bf16x3
+    within its own rounding). Includes the padding path (unroll does
+    not divide T-1)."""
+    params, sig = _params(), _sig(t=50)       # T-1 = 49, unroll 4 -> pad
+    tol = dict(rtol=1e-5, atol=1e-6) if precision == "highest" \
+        else dict(rtol=2e-3, atol=2e-4)
+    base = lambda p: rho_nll_rank_chunked(
+        p, CFG, sig, rank_chunk=4, unroll=4, interpret=True,
+        precision=precision, stream=False)
+    strm = lambda p: rho_nll_rank_chunked(
+        p, CFG, sig, rank_chunk=4, unroll=4, interpret=True,
+        precision=precision, stream=True)
+    np.testing.assert_allclose(float(strm(params)), float(base(params)),
+                               **tol)
+    if precision == "highest":
+        ref = float(core.rho_nll_factor(params, CFG, sig))
+        np.testing.assert_allclose(float(strm(params)), ref, rtol=1e-5,
+                                   atol=1e-6)
+        g_ref = jax.grad(lambda p: core.rho_nll_factor(p, CFG, sig))(params)
+        _assert_grads_close(g_ref, jax.grad(strm)(params))
+    else:
+        g_base = jax.grad(base)(params)
+        g_strm = jax.grad(strm)(params)
+        _assert_grads_close(g_base, g_strm, atol=5e-4)
+
+
+def test_streamed_sharded_and_segmented():
+    """Stream composes with the rank-sharded TP path (values + grads vs
+    single device) and with time segmentation (t_fin cotangent seeds the
+    next segment's adjoint — the dtfin path only the streamed backward's
+    _init exercises across segments)."""
+    params, sig = _params(), _sig()
+    ref = float(core.rho_nll_factor(params, CFG, sig))
+    mesh = make_model_mesh(4)
+    fn = jax.jit(lambda p: rho_nll_rank_sharded_fused(
+        p, CFG, sig, mesh, unroll=4, interpret=True, stream=True))
+    np.testing.assert_allclose(float(fn(params)), ref, rtol=1e-5,
+                               atol=1e-6)
+    g_ref = jax.grad(lambda p: core.rho_nll_factor(p, CFG, sig))(params)
+    _assert_grads_close(g_ref, jax.jit(jax.grad(fn))(params))
+
+    seg = lambda p: rho_nll_rank_chunked(p, CFG, sig, rank_chunk=4,
+                                         unroll=4, interpret=True,
+                                         time_segment=20, stream=True)
+    np.testing.assert_allclose(float(seg(params)), ref, rtol=1e-5,
+                               atol=1e-6)
+    _assert_grads_close(g_ref, jax.grad(seg)(params))
+
+
 @pytest.mark.parametrize("time_segment", [8, 20])
 def test_time_segmented_matches_unsegmented(time_segment):
     """Time segmentation (scan of kernel calls chained through t_fin with

@@ -306,3 +306,35 @@ def test_train_cli_rank_mesh_resume_and_validation(tmp_path):
         RunConfig(mesh="dpxrank:2")
     with pytest.raises(ValueError, match="mesh must be"):
         RunConfig(mesh="rank:0")
+
+
+def test_train_cli_mesh_validation_up_front(tmp_path):
+    """Review-r4 regressions: malformed 'dp:'/'rank:' specs (trailing colon,
+    empty N) are parse errors rather than silently meaning all-devices;
+    dpxrank catches rank % model-axis before building the step (same
+    up-front contract as rank:N); dpxtime refuses --fused=true instead of
+    silently ignoring it; the pscan time_chunk is always a divisor."""
+    from audio_mps_tpu.train import _pscan_time_chunk, train
+
+    with pytest.raises(ValueError, match="mesh must be"):
+        RunConfig(mesh="dp:")
+    with pytest.raises(ValueError, match="mesh must be"):
+        RunConfig(mesh="rank:")
+
+    run = RunConfig(mps_model="rho_mps", dataset="damped_sine",
+                    sample_duration=129, max_steps=1, visualize=False,
+                    num_samples=0, logdir=str(tmp_path),
+                    checkpoint_secs=1e9,
+                    hparams="bond_dim=4,minibatch_size=8,scan_chunk=32")
+    with pytest.raises(ValueError, match="rank 4 must be divisible by the "
+                                         "model axis size 3"):
+        train(dataclasses.replace(run, mesh="dpxrank:2x3"), verbose=False)
+    with pytest.raises(ValueError, match="fused=true is not supported"):
+        train(dataclasses.replace(run, mesh="dpxtime:2x4", fused="true"),
+              verbose=False)
+
+    # largest divisor <= cap — never the bare min() that crashed t_c=1280
+    assert _pscan_time_chunk(1280) == 640
+    assert _pscan_time_chunk(32) == 32
+    assert _pscan_time_chunk(1025) == 205
+    assert _pscan_time_chunk(2048) == 1024

@@ -43,21 +43,29 @@ def posterior_accuracy(mu, labels):
     mean (2-fold: class means from one half classify the other)."""
     mu = np.asarray(mu, np.float64)
     labels = np.asarray(labels)
+    classes = np.unique(labels)
     # STRATIFIED 2-fold (alternate within each class): an index-parity
     # split would leave a fold single-class whenever the label order
     # correlates with index parity (empty class-mean -> garbage)
     fold0 = np.zeros(len(labels), bool)
-    for c in np.unique(labels):
+    for c in classes:
         idx_c = np.flatnonzero(labels == c)
         fold0[idx_c[::2]] = True
     folds = (fold0, ~fold0)
     correct = total = 0
     for fit, ev in ((folds[0], folds[1]), (folds[1], folds[0])):
-        means = np.stack([mu[fit & (labels == c)].mean(axis=0)
-                          for c in (0, 1)])
-        d = ((mu[ev][:, None, :] - means[None]) ** 2).sum(-1)
-        correct += int((d.argmin(1) == labels[ev]).sum())
         total += int(ev.sum())
+        # only classes with fit members get a mean; eval examples of a
+        # class absent from the fit fold count as misclassified (no NaN
+        # means — a single-example class must not poison the accuracy)
+        have = np.array([c for c in classes
+                         if np.any(fit & (labels == c))])
+        if not have.size or not ev.any():
+            continue
+        means = np.stack([mu[fit & (labels == c)].mean(axis=0)
+                          for c in have])
+        d = ((mu[ev][:, None, :] - means[None]) ** 2).sum(-1)
+        correct += int((have[d.argmin(1)] == labels[ev]).sum())
     return correct / total
 
 

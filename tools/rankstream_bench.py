@@ -1,0 +1,82 @@
+"""A/B the streamed-states rank-partials kernels on the real TPU.
+
+Measures the fused rank-partials train-relevant path (value+grad of the
+chunked NLL through combine_rank_partials) stream OFF vs ON, at the
+RANKBENCH_r04 shapes: D=64 full-rank single-chunk (the fused rank-TP
+shard shape) and D=256 full-rank chunked (beyond the single-kernel VMEM
+ceiling). Writes one JSON to stdout; timing follows the axon discipline
+(donated jit, long loop, host readback barrier).
+"""
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models.params import init_rho
+from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
+
+
+def time_case(cfg, params, sig, *, rank_chunk, precision, stream, iters):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(p, s):
+        def loss(q):
+            return rho_nll_rank_chunked(q, cfg, s, rank_chunk=rank_chunk,
+                                        precision=precision, stream=stream)
+        l, g = jax.value_and_grad(loss)(p)
+        # fold the grad back so donation keeps buffers warm
+        return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), l
+
+    p = jax.tree.map(jnp.asarray, params)
+    p, l = step(p, sig)
+    print(f"  warm loss={float(l):.4f}", flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p, l = step(p, sig)
+    lf = float(l)                     # host readback barrier
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    return dt, lf
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--T", type=int, default=16385)
+    ap.add_argument("--skip_d256", action="store_true")
+    args = ap.parse_args()
+
+    out = {"T": args.T}
+    cases = [("d64_full", CMPSConfig(bond_dim=64, minibatch_size=8), 8,
+              64, ["highest", "high"])]
+    if not args.skip_d256:
+        cases.append(("d256_full", CMPSConfig(bond_dim=256,
+                                              minibatch_size=8), 8,
+                      64, ["high"]))
+    for name, cfg, B, rank_chunk, precisions in cases:
+        params = init_rho(jax.random.PRNGKey(0), cfg)
+        sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
+                                cfg.delta_t)
+        for prec in precisions:
+            for stream in (False, True):
+                key = f"{name}_{prec}_{'stream' if stream else 'base'}"
+                print(f"case {key}", flush=True)
+                try:
+                    ms, loss = time_case(cfg, params, sig,
+                                         rank_chunk=rank_chunk,
+                                         precision=prec, stream=stream,
+                                         iters=args.iters)
+                    out[key + "_ms"] = round(ms, 2)
+                    out[key + "_loss"] = round(loss, 5)
+                    print(f"  {ms:.2f} ms/step", flush=True)
+                except Exception as e:  # noqa: BLE001 — record and move on
+                    out[key + "_error"] = repr(e)[:200]
+                    print(f"  ERROR {e!r}", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
