@@ -113,6 +113,10 @@ class CMPSConfig:
             raise ValueError(
                 f"kernel_layout='block' requires bond_dim % 4 == 0,"
                 f" got bond_dim={self.bond_dim}")
+        if self.initial_rank is not None and self.initial_rank < 1:
+            raise ValueError(
+                f"initial_rank must be >= 1 (or None for full rank), got "
+                f"{self.initial_rank}")
         if self.latent_loss not in ("log", "quadratic"):
             raise ValueError(
                 f"latent_loss must be 'log' or 'quadratic', got "

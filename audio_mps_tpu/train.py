@@ -80,7 +80,8 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
             n = dims or n_dev
             if n > n_dev:
                 raise ValueError(f"requested {n} devices, have {n_dev}")
-            rank = cfg.initial_rank or cfg.bond_dim
+            rank = (cfg.initial_rank if cfg.initial_rank is not None
+                    else cfg.bond_dim)
             if rank % n:
                 raise ValueError(
                     f"purification rank {rank} must be divisible by the "
@@ -104,7 +105,8 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                     f"minibatch_size={cfg.minibatch_size} must be "
                     f"divisible by the data axis size {a} "
                     f"(--mesh={run.mesh})")
-            rank = cfg.initial_rank or cfg.bond_dim
+            rank = (cfg.initial_rank if cfg.initial_rank is not None
+                    else cfg.bond_dim)
             if rank % b:
                 raise ValueError(
                     f"purification rank {rank} must be divisible by the "

@@ -217,6 +217,10 @@ def test_kernel_knobs_ride_hparams_string():
         CMPSConfig().parse("kernel_layout=block,bond_dim=6")
     with pytest.raises(ValueError):
         CMPSConfig().parse("kernel_layout=blocky")
+    # review-r4: initial_rank=0 must be rejected up front (a zero-row W
+    # gives tr(rho_0)=0), not resolved as "full rank" by falsy-or checks
+    with pytest.raises(ValueError, match="initial_rank must be >= 1"):
+        CMPSConfig().parse("initial_rank=0")
 
 
 def test_train_cli_data_parallel_mesh(tmp_path):

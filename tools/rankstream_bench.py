@@ -31,7 +31,10 @@ def time_case(cfg, params, sig, *, rank_chunk, precision, stream, iters):
         # fold the grad back so donation keeps buffers warm
         return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), l
 
-    p = jax.tree.map(jnp.asarray, params)
+    # a REAL copy: jnp.asarray would alias the shared params and the
+    # donated jit would delete them for every later (precision, stream)
+    # variant of the same case
+    p = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     p, l = step(p, sig)
     print(f"  warm loss={float(l):.4f}", flush=True)
     t0 = time.perf_counter()
