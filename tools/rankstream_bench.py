@@ -3,9 +3,12 @@
 Measures the fused rank-partials train-relevant path (value+grad of the
 chunked NLL through combine_rank_partials) stream OFF vs ON, at the
 RANKBENCH_r04 shapes: D=64 full-rank single-chunk (the fused rank-TP
-shard shape) and D=256 full-rank chunked (beyond the single-kernel VMEM
-ceiling). Writes one JSON to stdout; timing follows the axon discipline
-(donated jit, long loop, host readback barrier).
+shard shape, ~4.3 GB stream — inside the HBM budget unsegmented) and
+D=256 full-rank chunked (beyond the single-kernel VMEM ceiling; an
+unsegmented stream would be ~17 GB/chunk, so the streamed variant rides
+time_segment — jax.checkpoint keeps only one segment's stream alive
+during the backward). Writes one JSON to stdout; timing follows the
+axon discipline (donated jit, long loop, host readback barrier).
 """
 import argparse
 import functools
@@ -21,12 +24,14 @@ from audio_mps_tpu.models.params import init_rho
 from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 
 
-def time_case(cfg, params, sig, *, rank_chunk, precision, stream, iters):
+def time_case(cfg, params, sig, *, rank_chunk, precision, stream, seg,
+              iters):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(p, s):
         def loss(q):
             return rho_nll_rank_chunked(q, cfg, s, rank_chunk=rank_chunk,
-                                        precision=precision, stream=stream)
+                                        precision=precision, stream=stream,
+                                        time_segment=seg)
         l, g = jax.value_and_grad(loss)(p)
         # fold the grad back so donation keeps buffers warm
         return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), l
@@ -53,31 +58,37 @@ def main():
     args = ap.parse_args()
 
     out = {"T": args.T}
-    cases = [("d64_full", CMPSConfig(bond_dim=64, minibatch_size=8), 8,
-              64, ["highest", "high"])]
+    # (case, cfg, B, rank_chunk, [(precision, stream, time_segment,
+    #  variant-suffix)])
+    cases = [("d64_full", CMPSConfig(bond_dim=64, minibatch_size=8), 8, 64,
+              [("highest", False, None, "base"),
+               ("highest", True, None, "stream"),
+               ("high", False, None, "base"),
+               ("high", True, None, "stream")])]
     if not args.skip_d256:
-        cases.append(("d256_full", CMPSConfig(bond_dim=256,
-                                              minibatch_size=8), 8,
-                      64, ["high"]))
-    for name, cfg, B, rank_chunk, precisions in cases:
+        cases.append(
+            ("d256_full", CMPSConfig(bond_dim=256, minibatch_size=8), 8, 64,
+             [("high", False, None, "base"),
+              ("high", True, 2048, "streamseg"),
+              ("high", False, 2048, "baseseg")]))
+    for name, cfg, B, rank_chunk, variants in cases:
         params = init_rho(jax.random.PRNGKey(0), cfg)
         sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
                                 cfg.delta_t)
-        for prec in precisions:
-            for stream in (False, True):
-                key = f"{name}_{prec}_{'stream' if stream else 'base'}"
-                print(f"case {key}", flush=True)
-                try:
-                    ms, loss = time_case(cfg, params, sig,
-                                         rank_chunk=rank_chunk,
-                                         precision=prec, stream=stream,
-                                         iters=args.iters)
-                    out[key + "_ms"] = round(ms, 2)
-                    out[key + "_loss"] = round(loss, 5)
-                    print(f"  {ms:.2f} ms/step", flush=True)
-                except Exception as e:  # noqa: BLE001 — record and move on
-                    out[key + "_error"] = repr(e)[:200]
-                    print(f"  ERROR {e!r}", flush=True)
+        for prec, stream, seg, suffix in variants:
+            key = f"{name}_{prec}_{suffix}"
+            print(f"case {key}", flush=True)
+            try:
+                ms, loss = time_case(cfg, params, sig,
+                                     rank_chunk=rank_chunk,
+                                     precision=prec, stream=stream,
+                                     seg=seg, iters=args.iters)
+                out[key + "_ms"] = round(ms, 2)
+                out[key + "_loss"] = round(loss, 5)
+                print(f"  {ms:.2f} ms/step", flush=True)
+            except Exception as e:  # noqa: BLE001 — record and move on
+                out[key + "_error"] = repr(e)[:200]
+                print(f"  ERROR {e!r}", flush=True)
     print(json.dumps(out))
 
 
