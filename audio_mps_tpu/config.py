@@ -84,6 +84,17 @@ class CMPSConfig:
     # 0-7% faster fwd+bwd on v5e (biggest at small D where VPU work is a
     # larger fraction).
     defer_norm: bool = True
+    # Streamed-states kernels (the r4 backward restructure: the forward
+    # streams every per-step state to HBM, the backward drops its serial
+    # recompute chain for batched GEMMs — measured 1.18-1.35x on the full
+    # train step):
+    #   "auto" — on where supported AND the stream fits the measured-safe
+    #            HBM budget (ops/pallas_block.auto_stream);
+    #   "on"   — force wherever structurally supported (defer_norm block
+    #            kernels, tile-aligned lanes), SKIPPING the HBM budget —
+    #            oversubscribed streams can page catastrophically (~15x);
+    #   "off"  — never stream (the non-streamed fused kernels).
+    kernel_stream: str = "auto"
     # Latent-conditioned variant (models/latent.py — the working version of
     # the reference's follow_vae.py WIP): latent dimension, MLP width, KL
     # weight, and reconstruction loss ("log" = cMPS NLL, "quadratic" = the
@@ -113,6 +124,17 @@ class CMPSConfig:
             raise ValueError(
                 f"kernel_layout='block' requires bond_dim % 4 == 0,"
                 f" got bond_dim={self.bond_dim}")
+        if self.kernel_stream not in ("auto", "on", "off"):
+            raise ValueError(
+                f"kernel_stream must be 'auto', 'on', or 'off', got "
+                f"{self.kernel_stream!r}")
+        if self.kernel_stream == "on" and (
+                self.kernel_layout == "split" or self.bond_dim % 4 != 0
+                or not self.defer_norm):
+            raise ValueError(
+                "kernel_stream='on' requires the deferred-normalization "
+                "block kernels (kernel_layout in ('auto', 'block'), "
+                "bond_dim % 4 == 0, defer_norm=True)")
         if self.initial_rank is not None and self.initial_rank < 1:
             raise ValueError(
                 f"initial_rank must be >= 1 (or None for full rank), got "
@@ -164,6 +186,7 @@ _FIELD_TYPES = {
     "kernel_precision": str,
     "kernel_layout": str,
     "defer_norm": bool,
+    "kernel_stream": str,
     "latent_dim": int,
     "latent_hidden": int,
     "latent_beta": float,

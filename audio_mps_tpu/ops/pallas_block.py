@@ -751,7 +751,26 @@ def auto_stream(cfg: CMPSConfig, cols: int, T: int, defer_norm: bool,
     kernels at both precisions — the backward's serial recompute chain is
     replaced by batched GEMMs over the streamed states. OFF under
     interpret (CPU tests exercise it explicitly; small-column TPU configs
-    keep the non-streamed path)."""
+    keep the non-streamed path).
+
+    ``cfg.kernel_stream`` overrides: "off" never streams; "on" forces it
+    wherever structurally supported (raising where it is not), skipping
+    the HBM budget — oversubscribed streams can page catastrophically."""
+    mode = cfg.kernel_stream
+    if mode == "off":
+        return False
+    if mode == "on":
+        if not defer_norm:
+            raise ValueError(
+                "kernel_stream='on' requires defer_norm=True (the "
+                "streamed kernels implement the deferred-normalization "
+                "path only)")
+        if not interpret and cols % 128 != 0:
+            raise ValueError(
+                f"kernel_stream='on' needs tile-aligned lanes on TPU "
+                f"(columns % 128 == 0 — B for psi, B*rank for rho), got "
+                f"{cols}")
+        return True
     if not defer_norm or interpret:
         return False
     if cols % 128 != 0:

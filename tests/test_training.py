@@ -221,6 +221,46 @@ def test_kernel_knobs_ride_hparams_string():
     # gives tr(rho_0)=0), not resolved as "full rank" by falsy-or checks
     with pytest.raises(ValueError, match="initial_rank must be >= 1"):
         CMPSConfig().parse("initial_rank=0")
+    # kernel_stream knob: validation + the three auto_stream behaviors
+    from audio_mps_tpu.ops.pallas_block import (STREAM_HBM_LIMIT,
+                                                auto_stream)
+    with pytest.raises(ValueError, match="kernel_stream must be"):
+        CMPSConfig().parse("kernel_stream=yes")
+    with pytest.raises(ValueError, match="kernel_stream='on' requires"):
+        CMPSConfig().parse("kernel_stream=on,kernel_layout=split,"
+                           "bond_dim=64")
+    with pytest.raises(ValueError, match="kernel_stream='on' requires"):
+        CMPSConfig().parse("kernel_stream=on,defer_norm=false,bond_dim=64")
+    c_auto = CMPSConfig().parse("bond_dim=64")
+    c_on = CMPSConfig().parse("bond_dim=64,kernel_stream=on")
+    c_off = CMPSConfig().parse("bond_dim=64,kernel_stream=off")
+    # auto: budget-gated (interpret=False mimics TPU)
+    assert auto_stream(c_auto, 128, 1024, True, False) is True
+    big_T = STREAM_HBM_LIMIT // (8 * 64 * 128) + 1
+    assert auto_stream(c_auto, 128, big_T, True, False) is False
+    # off: never; on: skips the budget, raises where unsupported
+    assert auto_stream(c_off, 128, 1024, True, False) is False
+    assert auto_stream(c_on, 128, big_T, True, False) is True
+    with pytest.raises(ValueError, match="tile-aligned"):
+        auto_stream(c_on, 96, 1024, True, False)
+    with pytest.raises(ValueError, match="defer_norm"):
+        auto_stream(c_on, 128, 1024, False, False)
+    # end-to-end: kernel_stream=on routes stream=None through the
+    # streamed kernels (interpret mode), value-equal to off
+    import jax
+    import numpy as np
+    from audio_mps_tpu.data import damped_sine_batch
+    from audio_mps_tpu.models.params import init_psi
+    from audio_mps_tpu.ops.pallas_block import psi_nll_block_trainable
+    base = CMPSConfig(bond_dim=8, minibatch_size=4, kernel_stream="off")
+    p = init_psi(jax.random.PRNGKey(0), base)
+    sig = damped_sine_batch(jax.random.PRNGKey(1), 4, 33, base.delta_t)
+    l_off = psi_nll_block_trainable(p, base, sig, interpret=True,
+                                    defer_norm=True)
+    l_on = psi_nll_block_trainable(
+        p, dataclasses.replace(base, kernel_stream="on"), sig,
+        interpret=True, defer_norm=True)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
 
 
 def test_train_cli_data_parallel_mesh(tmp_path):
