@@ -24,8 +24,11 @@ from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
                                                   rho_nll_pipelined)
+from audio_mps_tpu.ops.pallas_block import rho_nll_block_trainable
+from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 from audio_mps_tpu.parallel.rank_parallel import (make_model_mesh,
-                                                  rho_nll_rank_sharded)
+                                                  rho_nll_rank_sharded,
+                                                  rho_nll_rank_sharded_fused)
 from audio_mps_tpu.parallel.time_pscan import (psi_nll_time_sharded,
                                                rho_nll_time_sharded)
 
@@ -96,6 +99,23 @@ def test_rho_nll_all_implementations_agree(bond_dim):
                 lambda: jax.jit(lambda: rho_nll_time_sharded(
                     params, cfg, data, mesh2, time_chunk=24,
                     batch_axis="data"))(),
+            "pallas_block_streamed_states":
+                lambda: rho_nll_block_trainable(params, cfg, data,
+                                                interpret=True,
+                                                defer_norm=True,
+                                                stream=True),
+            "rank_chunked_partials":
+                lambda: rho_nll_rank_chunked(params, cfg, data,
+                                             rank_chunk=bond_dim // 2,
+                                             interpret=True),
+            "rank_chunked_streamed":
+                lambda: rho_nll_rank_chunked(params, cfg, data,
+                                             rank_chunk=bond_dim // 2,
+                                             interpret=True, stream=True),
+            "rank_sharded_fused":
+                lambda: jax.jit(lambda: rho_nll_rank_sharded_fused(
+                    params, cfg, data, make_model_mesh(4),
+                    interpret=True))(),
         })
     _check({name: float(fn()) for name, fn in impls.items()})
 
