@@ -51,3 +51,5 @@ def test_dryrun_multichip_after_backend_init():
     # the DP x rank (strategy 6) branch gates on mesh shape — pin that it
     # actually executed on the 2x2 mesh
     assert "dp_rank_loss=" in res.stdout, res.stdout
+    # and the streamed rank-TP row (r4) rode the same sweep
+    assert "rank_fused_stream_loss=" in res.stdout, res.stdout
