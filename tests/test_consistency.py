@@ -18,13 +18,13 @@ from audio_mps_tpu.models import core, reference_transcription
 from audio_mps_tpu.models.params import init_psi, init_rho
 from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
                                            rho_nll_pallas_trainable)
-from audio_mps_tpu.ops.pallas_block import psi_nll_block_trainable
+from audio_mps_tpu.ops.pallas_block import (psi_nll_block_trainable,
+                                            rho_nll_block_trainable)
 from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
 from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
                                                   rho_nll_pipelined)
-from audio_mps_tpu.ops.pallas_block import rho_nll_block_trainable
 from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 from audio_mps_tpu.parallel.rank_parallel import (make_model_mesh,
                                                   rho_nll_rank_sharded,

@@ -247,9 +247,6 @@ def test_kernel_knobs_ride_hparams_string():
         auto_stream(c_on, 128, 1024, False, False)
     # end-to-end: kernel_stream=on routes stream=None through the
     # streamed kernels (interpret mode), value-equal to off
-    import jax
-    import numpy as np
-    from audio_mps_tpu.data import damped_sine_batch
     from audio_mps_tpu.models.params import init_psi
     from audio_mps_tpu.ops.pallas_block import psi_nll_block_trainable
     base = CMPSConfig(bond_dim=8, minibatch_size=4, kernel_stream="off")
