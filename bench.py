@@ -253,19 +253,40 @@ def main():
         params_p = init_rho(jax.random.PRNGKey(0), cfg_p)
         opt_p = make_optimizer(cfg_p)
 
-        def _ploss(params, sig):
-            return rho_nll_rank_chunked(params, cfg_p, sig, rank_chunk=D,
-                                        precision="highest")
+        def _make_pstep(stream):
+            def _ploss(params, sig):
+                return rho_nll_rank_chunked(params, cfg_p, sig,
+                                            rank_chunk=D,
+                                            precision="highest",
+                                            stream=stream)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def pstep(params, opt_state, sig):
-            loss, grads = jax.value_and_grad(_ploss)(params, sig)
-            updates, opt_state = opt_p.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state,
-                    {"model_loss": loss})
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def pstep(params, opt_state, sig):
+                loss, grads = jax.value_and_grad(_ploss)(params, sig)
+                updates, opt_state = opt_p.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        {"model_loss": loss})
+            return pstep
 
-        t_part = time_train_step(pstep, params_p, opt_p.init(params_p),
-                                 batch, iters)
+        # auto (streamed-states where gated on); if the streamed kernel
+        # fails on this backend, fall back to the RANKBENCH_r04-validated
+        # non-streamed partials rather than losing the row. Each attempt
+        # gets a REAL params copy — the donated step deletes its inputs.
+        def _fresh():
+            return jax.tree.map(lambda a: jnp.array(a, copy=True),
+                                params_p)
+
+        try:
+            p0 = _fresh()
+            t_part = time_train_step(_make_pstep(None), p0,
+                                     opt_p.init(p0), batch, iters)
+            detail["rank_partials_stream"] = "auto"
+        except Exception as e:
+            detail["rank_partials_stream_error"] = str(e)[:120]
+            p0 = _fresh()
+            t_part = time_train_step(_make_pstep(False), p0,
+                                     opt_p.init(p0), batch, iters)
+            detail["rank_partials_stream"] = "off"
         detail["train_step_ms_rho_rank_partials"] = round(t_part * 1e3, 2)
         detail["rank_partials_vs_xla"] = round(t_xla / t_part, 2)
     except Exception as e:
