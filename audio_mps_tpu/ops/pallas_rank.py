@@ -543,6 +543,47 @@ def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
 SEGMENT_CK_BUDGET = 1 << 30
 
 
+def auto_time_segment(cfg: CMPSConfig, D2: int, BR: int, n_blocks: int,
+                      unroll: int, *, stream: Optional[bool],
+                      interpret: bool, hbm_groups: int) -> Optional[int]:
+    """Resolve time_segment=None: steps per kernel call, or None to run
+    the whole sequence in one call.
+
+    Two budgets bound the per-call block count:
+      - SEGMENT_CK_BUDGET on the backward's block-entry checkpoints
+        (one [2D, BR] state per unroll block);
+      - when the streamed-states kernels are viable (auto mode, aligned
+        lanes, real TPU) but the WHOLE run's state stream would bust the
+        HBM budget, the segment is also bounded so ONE segment's stream
+        fits — auto_stream then enables streaming on the segmented run.
+        Measured (tools/rankstream_bench.py, D=256 full-rank chunked,
+        T=16385, v5e): segmentation itself is free (baseseg == base
+        within noise) and the streamed backward then wins 1.15x, so a
+        stream-fitting segment beats a larger unstreamed one.
+
+    Prefers an even division (no tail padding) when a divisor of
+    n_blocks lands within 2x of the budget; a prime-ish n_blocks falls
+    back to the raw budget with tail padding."""
+    blocks_budget = max(1, SEGMENT_CK_BUDGET // (D2 * BR * 4))
+    if (stream is None and cfg.kernel_stream == "auto"
+            and not interpret and BR % 128 == 0):
+        from .pallas_block import STREAM_HBM_LIMIT
+        per_step = D2 * BR * 4
+        groups = max(1, hbm_groups)
+        if per_step * (n_blocks * unroll + 1) * groups > STREAM_HBM_LIMIT:
+            stream_blocks = int((STREAM_HBM_LIMIT // per_step - 1)
+                                // unroll)
+            if stream_blocks >= 1:
+                blocks_budget = min(blocks_budget, stream_blocks)
+    if n_blocks <= blocks_budget:
+        return None
+    seg_pick = max((d for d in range(1, blocks_budget + 1)
+                    if n_blocks % d == 0), default=blocks_budget)
+    if 2 * seg_pick >= blocks_budget:
+        blocks_budget = seg_pick
+    return blocks_budget * unroll
+
+
 def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
                           unroll: Optional[int] = None,
                           interpret: Optional[bool] = None,
@@ -561,8 +602,11 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     Feed stacked groups to `combine_rank_partials` for the global NLL.
 
     `time_segment`: steps per kernel call (rounded up to a whole number
-    of unroll blocks); None auto-segments only when the checkpoint HBM
-    would exceed SEGMENT_CK_BUDGET. Segmentation is exact — the kernel
+    of unroll blocks); None auto-segments when the checkpoint HBM would
+    exceed SEGMENT_CK_BUDGET — or, when streaming is viable but the
+    whole run's state stream would bust the HBM budget, to a
+    stream-fitting segment so auto_stream can stay ON (auto_time_segment
+    has the measured rationale). Segmentation is exact — the kernel
     renormalizes at every block exit anyway, so segment boundaries are
     just block boundaries with the state carried through t_fin.
 
@@ -593,9 +637,9 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     n_blocks = max(1, -(-n_steps // unroll))
 
     if time_segment is None:
-        blocks_budget = max(1, SEGMENT_CK_BUDGET // (D2 * BR * 4))
-        if n_blocks > blocks_budget:
-            time_segment = blocks_budget * unroll
+        time_segment = auto_time_segment(
+            cfg, D2, BR, n_blocks, unroll, stream=stream,
+            interpret=bool(interpret), hbm_groups=hbm_groups)
     if time_segment is not None:
         seg_blocks = max(1, -(-time_segment // unroll))
         if seg_blocks >= n_blocks:

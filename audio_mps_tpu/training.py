@@ -58,20 +58,30 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                     # stays FUSED by splitting the purification rank into
                     # VMEM-fitting chunks (ops/pallas_rank.py — the rank
                     # rows evolve independently, so each chunk is exact).
-                    # Auto applies it only where it is measured faster
-                    # (RANKBENCH_r04.json, D=256 full-rank B=8): 1.9x for
-                    # bf16x3 "high", but 0.93x for 6-pass fp32 "highest"
-                    # (the chunked two-pass structure costs relatively
-                    # more there, and the XLA scan is already MXU-bound).
+                    # Measured (tools/rankstream_bench.py, D=256
+                    # full-rank B=8, T=16385, value+grad): bf16x3 "high"
+                    # streamed-chunked is 2.2x the XLA scan; fp32
+                    # "highest" streamed-chunked 8084 ms vs XLA 8562
+                    # (1.06x) while the NON-streamed chunk is 0.93x —
+                    # so auto uses the chunked kernel whenever the
+                    # streamed-states path is viable (aligned lanes,
+                    # kernel_stream not "off"; auto_time_segment bounds
+                    # each segment so its stream fits HBM), and at
+                    # "highest" falls back to XLA only when it is not.
                     # An EXPLICIT fused=True still gets the chunked
-                    # kernel at any precision.
+                    # kernel in every case.
                     from .ops.pallas_block import supports_block
                     from .ops.pallas_rank import (rank_chunk_for,
                                                   rho_nll_rank_chunked)
                     chunk = (rank_chunk_for(cfg, signals.shape[0], rank)
                              if supports_block(cfg) else None)
+                    stream_ok = (
+                        chunk is not None
+                        and cfg.kernel_stream != "off"
+                        and (signals.shape[0] * chunk) % 128 == 0)
                     if chunk is not None and (
-                            explicit or cfg.kernel_precision != "highest"):
+                            explicit or stream_ok
+                            or cfg.kernel_precision != "highest"):
                         return rho_nll_rank_chunked(
                             params, cfg, signals, rank_chunk=chunk,
                             precision=cfg.kernel_precision)
@@ -79,11 +89,14 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                         import warnings
                         warnings.warn(
                             f"bond_dim={cfg.bond_dim} exceeds the fused "
-                            f"single-kernel VMEM ceiling; using the XLA "
-                            f"scan — measured faster than rank-chunking "
-                            f"for kernel_precision='highest' "
-                            f"(RANKBENCH_r04.json). fused=True forces "
-                            f"the chunked kernel.")
+                            f"single-kernel VMEM ceiling and the "
+                            f"streamed-states path is unavailable "
+                            f"(kernel_stream='off' or B*rank_chunk % 128 "
+                            f"!= 0); using the XLA scan — the NON-"
+                            f"streamed chunked kernel is measured slower "
+                            f"at kernel_precision='highest' "
+                            f"(tools/rankstream_bench.py). fused=True "
+                            f"forces the chunked kernel.")
                         return xla_fn(params, cfg, signals)
                 msg = (f"fused kernels exceed the VMEM ceiling at "
                        f"bond_dim={cfg.bond_dim}, B={signals.shape[0]}, "

@@ -153,10 +153,13 @@ def test_vmem_ceiling_guard():
 
 def test_beyond_ceiling_precision_gate():
     """Beyond the single-kernel VMEM ceiling (full-rank rho D=256 B=8)
-    auto-fused applies rank chunking only where it is measured faster
-    (RANKBENCH_r04.json): bf16x3 "high" -> chunked kernel (1.9x), fp32
-    "highest" -> XLA scan (chunked measured 0.93x). An explicit
-    fused=True still forces the chunked kernel at any precision."""
+    auto-fused stays on the chunked kernel whenever the streamed-states
+    path is viable — measured (tools/rankstream_bench.py, T=16385,
+    value+grad): "high" streamed-chunked 2.2x the XLA scan, "highest"
+    streamed-chunked 1.06x while NON-streamed is 0.93x. So fp32
+    "highest" falls back to XLA only when streaming is unavailable
+    (kernel_stream='off' or unaligned lanes). An explicit fused=True
+    still forces the chunked kernel in every case."""
     import dataclasses
     import warnings as warnings_mod
 
@@ -168,6 +171,7 @@ def test_beyond_ceiling_precision_gate():
     cfg_hi = CMPSConfig(bond_dim=256, minibatch_size=8, scan_chunk=0,
                         kernel_precision="highest")
     cfg_h3 = dataclasses.replace(cfg_hi, kernel_precision="high")
+    cfg_off = dataclasses.replace(cfg_hi, kernel_stream="off")
     params = init_rho(jax.random.PRNGKey(0), cfg_hi)
     data = damped_sine_batch(jax.random.PRNGKey(1), 8, 3, cfg_hi.delta_t)
     ref = float(nll_fn_for("rho_mps", fused=False)(params, cfg_hi, data))
@@ -179,9 +183,19 @@ def test_beyond_ceiling_precision_gate():
     finally:
         training_mod._on_tpu = orig
 
-    with pytest.warns(UserWarning, match="measured faster"):
+    # "highest" with streaming viable (B*chunk = 512 aligned, stream
+    # auto): chunked kernel, NO XLA fallback
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
         v_hi = float(auto_nll(params, cfg_hi, data))
+    assert not [w for w in caught if "XLA scan" in str(w.message)], \
+        "highest + viable streaming must use the chunked kernel"
     np.testing.assert_allclose(v_hi, ref, rtol=1e-6)
+
+    # "highest" with kernel_stream='off': XLA fallback with the warning
+    with pytest.warns(UserWarning, match="measured slower"):
+        v_off = float(auto_nll(params, cfg_off, data))
+    np.testing.assert_allclose(v_off, ref, rtol=1e-6)
 
     with warnings_mod.catch_warnings(record=True) as caught:
         warnings_mod.simplefilter("always")

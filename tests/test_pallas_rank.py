@@ -278,3 +278,44 @@ def test_time_segmented_matches_unsegmented(time_segment):
     g_ref = jax.grad(lambda p: core.rho_nll_factor(p, CFG, sig))(params)
     g_seg = jax.grad(fn)(params)
     _assert_grads_close(g_ref, g_seg)
+
+
+def test_auto_time_segment_decision():
+    """The time_segment=None resolver (auto_time_segment): checkpoint
+    budget, the stream-fitting bound (measured winner at D=256 —
+    tools/rankstream_bench.py), divisor preference, and its gates."""
+    from audio_mps_tpu.ops.pallas_rank import (SEGMENT_CK_BUDGET,
+                                               auto_time_segment)
+    cfg = CMPSConfig(bond_dim=256, minibatch_size=8)
+    # D=256 chunk=64 shapes: D2=512, BR=512 -> 1 MiB per block/step
+    kw = dict(stream=None, interpret=False, hbm_groups=4)
+
+    # the real D=256 T=16385 auto case (unroll=2 from auto_unroll):
+    # ck budget 1024 blocks binds, 1024 | 8192 -> seg = 2048 steps,
+    # whose per-segment stream (~2.1 GB) fits -> streaming stays ON
+    assert auto_time_segment(cfg, 512, 512, 8192, 2, **kw) == 2048
+
+    # larger unroll: the STREAM bound binds below the ck budget
+    # (stream_blocks = (6*1024-1)//8 = 767 < 1024) and the divisor
+    # preference lands on 512 | 2048 -> seg = 4096 steps
+    assert auto_time_segment(cfg, 512, 512, 2048, 8, **kw) == 4096
+
+    # stream gates OFF -> checkpoint budget alone (1024 | 2048)
+    off = CMPSConfig(bond_dim=256, minibatch_size=8, kernel_stream="off")
+    assert auto_time_segment(off, 512, 512, 2048, 8, **kw) == 8192
+    assert auto_time_segment(cfg, 512, 512, 2048, 8, stream=None,
+                             interpret=True, hbm_groups=4) == 8192
+    # unaligned lanes can't stream -> ck budget alone (2048 blocks of
+    # 500 lanes: ck budget = 1 GiB // (512*500*4) = 1048 -> divisor 1024)
+    assert auto_time_segment(cfg, 512, 500, 2048, 8, stream=None,
+                             interpret=False, hbm_groups=4) == 8192
+    # explicit stream=False skips the stream bound too
+    assert auto_time_segment(cfg, 512, 512, 2048, 8, stream=False,
+                             interpret=False, hbm_groups=4) == 8192
+
+    # everything under budget -> no segmentation
+    assert auto_time_segment(cfg, 512, 512, 16, 8, **kw) is None
+
+    # prime-ish n_blocks: no divisor within 2x of the budget -> raw
+    # budget with tail padding
+    assert auto_time_segment(off, 512, 512, 1031, 8, **kw) == 8192

@@ -25,13 +25,21 @@ from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 
 
 def time_case(cfg, params, sig, *, rank_chunk, precision, stream, seg,
-              iters):
+              iters, xla=False):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(p, s):
-        def loss(q):
-            return rho_nll_rank_chunked(q, cfg, s, rank_chunk=rank_chunk,
-                                        precision=precision, stream=stream,
-                                        time_segment=seg)
+        if xla:
+            # the auto-gate's fallback path (training.nll_fn_for):
+            # chunked-remat XLA scan over the purification factor
+            from audio_mps_tpu.models.core import rho_nll_factor
+            loss = lambda q: rho_nll_factor(q, cfg, s)
+        else:
+            def loss(q):
+                return rho_nll_rank_chunked(q, cfg, s,
+                                            rank_chunk=rank_chunk,
+                                            precision=precision,
+                                            stream=stream,
+                                            time_segment=seg)
         l, g = jax.value_and_grad(loss)(p)
         # fold the grad back so donation keeps buffers warm
         return jax.tree.map(lambda a, b: a - 0.0 * b, p, g), l
@@ -55,6 +63,10 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--T", type=int, default=16385)
     ap.add_argument("--skip_d256", action="store_true")
+    # serialize big cases into fresh processes: a process that already ran
+    # a multi-GB-stream kernel can leave HBM pressure that makes a later
+    # large jit page catastrophically (CLAUDE.md r4 stream-scaling caveat)
+    ap.add_argument("--only", choices=["d64", "d256"], default=None)
     args = ap.parse_args()
 
     out = {"T": args.T}
@@ -70,7 +82,20 @@ def main():
             ("d256_full", CMPSConfig(bond_dim=256, minibatch_size=8), 8, 64,
              [("high", False, None, "base"),
               ("high", True, 2048, "streamseg"),
-              ("high", False, 2048, "baseseg")]))
+              ("high", False, 2048, "baseseg"),
+              # does streaming flip the fp32 "highest" auto decision?
+              # (RANKBENCH_r04: non-streamed chunked fp32 was 0.93x the
+              # XLA scan, so auto stays on XLA at "highest" — a >=1.2x
+              # stream win would put the fused path ahead)
+              ("highest", False, None, "base"),
+              ("highest", True, 2048, "streamseg"),
+              # the auto-gate's comparison point at the SAME (T, B,
+              # value+grad) semantics
+              ("highest", False, None, "xla")]))
+    if args.only == "d64":
+        cases = [c for c in cases if c[0] == "d64_full"]
+    elif args.only == "d256":
+        cases = [c for c in cases if c[0] == "d256_full"]
     for name, cfg, B, rank_chunk, variants in cases:
         params = init_rho(jax.random.PRNGKey(0), cfg)
         sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
@@ -82,7 +107,8 @@ def main():
                 ms, loss = time_case(cfg, params, sig,
                                      rank_chunk=rank_chunk,
                                      precision=prec, stream=stream,
-                                     seg=seg, iters=args.iters)
+                                     seg=seg, iters=args.iters,
+                                     xla=(suffix == "xla"))
                 out[key + "_ms"] = round(ms, 2)
                 out[key + "_loss"] = round(loss, 5)
                 print(f"  {ms:.2f} ms/step", flush=True)
