@@ -66,7 +66,8 @@ def main():
     # serialize big cases into fresh processes: a process that already ran
     # a multi-GB-stream kernel can leave HBM pressure that makes a later
     # large jit page catastrophically (CLAUDE.md r4 stream-scaling caveat)
-    ap.add_argument("--only", choices=["d64", "d256"], default=None)
+    ap.add_argument("--only", choices=["d64", "d256", "d256_shard64"],
+                    default=None)
     args = ap.parse_args()
 
     out = {"T": args.T}
@@ -92,10 +93,23 @@ def main():
               # the auto-gate's comparison point at the SAME (T, B,
               # value+grad) semantics
               ("highest", False, None, "xla")]))
+        # the fused rank-TP per-chip shard shape: D=256 with a rank-64
+        # local factor (what each of 4 chips owns under --mesh=rank:4)
+        cases.append(
+            ("d256_shard64",
+             CMPSConfig(bond_dim=256, minibatch_size=8, initial_rank=64),
+             8, 64,
+             [("highest", False, None, "base"),
+              ("highest", None, None, "auto"),
+              ("high", False, None, "base"),
+              ("high", None, None, "auto"),
+              ("highest", False, None, "xla")]))
     if args.only == "d64":
         cases = [c for c in cases if c[0] == "d64_full"]
     elif args.only == "d256":
         cases = [c for c in cases if c[0] == "d256_full"]
+    elif args.only == "d256_shard64":
+        cases = [c for c in cases if c[0] == "d256_shard64"]
     for name, cfg, B, rank_chunk, variants in cases:
         params = init_rho(jax.random.PRNGKey(0), cfg)
         sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
