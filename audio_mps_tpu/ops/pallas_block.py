@@ -2147,7 +2147,12 @@ def psi_sample_block(params, cfg: CMPSConfig, noise, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, N), lambda i: (i, 0)),
             _full((2 * D, N)),
@@ -2260,7 +2265,12 @@ def rho_sample_block(params, cfg: CMPSConfig, noise, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
             _full((2 * D, NR)),
@@ -2356,7 +2366,12 @@ def psi_nll_block(params, cfg: CMPSConfig, signals, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
             _full((2 * D, B)),

@@ -565,7 +565,11 @@ def auto_time_segment(cfg: CMPSConfig, D2: int, BR: int, n_blocks: int,
     n_blocks lands within 2x of the budget; a prime-ish n_blocks falls
     back to the raw budget with tail padding."""
     blocks_budget = max(1, SEGMENT_CK_BUDGET // (D2 * BR * 4))
-    if (stream is None and cfg.kernel_stream == "auto"
+    # kernel_stream="on" forces streaming wherever structurally
+    # supported; with time_segment left to us, bounding the segment so
+    # the stream fits is strictly better than letting a forced
+    # over-budget stream page (the documented 15x paging caveat)
+    if (stream is None and cfg.kernel_stream in ("auto", "on")
             and not interpret and BR % 128 == 0):
         from .pallas_block import STREAM_HBM_LIMIT
         per_step = D2 * BR * 4

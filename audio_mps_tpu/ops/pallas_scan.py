@@ -244,7 +244,12 @@ def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, B), lambda i: (i, 0)),
             _full((D, B)), _full((D, B)),
@@ -431,7 +436,12 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, BR), lambda i: (i, 0)),
             _full((D, BR)), _full((D, BR)),
@@ -602,7 +612,12 @@ def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, N), lambda i: (i, 0)),
             _full((D, N)), _full((D, N)),
@@ -734,7 +749,12 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
         kernel,
         grid=(n_blocks,),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raised scoped-VMEM ceiling, same as the trainable kernels:
+            # the default 16 MiB stops the fused samplers at large D*cols
+            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
+            # compiles and runs cleanly)
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
             _full((D, NR)), _full((D, NR)),

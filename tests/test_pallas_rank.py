@@ -303,6 +303,11 @@ def test_auto_time_segment_decision():
     # stream gates OFF -> checkpoint budget alone (1024 | 2048)
     off = CMPSConfig(bond_dim=256, minibatch_size=8, kernel_stream="off")
     assert auto_time_segment(off, 512, 512, 2048, 8, **kw) == 8192
+
+    # kernel_stream="on" (forced stream, segment left to us): the
+    # stream-fitting bound applies too — better than paging
+    on = CMPSConfig(bond_dim=256, minibatch_size=8, kernel_stream="on")
+    assert auto_time_segment(on, 512, 512, 2048, 8, **kw) == 4096
     assert auto_time_segment(cfg, 512, 512, 2048, 8, stream=None,
                              interpret=True, hbm_groups=4) == 8192
     # unaligned lanes can't stream -> ck budget alone (2048 blocks of
