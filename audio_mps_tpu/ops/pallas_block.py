@@ -66,6 +66,15 @@ from ..models.cell import make_constants
 from .pallas_grad import auto_unroll
 from .pallas_scan import _full, _on_tpu, _pad_rows, rho_factor_inputs
 
+# Shared by every FORWARD-ONLY pallas_call in this module (SDE samplers
+# and forward-only NLL): raised scoped-VMEM ceiling matching the
+# trainable kernels' 100 MiB. At the default 16 MiB large D*cols configs
+# die in a clean scoped-VMEM OOM (measured r4: the full-rank rho D=256
+# N=4 sampler needs 31.7 MiB and runs cleanly once raised).
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary",),
+    vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _dot(a, b, precision="highest"):
     return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -2146,13 +2155,7 @@ def psi_sample_block(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, N), lambda i: (i, 0)),
             _full((2 * D, N)),
@@ -2264,13 +2267,7 @@ def rho_sample_block(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
             _full((2 * D, NR)),
@@ -2365,13 +2362,7 @@ def psi_nll_block(params, cfg: CMPSConfig, signals, *,
     loss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((1, unroll, B), lambda i: (i, 0, 0)),
             _full((2 * D, B)),

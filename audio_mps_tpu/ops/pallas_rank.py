@@ -524,6 +524,21 @@ def partials_supported(cfg: CMPSConfig, batch: int, r_loc: int) -> bool:
         <= PARTIALS_VMEM_LIMIT
 
 
+def chunked_stream_viable(cfg: CMPSConfig, batch: int,
+                          rank_chunk: int) -> bool:
+    """Will the streamed-states path engage for a rank-chunked run with
+    stream/time_segment left to auto (on a real TPU)? Mirrors the
+    structural gates auto_time_segment / pallas_block.auto_stream apply
+    (stream mode, defer_norm, lane alignment); the HBM budgets are
+    satisfied by auto segmentation whenever >= 2 unroll blocks exist, so
+    they are not re-checked here. training.nll_fn_for consults this to
+    decide whether beyond-ceiling fp32 'highest' stays on the chunked
+    kernel (measured faster than the XLA scan only when streamed —
+    tools/rankstream_bench.py) or falls back to the XLA scan."""
+    return (cfg.kernel_stream != "off" and cfg.defer_norm
+            and (batch * rank_chunk) % 128 == 0)
+
+
 def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
     """Largest divisor of `rank` whose partials kernel fits VMEM (None if
     even a single row does not fit — then only bond-dim reduction helps)."""
@@ -578,7 +593,16 @@ def auto_time_segment(cfg: CMPSConfig, D2: int, BR: int, n_blocks: int,
             stream_blocks = int((STREAM_HBM_LIMIT // per_step - 1)
                                 // unroll)
             if stream_blocks >= 1:
-                blocks_budget = min(blocks_budget, stream_blocks)
+                cap = stream_blocks
+                if groups > 1 and n_blocks >= 2:
+                    # the COMBINED sibling-chunk streams bust the budget
+                    # even when one chunk's whole-run stream would fit:
+                    # force >= 2 checkpointed segments so only one
+                    # segment's stream is ever live (groups collapse to
+                    # 1 under segmentation — see the stream resolution
+                    # in rho_nll_rank_partials)
+                    cap = min(cap, max(1, n_blocks // 2))
+                blocks_budget = min(blocks_budget, cap)
     if n_blocks <= blocks_budget:
         return None
     seg_pick = max((d for d in range(1, blocks_budget + 1)

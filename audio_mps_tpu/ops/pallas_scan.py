@@ -47,6 +47,15 @@ from ..config import CMPSConfig
 from ..models import core
 from ..models.cell import make_constants
 
+# Shared by every FORWARD-ONLY pallas_call in this module (SDE samplers
+# and forward-only NLL): raised scoped-VMEM ceiling matching the
+# trainable kernels' 100 MiB. At the default 16 MiB large D*cols configs
+# die in a clean scoped-VMEM OOM (measured r4: the full-rank rho D=256
+# N=4 sampler needs 31.7 MiB and runs cleanly once raised).
+_FWD_COMPILER_PARAMS = pltpu.CompilerParams(
+    dimension_semantics=("arbitrary",),
+    vmem_limit_bytes=100 * 1024 * 1024)
+
 # Steps per grid iteration (statically unrolled in the kernel body).
 DEFAULT_UNROLL = 16
 
@@ -243,13 +252,7 @@ def psi_nll_pallas(params, cfg: CMPSConfig, signals, *,
     loss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, B), lambda i: (i, 0)),
             _full((D, B)), _full((D, B)),
@@ -435,13 +438,7 @@ def rho_nll_pallas(params, cfg: CMPSConfig, signals, *,
     loss = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, BR), lambda i: (i, 0)),
             _full((D, BR)), _full((D, BR)),
@@ -611,13 +608,7 @@ def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, N), lambda i: (i, 0)),
             _full((D, N)), _full((D, N)),
@@ -748,13 +739,7 @@ def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
     wave = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            # raised scoped-VMEM ceiling, same as the trainable kernels:
-            # the default 16 MiB stops the fused samplers at large D*cols
-            # (measured: full-rank rho D=256 N=4 needs 31.7 MiB and then
-            # compiles and runs cleanly)
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_FWD_COMPILER_PARAMS,
         in_specs=[
             pl.BlockSpec((unroll, NR), lambda i: (i, 0)),
             _full((D, NR)), _full((D, NR)),

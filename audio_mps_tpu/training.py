@@ -71,14 +71,13 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                     # An EXPLICIT fused=True still gets the chunked
                     # kernel in every case.
                     from .ops.pallas_block import supports_block
-                    from .ops.pallas_rank import (rank_chunk_for,
+                    from .ops.pallas_rank import (chunked_stream_viable,
+                                                  rank_chunk_for,
                                                   rho_nll_rank_chunked)
                     chunk = (rank_chunk_for(cfg, signals.shape[0], rank)
                              if supports_block(cfg) else None)
-                    stream_ok = (
-                        chunk is not None
-                        and cfg.kernel_stream != "off"
-                        and (signals.shape[0] * chunk) % 128 == 0)
+                    stream_ok = chunk is not None and chunked_stream_viable(
+                        cfg, signals.shape[0], chunk)
                     if chunk is not None and (
                             explicit or stream_ok
                             or cfg.kernel_precision != "highest"):
@@ -91,8 +90,9 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                             f"bond_dim={cfg.bond_dim} exceeds the fused "
                             f"single-kernel VMEM ceiling and the "
                             f"streamed-states path is unavailable "
-                            f"(kernel_stream='off' or B*rank_chunk % 128 "
-                            f"!= 0); using the XLA scan — the NON-"
+                            f"(kernel_stream='off', defer_norm=False, or "
+                            f"B*rank_chunk % 128 != 0); using the XLA "
+                            f"scan — the NON-"
                             f"streamed chunked kernel is measured slower "
                             f"at kernel_precision='highest' "
                             f"(tools/rankstream_bench.py). fused=True "

@@ -284,8 +284,7 @@ def test_auto_time_segment_decision():
     """The time_segment=None resolver (auto_time_segment): checkpoint
     budget, the stream-fitting bound (measured winner at D=256 —
     tools/rankstream_bench.py), divisor preference, and its gates."""
-    from audio_mps_tpu.ops.pallas_rank import (SEGMENT_CK_BUDGET,
-                                               auto_time_segment)
+    from audio_mps_tpu.ops.pallas_rank import auto_time_segment
     cfg = CMPSConfig(bond_dim=256, minibatch_size=8)
     # D=256 chunk=64 shapes: D2=512, BR=512 -> 1 MiB per block/step
     kw = dict(stream=None, interpret=False, hbm_groups=4)
@@ -321,6 +320,30 @@ def test_auto_time_segment_decision():
     # everything under budget -> no segmentation
     assert auto_time_segment(cfg, 512, 512, 16, 8, **kw) is None
 
+    # COMBINED sibling-chunk streams bust the budget while one chunk's
+    # whole-run stream would fit (n_blocks=1024, unroll=2: single stream
+    # ~2 GiB, x4 groups ~8 GiB): force >= 2 checkpointed segments so
+    # only one segment's stream is live -> seg = 512 blocks = 1024 steps
+    assert auto_time_segment(cfg, 512, 512, 1024, 2, **kw) == 1024
+    # ...but with one group the same shape needs no segmentation
+    assert auto_time_segment(cfg, 512, 512, 1024, 2, stream=None,
+                             interpret=False, hbm_groups=1) is None
+
     # prime-ish n_blocks: no divisor within 2x of the budget -> raw
     # budget with tail padding
     assert auto_time_segment(off, 512, 512, 1031, 8, **kw) == 8192
+
+
+def test_chunked_stream_viable_predicate():
+    """The gate training.nll_fn_for consults for beyond-ceiling
+    'highest': structural streaming viability of the auto chunked path."""
+    import dataclasses
+
+    from audio_mps_tpu.ops.pallas_rank import chunked_stream_viable
+    cfg = CMPSConfig(bond_dim=256, minibatch_size=8)
+    assert chunked_stream_viable(cfg, 8, 64)            # 512 aligned lanes
+    assert not chunked_stream_viable(cfg, 8, 60)        # unaligned
+    assert not chunked_stream_viable(
+        dataclasses.replace(cfg, kernel_stream="off"), 8, 64)
+    assert not chunked_stream_viable(
+        dataclasses.replace(cfg, defer_norm=False), 8, 64)

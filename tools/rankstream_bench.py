@@ -73,11 +73,14 @@ def main():
     out = {"T": args.T}
     # (case, cfg, B, rank_chunk, [(precision, stream, time_segment,
     #  variant-suffix)])
+    if args.skip_d256 and args.only in ("d256", "d256_shard64"):
+        ap.error(f"--skip_d256 conflicts with --only {args.only}")
     cases = [("d64_full", CMPSConfig(bond_dim=64, minibatch_size=8), 8, 64,
               [("highest", False, None, "base"),
                ("highest", True, None, "stream"),
                ("high", False, None, "base"),
-               ("high", True, None, "stream")])]
+               ("high", True, None, "stream"),
+               ("highest", False, None, "xla")])]
     if not args.skip_d256:
         cases.append(
             ("d256_full", CMPSConfig(bond_dim=256, minibatch_size=8), 8, 64,
