@@ -567,15 +567,22 @@ def _warn_high_downgrade(cfg: CMPSConfig):
 def psi_sample_pallas(params, cfg: CMPSConfig, noise, *,
                       unroll: int = DEFAULT_UNROLL,
                       interpret: Optional[bool] = None,
-                      precision: str = "highest",
+                      precision: Optional[str] = None,
                       layout: Optional[str] = None,
                       psi0_pair=None):
     """Waveforms [N, T] from noise [T, N] — fused SDE sampler (semantics of
     core.sample_psi_with_noise / reference model.py:242-251).
 
+    ``precision=None`` follows ``cfg.kernel_precision`` — a model trained
+    in the bf16x3 "high" mode samples in it too (at MXU-bound D the fused
+    sampler's win over the XLA scan IS the precision mode: D=256 N=8
+    measured 0.75x at 6-pass fp32 but 1.48x at bf16x3, r4).
+
     ``psi0_pair``: optional PER-EXAMPLE initial states ([N, D] real/imag
     pair) — used by the latent-conditioned family, whose decoder emits one
     psi_0 per sample (models/latent.py)."""
+    if precision is None:
+        precision = cfg.kernel_precision
     if _sampler_layout(cfg, layout) == "block":
         from .pallas_block import psi_sample_block
         return psi_sample_block(params, cfg, noise, unroll=unroll,
@@ -707,11 +714,14 @@ def _make_rho_sample_kernel(cfg: CMPSConfig, unroll: int, rank: int,
 def rho_sample_pallas(params, cfg: CMPSConfig, noise, *,
                       unroll: int = DEFAULT_UNROLL,
                       interpret: Optional[bool] = None,
-                      precision: str = "highest",
+                      precision: Optional[str] = None,
                       layout: Optional[str] = None):
     """Waveforms [N, T] from noise [T, N] — fused SDE sampler in
     purification-factor form (semantics of core.sample_rho_with_noise /
-    reference model.py:103-112)."""
+    reference model.py:103-112). ``precision=None`` follows
+    ``cfg.kernel_precision`` (see psi_sample_pallas)."""
+    if precision is None:
+        precision = cfg.kernel_precision
     if _sampler_layout(cfg, layout) == "block":
         from .pallas_block import rho_sample_block
         return rho_sample_block(params, cfg, noise, unroll=unroll,

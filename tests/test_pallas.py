@@ -85,3 +85,31 @@ def test_rho_nll_defer_norm_matches(rank):
     v2 = float(rho_nll_pallas(params, hp, _data(), unroll=32,
                               interpret=True, defer_norm=True))
     np.testing.assert_allclose(v2, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sampler_precision_follows_config():
+    """precision=None resolves to cfg.kernel_precision (a model trained
+    in the bf16x3 'high' mode samples in it too — r4: at MXU-bound D the
+    fused sampler's win over the XLA scan IS the precision mode). Pinned
+    via the split-fallback downgrade warning: D=12 is a valid block-
+    TRAINING config (D%4==0) whose sampler falls back to split (D%8!=0),
+    which warns iff the resolved precision is 'high'."""
+    import warnings as warnings_mod
+
+    cfg_hi = CMPSConfig(bond_dim=12, minibatch_size=2,
+                        kernel_precision="high")
+    params = init_psi(jax.random.PRNGKey(0), cfg_hi)
+    noise = 1e-3 * np.random.RandomState(0).randn(17, 2).astype(np.float32)
+    with pytest.warns(UserWarning, match="split fallback"):
+        w = psi_sample_pallas(params, cfg_hi, jax.numpy.asarray(noise),
+                              interpret=True)
+    assert np.all(np.isfinite(np.asarray(w)))
+
+    # default-precision config: no downgrade warning, same call
+    cfg_def = dataclasses.replace(cfg_hi, kernel_precision="highest")
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        w2 = psi_sample_pallas(params, cfg_def, jax.numpy.asarray(noise),
+                               interpret=True)
+    assert not [c for c in caught if "split fallback" in str(c.message)]
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2), atol=1e-6)
