@@ -109,6 +109,15 @@ def _sync(tree):
 
 
 def time_train_step(step, params, opt_state, batch, iters):
+    """Per-step time over `iters` back-to-back calls ending in a host
+    readback (the only true barrier on axon). NOTE (measured r4, device
+    trace + iters sweep): the FIRST dispatch after a blocking readback
+    pays the full ~19 ms tunnel round-trip — later queued calls hide it
+    — so the timed region carries a ~19 ms fixed cost. At iters=3 that
+    inflated every row ~6 ms/step (psi bf16x3 read 25.3 ms vs its real
+    back-to-back 18.8; the device timeline is gapless at 15.2). Use
+    iters >= ~8 for fused rows; slow reference rows (>0.4 s/step) can
+    stay at 2-3 (the distortion is <5% there)."""
     params, opt_state, out = step(params, opt_state, batch)
     _sync((params,))
     t0 = time.perf_counter()
@@ -182,7 +191,12 @@ def main():
     B = 8                      # the reference default batch
     B_wide = 32 if quick else 128   # throughput batch (fills the lanes)
     T = 4096 if quick else 16384
-    iters = 2 if quick else 3
+    # fused rows need iters >= ~8 to amortize the ~19 ms post-barrier
+    # first-dispatch cost (see time_train_step); the slow reference rows
+    # (transcription / XLA factor, 0.4-0.9 s/step) keep a small count —
+    # the distortion is <5% there and they dominate bench wall time
+    iters = 2 if quick else 10
+    iters_slow = 1 if quick else 3
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
     from audio_mps_tpu.ops.pallas_block import auto_stream
     from audio_mps_tpu.ops.pallas_scan import _on_tpu
@@ -192,14 +206,19 @@ def main():
     detail = {"bond_dim": D, "batch_headline": B_wide, "batch_ref": B,
               "T": T, "device": str(jax.devices()[0]),
               "peak_bf16_tflops": PEAK_BF16_TFLOPS,
-              "stream_headline": stream_head, "stream_rho": stream_rho}
+              "stream_headline": stream_head, "stream_rho": stream_rho,
+              # r4 harness fix: fused rows time 10 back-to-back calls
+              # (was 3) to amortize the ~19 ms post-barrier first-
+              # dispatch cost — earlier rounds' artifacts carry a ~6
+              # ms/step inflation on fast rows from it (time_train_step)
+              "timing_iters": iters, "timing_iters_slow": iters_slow}
 
     # --- HEADLINE: psi (reference default model) fused training at the
     # throughput batch, vs the lab-frame transcription at the same config.
     # The kernels run in the block-complex layout (ops/pallas_block.py,
     # cfg.kernel_layout="auto") at full fp32 ("highest") precision.
     t_head = bench_fused_train("psi_mps", D, B_wide, T, iters)
-    t_head_lab = bench_lab_train("psi_mps", D, B_wide, T, max(1, iters - 1))
+    t_head_lab = bench_lab_train("psi_mps", D, B_wide, T, iters_slow)
     frames_per_sec = B_wide * T / t_head
     head_tfs, head_mfu = _mfu(_train_flops_per_frame(D, 1, stream_head),
                               B_wide, T, t_head)
@@ -229,13 +248,13 @@ def main():
                                  precision="high")
     t_rho_bf = bench_fused_train("rho_mps", D, B, T, iters,
                                  precision="default")
-    t_rho_lab = bench_lab_train("rho_mps", D, B, T, max(1, iters - 1))
+    t_rho_lab = bench_lab_train("rho_mps", D, B, T, iters_slow)
     cfg_x = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
     params_x = init_rho(jax.random.PRNGKey(0), cfg_x)
     batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
     opt_x, xla_step = make_train_step("rho_mps", cfg_x, fused=False)
     t_xla = time_train_step(xla_step, params_x, opt_x.init(params_x), batch,
-                            iters)
+                            iters_slow)
 
     # --- rank-partials kernel (the fused-TP building block, r4): the
     # per-step [2,B] e/tr partials path that rank-sharded meshes psum —
