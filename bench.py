@@ -333,34 +333,42 @@ def main():
         "mfu_pct_rho_bf16": bf_mfu,
     })
 
-    # --- psi at D=128 (both precisions): pass latency grows with the
-    # [256,256] block operands, so MFU drops vs D=64 — tracked here so the
-    # large-D story rides the driver artifact (VERDICT r3 item 6)
+    # --- psi at D=128 (both precisions, two batch shapes). B=128 is the
+    # efficient shape: examples ride the 128 MXU lanes, so B=128 fills
+    # every pass AND lane-aligns the batched/streamed kernel gates —
+    # measured 92.1% MFU fp32 / 86.6% bf16x3 (r4 psibatch_bench). The
+    # B=64 row is kept for cross-round continuity and documents the
+    # misaligned-lane penalty (~42% MFU: half-empty passes + the
+    # non-batched, non-streamed kernel path the B % 128 gate forces).
+    # The r3 attribution "pass latency grows with the [256,256]
+    # operands" was WRONG — D=128 is near peak once lanes are full.
     if not quick:
-        try:
-            D_big, B_big = 128, 64
-            t_p128 = bench_fused_train("psi_mps", D_big, B_big, T,
-                                       max(1, iters - 1))
-            t_p128_h3 = bench_fused_train("psi_mps", D_big, B_big, T,
-                                          max(1, iters - 1),
-                                          precision="high")
-            stream_128 = auto_stream(CMPSConfig(bond_dim=D_big), B_big,
-                                     T, cfg.defer_norm, interp)
-            _, p128_mfu = _mfu(_train_flops_per_frame(D_big, 1, stream_128),
-                               B_big, T, t_p128)
-            _, p128_h3_mfu = _mfu(
-                _train_flops_per_frame(D_big, 1, stream_128), B_big, T,
-                t_p128_h3, precision="high")
-            detail.update({
-                f"train_step_ms_psi_D{D_big}_B{B_big}":
-                    round(t_p128 * 1e3, 2),
-                f"mfu_pct_psi_D{D_big}_B{B_big}": p128_mfu,
-                f"train_step_ms_psi_D{D_big}_B{B_big}_bf16x3":
-                    round(t_p128_h3 * 1e3, 2),
-                f"mfu_pct_psi_D{D_big}_B{B_big}_bf16x3": p128_h3_mfu,
-            })
-        except Exception as e:
-            detail["psi_d128_error"] = str(e)[:120]
+        D_big = 128
+        for B_big in (64, 128):
+            try:
+                t_p128 = bench_fused_train("psi_mps", D_big, B_big, T,
+                                           max(1, iters - 1))
+                t_p128_h3 = bench_fused_train("psi_mps", D_big, B_big, T,
+                                              max(1, iters - 1),
+                                              precision="high")
+                stream_128 = auto_stream(CMPSConfig(bond_dim=D_big), B_big,
+                                         T, cfg.defer_norm, interp)
+                _, p128_mfu = _mfu(
+                    _train_flops_per_frame(D_big, 1, stream_128),
+                    B_big, T, t_p128)
+                _, p128_h3_mfu = _mfu(
+                    _train_flops_per_frame(D_big, 1, stream_128), B_big, T,
+                    t_p128_h3, precision="high")
+                detail.update({
+                    f"train_step_ms_psi_D{D_big}_B{B_big}":
+                        round(t_p128 * 1e3, 2),
+                    f"mfu_pct_psi_D{D_big}_B{B_big}": p128_mfu,
+                    f"train_step_ms_psi_D{D_big}_B{B_big}_bf16x3":
+                        round(t_p128_h3 * 1e3, 2),
+                    f"mfu_pct_psi_D{D_big}_B{B_big}_bf16x3": p128_h3_mfu,
+                })
+            except Exception as e:
+                detail[f"psi_d128_B{B_big}_error"] = str(e)[:120]
 
     # --- psi at the reference batch (latency-bound, for scaling context)
     t_psi8 = bench_fused_train("psi_mps", D, B, T, iters)
