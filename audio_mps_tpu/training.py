@@ -52,6 +52,19 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
         def _nll(params, cfg, signals):
             from .ops.pallas_grad import fused_supported
             rank = rank_of(params)
+            cols = signals.shape[0] * rank
+            if cfg.bond_dim >= 128 and cols % 128 != 0:
+                # measured 2x+ penalty (PSIBATCH_r04.json): examples ride
+                # the MXU's 128 lanes, so misaligned columns half-fill
+                # every pass AND disqualify the batched/streamed kernels
+                import warnings
+                warnings.warn(
+                    f"bond_dim={cfg.bond_dim} with {cols} kernel lanes "
+                    f"(B for psi, B*rank for rho) is not a multiple of "
+                    f"128: MXU passes run partly empty and the "
+                    f"batched/streamed kernels are unavailable — "
+                    f"measured ~2x slower at D=128 (42% vs 92% MFU). "
+                    f"Prefer a lane count that is a multiple of 128.")
             if not fused_supported(cfg, signals.shape[0], rank):
                 if rank_chunked:
                     # beyond the single-kernel ceiling the rho family

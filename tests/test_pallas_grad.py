@@ -206,3 +206,35 @@ def test_beyond_ceiling_precision_gate():
 
     v_exp = float(nll_fn_for("rho_mps", fused=True)(params, cfg_hi, data))
     np.testing.assert_allclose(v_exp, ref, rtol=1e-5)
+
+
+def test_lane_misalignment_hint():
+    """At D>=128 with a lane count not a multiple of 128 the fused path
+    emits the measured-2x perf hint (PSIBATCH_r04.json: B=64 half-fills
+    the MXU's 128 lanes AND forces the non-batched, non-streamed
+    kernels — 42% vs 92% MFU at D=128); aligned shapes stay silent."""
+    import warnings as warnings_mod
+
+    import pytest
+
+    from audio_mps_tpu.config import CMPSConfig
+    from audio_mps_tpu.data import damped_sine_batch
+    from audio_mps_tpu.models.params import init_psi
+    from audio_mps_tpu.training import nll_fn_for
+
+    fn = nll_fn_for("psi_mps", fused=True)
+    cfg = CMPSConfig(bond_dim=128, minibatch_size=8, scan_chunk=4)
+    params = init_psi(jax.random.PRNGKey(0), cfg)
+    data = damped_sine_batch(jax.random.PRNGKey(1), 8, 9, cfg.delta_t)
+    with pytest.warns(UserWarning, match="multiple of.*128|128.*lanes"):
+        v = float(fn(params, cfg, data))
+    assert np.isfinite(v)
+
+    cfg_ok = CMPSConfig(bond_dim=128, minibatch_size=128, scan_chunk=4)
+    data_ok = damped_sine_batch(jax.random.PRNGKey(1), 128, 9,
+                                cfg_ok.delta_t)
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        v_ok = float(fn(params, cfg_ok, data_ok))
+    assert not [w for w in caught if "lanes" in str(w.message)]
+    assert np.isfinite(v_ok)
