@@ -95,6 +95,18 @@ class CMPSConfig:
     #            oversubscribed streams can page catastrophically (~15x);
     #   "off"  — never stream (the non-streamed fused kernels).
     kernel_stream: str = "auto"
+    # Lane padding for the fused PSI kernels when B is not a multiple of
+    # 128: a [2D, B] operand is hardware-padded to a full 128-lane tile
+    # anyway, so padding B up to 128k executes the SAME MXU passes while
+    # unlocking the streamed-states kernels (measured: D=128 B=64 padded
+    # runs 1.24-1.29x FASTER in absolute time than unpadded,
+    # PSIBATCH_r04.json). Dummy lanes carry zero signals; per-example
+    # losses are sliced back, values and grads exact.
+    #   "auto" — pad on real TPU when the padded shape streams within the
+    #            HBM budget (ops/pallas_block.auto_pad_cols);
+    #   "on"   — always pad to the next 128 multiple;
+    #   "off"  — never pad.
+    kernel_pad_lanes: str = "auto"
     # Latent-conditioned variant (models/latent.py — the working version of
     # the reference's follow_vae.py WIP): latent dimension, MLP width, KL
     # weight, and reconstruction loss ("log" = cMPS NLL, "quadratic" = the
@@ -128,6 +140,10 @@ class CMPSConfig:
             raise ValueError(
                 f"kernel_stream must be 'auto', 'on', or 'off', got "
                 f"{self.kernel_stream!r}")
+        if self.kernel_pad_lanes not in ("auto", "on", "off"):
+            raise ValueError(
+                f"kernel_pad_lanes must be 'auto', 'on', or 'off', got "
+                f"{self.kernel_pad_lanes!r}")
         if self.kernel_stream == "on" and (
                 self.kernel_layout == "split" or self.bond_dim % 4 != 0
                 or not self.defer_norm):

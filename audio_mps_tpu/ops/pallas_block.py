@@ -787,6 +787,45 @@ def auto_stream(cfg: CMPSConfig, cols: int, T: int, defer_norm: bool,
     return 8 * cfg.bond_dim * cols * T <= STREAM_HBM_LIMIT
 
 
+def auto_pad_cols(cfg: CMPSConfig, B: int, T: int, defer_norm: bool,
+                  interpret: bool) -> int:
+    """Resolve the PSI kernel lane count, padding B up to the next
+    multiple of 128 where that is measured faster (PSIBATCH_r04.json).
+
+    A [2D, B] operand with B < 128 is hardware-padded to a full lane
+    tile anyway, so the padded kernel executes the SAME MXU passes —
+    but tile-aligned lanes unlock the streamed-states kernels, whose
+    backward drops the serial recompute chain. Measured at D=128
+    T=16384: B=64 non-streamed 117.4/59.8 ms (fp32/bf16x3) vs the same
+    data padded to 128 streamed 90.9/48.3 ms — the padded step is
+    FASTER IN ABSOLUTE TIME despite computing dummy lanes. Dummy lanes
+    are zero signals from a zero state; the per-example loss rows are
+    sliced back to B, so values and gradients are exact (dummy-lane
+    cotangents are structurally zero).
+
+    ``cfg.kernel_pad_lanes``: "off" never pads; "on" always pads to the
+    next 128 multiple (works under interpret too — CPU tests exercise
+    the padded path); "auto" pads on real TPU when the padded shape
+    would stream within the HBM budget and still fit the fused-backward
+    VMEM ceiling."""
+    mode = cfg.kernel_pad_lanes
+    if mode == "off" or B % 128 == 0:
+        return B
+    Bp = -(-B // 128) * 128
+    if mode == "on":
+        return Bp
+    if interpret or not defer_norm:
+        return B
+    from .pallas_grad import fused_supported
+    if not fused_supported(cfg, Bp, rank=1):
+        return B
+    if not auto_stream(cfg, Bp, T, defer_norm, interpret):
+        # the padding win IS the streamed-kernel unlock; without it the
+        # padded step executes the same passes plus dummy-lane VPU work
+        return B
+    return Bp
+
+
 def _make_psi_fwd_kernel_stream(cfg: CMPSConfig, unroll: int,
                                 precision: str):
     """Deferred-normalization forward that STREAMS every post-step state
@@ -1200,7 +1239,8 @@ def psi_nll_block_trainable_from_state(params, cfg: CMPSConfig, signals,
             f"block layout requires bond_dim % 4 == 0, got {cfg.bond_dim}")
     cc = make_constants(params, cfg)
     B, T = signals.shape
-    unroll = auto_unroll(2 * cfg.bond_dim, B, unroll)
+    Bp = auto_pad_cols(cfg, B, T, defer_norm, interpret)
+    unroll = auto_unroll(2 * cfg.bond_dim, Bp, unroll)
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
@@ -1210,11 +1250,19 @@ def psi_nll_block_trainable_from_state(params, cfg: CMPSConfig, signals,
     pr0, pi0 = psi0_pair                              # [B, D]
     ab, bb, rb = _psi_block_constants(cc)
     t0 = _psi_block_t0(cc, pr0.T, pi0.T)
+    if Bp != B:
+        # dummy lanes: zero signal increments on a zero state — every
+        # per-step quantity is finite (norms clamp at norm_eps), the
+        # per-example loss rows are sliced back to B below, and the
+        # slice's VJP zeroes the dummy-lane cotangents, so values AND
+        # gradients are exact (pinned by tests)
+        se = jnp.pad(se, ((0, 0), (0, Bp - B)))
+        t0 = jnp.pad(t0, ((0, 0), (0, Bp - B)))
     if stream is None:
-        stream = auto_stream(cfg, B, T, defer_norm, interpret)
-    fused = _psi_block_factory(cfg, B, T, unroll, interpret, precision,
+        stream = auto_stream(cfg, Bp, T, defer_norm, interpret)
+    fused = _psi_block_factory(cfg, Bp, T, unroll, interpret, precision,
                                defer_norm, None, stream)
-    loss = fused(ab, bb, rb, t0, se)
+    loss = fused(ab, bb, rb, t0, se)[:B]
     return jnp.mean(loss) if reduce == "mean" else loss
 
 

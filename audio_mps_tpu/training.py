@@ -56,15 +56,27 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
             if cfg.bond_dim >= 128 and cols % 128 != 0:
                 # measured 2x+ penalty (PSIBATCH_r04.json): examples ride
                 # the MXU's 128 lanes, so misaligned columns half-fill
-                # every pass AND disqualify the batched/streamed kernels
+                # every pass AND disqualify the batched/streamed kernels.
+                # psi auto-pads its lanes where that is measured faster
+                # (ops/pallas_block.auto_pad_cols) — no warning then.
+                handled = False
+                if rank == 1 and not rank_chunked:   # psi family
+                    from .ops.pallas_block import (auto_pad_cols,
+                                                   supports_block)
+                    if supports_block(cfg):
+                        handled = auto_pad_cols(
+                            cfg, signals.shape[0], signals.shape[1],
+                            cfg.defer_norm, not _on_tpu()) % 128 == 0
                 import warnings
-                warnings.warn(
-                    f"bond_dim={cfg.bond_dim} with {cols} kernel lanes "
-                    f"(B for psi, B*rank for rho) is not a multiple of "
-                    f"128: MXU passes run partly empty and the "
-                    f"batched/streamed kernels are unavailable — "
-                    f"measured ~2x slower at D=128 (42% vs 92% MFU). "
-                    f"Prefer a lane count that is a multiple of 128.")
+                if not handled:
+                    warnings.warn(
+                        f"bond_dim={cfg.bond_dim} with {cols} kernel "
+                        f"lanes (B for psi, B*rank for rho) is not a "
+                        f"multiple of 128: MXU passes run partly empty "
+                        f"and the batched/streamed kernels are "
+                        f"unavailable — measured ~2x slower at D=128 "
+                        f"(42% vs 92% MFU). Prefer a lane count that is "
+                        f"a multiple of 128.")
             if not fused_supported(cfg, signals.shape[0], rank):
                 if rank_chunked:
                     # beyond the single-kernel ceiling the rho family

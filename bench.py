@@ -351,8 +351,17 @@ def main():
                 t_p128_h3 = bench_fused_train("psi_mps", D_big, B_big, T,
                                               max(1, iters - 1),
                                               precision="high")
-                stream_128 = auto_stream(CMPSConfig(bond_dim=D_big), B_big,
-                                         T, cfg.defer_norm, interp)
+                # the B=64 row auto-pads its lanes to 128 on TPU
+                # (kernel_pad_lanes, ops/pallas_block.auto_pad_cols), so
+                # resolve the executed-GEMM model at the PADDED width;
+                # MFU still counts only useful-lane FLOPs — it correctly
+                # reads ~46% when half the lanes are dummies
+                from audio_mps_tpu.ops.pallas_block import auto_pad_cols
+                cfg128 = CMPSConfig(bond_dim=D_big)
+                Bp_big = auto_pad_cols(cfg128, B_big, T, cfg.defer_norm,
+                                       interp)
+                stream_128 = auto_stream(cfg128, Bp_big, T,
+                                         cfg.defer_norm, interp)
                 _, p128_mfu = _mfu(
                     _train_flops_per_frame(D_big, 1, stream_128),
                     B_big, T, t_p128)

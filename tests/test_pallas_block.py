@@ -360,6 +360,54 @@ def test_streamed_state_from_state_per_example():
         assert rel < 5e-6, f"psi0 cotangent rel err {rel}"
 
 
+def test_lane_padding_exact_and_gated():
+    """kernel_pad_lanes: padded lanes (B -> next 128 multiple; dummy
+    lanes are zero signals from a zero state, per-example rows sliced
+    back) reproduce the unpadded values BITWISE-CLOSE and gradients to
+    accumulation tolerance, for both the plain-defer and streamed
+    kernels; auto_pad_cols resolves per policy (the pad win IS the
+    streamed-kernel unlock — PSIBATCH_r04: D=8 B=8 11.2 ms vs padded
+    8.54; D=128 B=64 117.4 vs 90.9)."""
+    import dataclasses as dc
+
+    from audio_mps_tpu.ops.pallas_block import (auto_pad_cols,
+                                                psi_nll_block_trainable)
+
+    cfg = CMPSConfig(minibatch_size=5, bond_dim=8, scan_chunk=0)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 5, 67, cfg.delta_t)
+    pp = init_psi(jax.random.PRNGKey(1), cfg)
+    cfg_pad = dc.replace(cfg, kernel_pad_lanes="on")
+    assert auto_pad_cols(cfg_pad, 5, 67, True, True) == 128
+    # auto: no padding under interpret; padding on "TPU" when the padded
+    # shape streams; "off" never
+    assert auto_pad_cols(cfg, 5, 67, True, True) == 5
+    assert auto_pad_cols(cfg, 5, 67, True, False) == 128
+    assert auto_pad_cols(cfg, 128, 67, True, False) == 128
+    assert auto_pad_cols(dc.replace(cfg, kernel_stream="off"),
+                         5, 67, True, False) == 5
+    assert auto_pad_cols(dc.replace(cfg, kernel_pad_lanes="off"),
+                         5, 67, True, False) == 5
+    # beyond the HBM stream budget auto declines to pad
+    assert auto_pad_cols(cfg, 5, 2 ** 26, True, False) == 5
+
+    for stream in (False, True):
+        def nll(params, c):
+            return psi_nll_block_trainable(params, c, data, unroll=8,
+                                           interpret=True,
+                                           defer_norm=True, stream=stream)
+
+        v0, g0 = jax.value_and_grad(lambda p: nll(p, cfg))(pp)
+        v1, g1 = jax.value_and_grad(lambda p: nll(p, cfg_pad))(pp)
+        # padding changes auto_unroll (5 -> 128 lanes), which moves the
+        # defer block-exit renorm points: ~1e-6 float reordering, not a
+        # semantic difference (the arithmetic per example is identical)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+                np.abs(np.asarray(a)).max() + 1e-12)
+            assert rel < 2e-5, f"padded grad rel err {rel} (stream={stream})"
+
+
 def test_auto_stream_gate():
     """stream=None resolution: ON only on real TPU (not interpret) with
     defer_norm, lane-aligned B, and a state stream inside the HBM budget;
