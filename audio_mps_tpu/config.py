@@ -203,6 +203,7 @@ _FIELD_TYPES = {
     "kernel_layout": str,
     "defer_norm": bool,
     "kernel_stream": str,
+    "kernel_pad_lanes": str,
     "latent_dim": int,
     "latent_hidden": int,
     "latent_beta": float,

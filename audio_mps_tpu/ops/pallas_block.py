@@ -53,6 +53,7 @@ kernels remain the fallback for other D (config.kernel_layout="auto").
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -824,6 +825,37 @@ def auto_pad_cols(cfg: CMPSConfig, B: int, T: int, defer_norm: bool,
         # padded step executes the same passes plus dummy-lane VPU work
         return B
     return Bp
+
+
+def auto_pad_rank(cfg: CMPSConfig, B: int, rank: int, T: int,
+                  defer_norm: bool, interpret: bool) -> int:
+    """RHO-family lane padding: pad the purification RANK with zero
+    factor rows so B*rank reaches the next multiple of 128 (the psi
+    rationale of auto_pad_cols, applied to the rank dimension — zero
+    rows are exactly zero through the linear factor update, so every
+    per-example trace/expectation segment sum is unchanged and the
+    per-example loss shape doesn't move at all).
+
+    defer_norm only (the non-defer backward folds a 1/(B*rank) weight
+    that padding would skew); same policy as psi otherwise: "off" never,
+    "on" always (where defer_norm), "auto" when the padded shape streams
+    within the HBM budget and fits the fused-backward VMEM ceiling."""
+    mode = cfg.kernel_pad_lanes
+    cols = B * rank
+    if mode == "off" or cols % 128 == 0 or not defer_norm:
+        return rank
+    m = 128 // math.gcd(B, 128)
+    rank_p = -(-rank // m) * m
+    if mode == "on":
+        return rank_p
+    if interpret:
+        return rank
+    from .pallas_grad import fused_supported
+    if not fused_supported(cfg, B, rank_p):
+        return rank
+    if not auto_stream(cfg, B * rank_p, T, defer_norm, interpret):
+        return rank
+    return rank_p
 
 
 def _make_psi_fwd_kernel_stream(cfg: CMPSConfig, unroll: int,
@@ -2084,22 +2116,28 @@ def rho_nll_block_trainable(params, cfg: CMPSConfig, signals, *,
     B, T = signals.shape
     D = cfg.bond_dim
     rank = params.Wx.shape[0]
-    unroll = auto_unroll(2 * D, B * rank, unroll)
+    rank_p = auto_pad_rank(cfg, B, rank, T, defer_norm, interpret)
+    unroll = auto_unroll(2 * D, B * rank_p, unroll)
     n_steps = T - 1
     n_blocks = max(1, -(-n_steps // unroll))
     t_pad = n_blocks * unroll
 
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     seb = _pad_rows(incs, t_pad)                       # per-example rows
-    se = jnp.repeat(seb, rank, axis=1)                 # rank-expanded lanes
+    se = jnp.repeat(seb, rank_p, axis=1)               # rank-expanded lanes
 
-    h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B)
+    # rank_p > rank: zero factor rows ride as dummy lanes inside each
+    # example's rank segment — exactly zero through the linear update,
+    # so every segment sum (trace, expectation) and the per-example loss
+    # are unchanged (auto_pad_rank; values + grads pinned by tests)
+    h0r, h0i, zmat = _rho_factor_inputs(params, cfg, B,
+                                        rank_pad=rank_p)
 
     ab, bb, xb = _rho_block_constants(cc)
     t0 = _rho_block_t0(cc, h0r, h0i)
     if stream is None:
-        stream = auto_stream(cfg, B * rank, T, defer_norm, interpret)
-    fused = _rho_block_factory(cfg, B, T, rank, unroll, interpret,
+        stream = auto_stream(cfg, B * rank_p, T, defer_norm, interpret)
+    fused = _rho_block_factory(cfg, B, T, rank_p, unroll, interpret,
                                precision, defer_norm, None, stream)
     return fused(ab, bb, xb, t0, se, seb, zmat, zmat.T)
 

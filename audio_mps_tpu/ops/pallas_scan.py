@@ -81,12 +81,22 @@ def _pad_rows(x, t_pad):
     return out.at[: x.shape[0]].set(x)
 
 
-def rho_factor_inputs(params, cfg: CMPSConfig, n_cols: int):
+def rho_factor_inputs(params, cfg: CMPSConfig, n_cols: int,
+                      rank_pad: Optional[int] = None):
     """Normalized initial purification factor H0 tiled over n_cols examples
     + the 0/1 segment matrix — the ONE home for the W-normalization
     semantics, shared by every rho kernel entry point (split and block,
-    trainable/sampler/forward-only)."""
+    trainable/sampler/forward-only).
+
+    ``rank_pad``: pad the purification rank with ZERO factor rows (lane
+    auto-padding, ops/pallas_block.auto_pad_rank). Zero rows stay exactly
+    zero under the linear factor update, so they contribute nothing to
+    any trace/expectation segment sum — values and gradients are exact
+    (the pad's VJP drops the dummy-row cotangents)."""
     wr, wi = params.Wx, params.Wy
+    if rank_pad is not None and rank_pad > wr.shape[0]:
+        wr = jnp.pad(wr, ((0, rank_pad - wr.shape[0]), (0, 0)))
+        wi = jnp.pad(wi, ((0, rank_pad - wi.shape[0]), (0, 0)))
     tr0 = jnp.sum(wr * wr + wi * wi)
     inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
     h0r = jnp.tile(wr.T * inv0, (1, n_cols))

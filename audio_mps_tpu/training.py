@@ -67,6 +67,14 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                         handled = auto_pad_cols(
                             cfg, signals.shape[0], signals.shape[1],
                             cfg.defer_norm, not _on_tpu()) % 128 == 0
+                elif rank_chunked:                   # rho family
+                    from .ops.pallas_block import (auto_pad_rank,
+                                                   supports_block)
+                    if supports_block(cfg):
+                        handled = (signals.shape[0] * auto_pad_rank(
+                            cfg, signals.shape[0], rank,
+                            signals.shape[1], cfg.defer_norm,
+                            not _on_tpu())) % 128 == 0
                 import warnings
                 if not handled:
                     warnings.warn(

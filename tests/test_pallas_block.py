@@ -408,6 +408,50 @@ def test_lane_padding_exact_and_gated():
             assert rel < 2e-5, f"padded grad rel err {rel} (stream={stream})"
 
 
+def test_lane_padding_rho_rank_exact_and_gated():
+    """RHO lane padding pads the purification RANK with zero factor rows
+    (auto_pad_rank): zero rows stay exactly zero through the linear
+    factor update, so per-example trace/expectation segment sums and the
+    loss are unchanged, and the dummy-row W cotangents drop through the
+    pad's VJP. Values/grads pinned vs unpadded for plain-defer and
+    streamed kernels; policy gates mirror psi's (defer_norm only)."""
+    import dataclasses as dc
+
+    from audio_mps_tpu.ops.pallas_block import (auto_pad_rank,
+                                                rho_nll_block_trainable)
+
+    cfg = CMPSConfig(minibatch_size=4, bond_dim=8, scan_chunk=0,
+                     initial_rank=3)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 67, cfg.delta_t)
+    pp = init_rho(jax.random.PRNGKey(1), cfg)
+    cfg_pad = dc.replace(cfg, kernel_pad_lanes="on")
+    # B=4, rank=3 -> cols 12; minimal aligned rank is 32 (B*32 = 128)
+    assert auto_pad_rank(cfg_pad, 4, 3, 67, True, True) == 32
+    assert auto_pad_rank(cfg, 4, 3, 67, True, True) == 3     # auto+interp
+    assert auto_pad_rank(cfg, 4, 3, 67, True, False) == 32   # auto+TPU
+    assert auto_pad_rank(cfg, 4, 3, 67, False, False) == 3   # non-defer
+    assert auto_pad_rank(cfg, 4, 32, 67, True, False) == 32  # aligned
+    assert auto_pad_rank(dc.replace(cfg, kernel_pad_lanes="off"),
+                         4, 3, 67, True, False) == 3
+    assert auto_pad_rank(cfg, 4, 3, 2 ** 26, True, False) == 3  # HBM
+
+    for stream in (False, True):
+        def nll(params, c):
+            return rho_nll_block_trainable(params, c, data, unroll=8,
+                                           interpret=True,
+                                           defer_norm=True, stream=stream)
+
+        v0, g0 = jax.value_and_grad(lambda p: nll(p, cfg))(pp)
+        v1, g1 = jax.value_and_grad(lambda p: nll(p, cfg_pad))(pp)
+        # padding changes auto_unroll -> block-exit renorm points move:
+        # float reordering only
+        np.testing.assert_allclose(float(v1), float(v0), rtol=2e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            rel = np.abs(np.asarray(a) - np.asarray(b)).max() / (
+                np.abs(np.asarray(a)).max() + 1e-12)
+            assert rel < 2e-5, f"rho padded grad rel {rel} (stream={stream})"
+
+
 def test_auto_stream_gate():
     """stream=None resolution: ON only on real TPU (not interpret) with
     defer_norm, lane-aligned B, and a state stream inside the HBM budget;

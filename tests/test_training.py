@@ -258,6 +258,12 @@ def test_kernel_knobs_ride_hparams_string():
         p, dataclasses.replace(base, kernel_stream="on"), sig,
         interpret=True, defer_norm=True)
     np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+    # kernel_pad_lanes knob: validation + it rides the hparams string
+    # (padded-path numerics are pinned by test_pallas_block.py)
+    with pytest.raises(ValueError, match="kernel_pad_lanes must be"):
+        CMPSConfig().parse("kernel_pad_lanes=always")
+    assert CMPSConfig().parse("kernel_pad_lanes=off").kernel_pad_lanes \
+        == "off"
 
 
 def test_train_cli_data_parallel_mesh(tmp_path):

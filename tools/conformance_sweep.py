@@ -3,8 +3,9 @@ of the XLA scan across random (model, D, B, T, rank, defer, unroll)
 configs — an out-of-suite stress companion to tests/test_pallas_block.py
 (run it after kernel changes: `python tools/conformance_sweep.py [seed]`;
 14 public-API cases + 6 batched spine/limbs-kernel cases + 6
-streamed-states cases + 6 streamed rank-partials cases, ~14 min on one
-CPU; expect `FAILURES: 0`)."""
+streamed-states cases + 6 streamed rank-partials cases + 6 lane-padded
+cases (kernel_pad_lanes='on'), ~16 min on one CPU; expect
+`FAILURES: 0`)."""
 import os, sys, random
 # only append XLA flags the caller hasn't set (same guard as
 # tests/conftest.py)
@@ -229,6 +230,54 @@ for i in range(6):
         g_ref = jax.grad(lambda p: core.rho_nll_factor(p, cfg, data))(pp)
         g_pal = jax.grad(pal)(pp)
         ok = abs(v_pal - v_ref) < 1e-6 + 1e-5 * abs(v_ref)
+        gerr = max(
+            np.abs(np.asarray(a) - np.asarray(b)).max() /
+            (np.abs(np.asarray(a)).max() + 1e-12)
+            for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)))
+        ok = ok and gerr < 3e-4
+        print(("OK  " if ok else "FAIL") + f" {tag}  v={v_ref:+.5f} "
+              f"gerr={gerr:.1e}", flush=True)
+        fails += 0 if ok else 1
+    except Exception as e:
+        print(f"ERR  {tag}: {str(e)[:110]}", flush=True)
+        fails += 1
+
+# --- lane-padded kernels (kernel_pad_lanes='on': psi pads B, rho pads
+# the purification rank with zero factor rows — both to the next
+# 128-lane multiple): public API vs jax.grad of the scan. Padding also
+# changes auto_unroll, so the defer renorm points move: same 3e-4 grad
+# gate, value gate eased to reordering tolerance.
+for i in range(6):
+    D = rng.choice([4, 8, 16])
+    B = rng.choice([1, 2, 3, 5])
+    T = rng.choice([17, 49, 97])
+    model = rng.choice(["psi", "rho"])
+    rank = rng.choice([1, 2, D // 2]) if model == "rho" else None
+    stream = rng.choice([True, False])
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=0,
+                     initial_rank=rank, kernel_pad_lanes="on")
+    data = damped_sine_batch(jax.random.PRNGKey(T + D + 5 * i), B, T,
+                             cfg.delta_t)
+    tag = (f"padded {model} D={D} B={B} T={T} rank={rank} "
+           f"stream={stream}")
+    try:
+        if model == "psi":
+            pp = init_psi(jax.random.PRNGKey(D + 3 * i), cfg)
+            ref_fn = core.psi_nll
+            pal = lambda p: psi_nll_block_trainable(
+                p, cfg, data, interpret=True, defer_norm=True,
+                stream=stream)
+        else:
+            pp = init_rho(jax.random.PRNGKey(D + 3 * i), cfg)
+            ref_fn = core.rho_nll_factor
+            pal = lambda p: rho_nll_block_trainable(
+                p, cfg, data, interpret=True, defer_norm=True,
+                stream=stream)
+        v_ref = float(ref_fn(pp, cfg, data))
+        v_pal = float(pal(pp))
+        g_ref = jax.grad(lambda p: ref_fn(p, cfg, data))(pp)
+        g_pal = jax.grad(pal)(pp)
+        ok = abs(v_pal - v_ref) < 1e-6 + 3e-5 * abs(v_ref)
         gerr = max(
             np.abs(np.asarray(a) - np.asarray(b)).max() /
             (np.abs(np.asarray(a)).max() + 1e-12)

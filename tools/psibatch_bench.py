@@ -30,14 +30,19 @@ from audio_mps_tpu.ops.pallas_block import auto_stream
 from audio_mps_tpu.training import init_params_for, make_train_step
 
 
-def time_case(D, B, T, precision, iters, stream=None):
+def time_case(D, B, T, precision, iters, stream=None, family="psi_mps",
+              rank=None, pad=None):
     kw = {}
     if stream is not None:
         kw["kernel_stream"] = stream
+    if rank is not None:
+        kw["initial_rank"] = rank
+    if pad is not None:
+        kw["kernel_pad_lanes"] = pad
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B,
                      kernel_precision=precision, **kw)
-    params = init_params_for("psi_mps", jax.random.PRNGKey(0), cfg)
-    opt, step = make_train_step("psi_mps", cfg)
+    params = init_params_for(family, jax.random.PRNGKey(0), cfg)
+    opt, step = make_train_step(family, cfg)
     st = opt.init(params)
     sig = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
     params, st, m = step(params, st, sig)
@@ -47,7 +52,8 @@ def time_case(D, B, T, precision, iters, stream=None):
         params, st, m = step(params, st, sig)
     lf = float(m["model_loss"])            # host readback barrier
     dt = (time.perf_counter() - t0) / iters
-    streamed = auto_stream(cfg, B, T - 1, cfg.defer_norm, False)
+    lanes = 1 if family == "psi_mps" else (rank if rank is not None else D)
+    streamed = auto_stream(cfg, B * lanes, T - 1, cfg.defer_norm, False)
     return dt, lf, streamed
 
 
@@ -60,6 +66,11 @@ def main():
     ap.add_argument("--precisions", type=str, default="highest,high")
     ap.add_argument("--stream", type=str, default=None,
                     help="override kernel_stream (auto/on/off)")
+    ap.add_argument("--family", type=str, default="psi_mps")
+    ap.add_argument("--rank", type=int, default=None,
+                    help="initial_rank for rho_mps")
+    ap.add_argument("--pad", type=str, default=None,
+                    help="override kernel_pad_lanes (auto/on/off)")
     args = ap.parse_args()
 
     PASS_FACTOR = {"highest": 6.0, "high": 3.0, "default": 1.0}
@@ -70,9 +81,13 @@ def main():
             key = f"B{B}_{prec}"
             print(f"case {key}", flush=True)
             dt, lf, streamed = time_case(args.D, B, args.T, prec,
-                                         args.iters, args.stream)
+                                         args.iters, args.stream,
+                                         args.family, args.rank, args.pad)
             steps = args.T - 1
-            flops = (80.0 if streamed else 96.0) * args.D * args.D * B * steps
+            lanes_per_ex = 1 if args.family == "psi_mps" else (
+                args.rank if args.rank is not None else args.D)
+            flops = ((80.0 if streamed else 96.0)
+                     * args.D * args.D * B * lanes_per_ex * steps)
             mfu = 100.0 * flops / dt / 1e12 * PASS_FACTOR[prec] / PEAK
             out[key] = {"ms": round(dt * 1e3, 2),
                         "frames_per_s_M": round(B * steps / dt / 1e6, 2),
