@@ -70,6 +70,35 @@ def test_dp_fused_step_matches_single_device_fused(mps_model):
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_dp_fused_step_with_lane_padding_matches_unpadded():
+    """Lane padding composes with data parallelism: on a real TPU mesh
+    each shard pads its LOCAL columns (kernel_pad_lanes resolves inside
+    shard_map, where B is the per-device batch), so the padded DP step
+    must reproduce the unpadded single-device step. Pinned here with
+    kernel_pad_lanes='on' under interpret (local B=1 -> 128 lanes per
+    shard) vs the unpadded single-device fused step."""
+    mesh = make_mesh()
+    cfg_pad = dataclasses.replace(CFG, kernel_pad_lanes="on")
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, 65, CFG.delta_t)
+
+    opt_s, step_s = make_train_step("psi_mps", CFG, fused=True)
+    params = init_params_for("psi_mps", jax.random.PRNGKey(0), CFG)
+    p1, o1, m1 = step_s(params, opt_s.init(params), batch)
+
+    opt_d, step_d = make_dp_train_step("psi_mps", cfg_pad, mesh,
+                                       fused=True)
+    params_r = replicate(init_params_for("psi_mps", jax.random.PRNGKey(0),
+                                         CFG), mesh)
+    o_d = replicate(opt_d.init(params_r), mesh)
+    p2, o2, m2 = step_d(params_r, o_d, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(m1["model_loss"]),
+                               float(m2["model_loss"]), rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dp_latent_step_matches_single_device():
     """The latent (VAE encoder + MPS decoder) family trains data-parallel:
     the sharded ELBO step with a replicated key reproduces the
