@@ -60,6 +60,7 @@ literal density-matrix transcription).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -524,6 +525,40 @@ def partials_supported(cfg: CMPSConfig, batch: int, r_loc: int) -> bool:
         <= PARTIALS_VMEM_LIMIT
 
 
+def auto_pad_rank_partials(cfg: CMPSConfig, B: int, r_loc: int,
+                           interpret: bool) -> int:
+    """Lane padding for the rank-partials kernels: pad the LOCAL factor
+    rows (a TP shard, a rank chunk, or the full rank) with zero rows so
+    B*r_loc reaches the next multiple of 128 — the partials analogue of
+    pallas_block.auto_pad_rank. Zero rows are exactly zero through the
+    linear factor update, contribute nothing to the local e/tr partial
+    sums, and leave tr0 (hence gamma's absolute log-scale) unchanged, so
+    values and gradients are exact. No defer_norm restriction: the
+    partials kernel renormalizes by per-example traces and the combiner
+    uses sums, never a 1/(B*rank) count.
+
+    Policy matches auto_pad_cols/auto_pad_rank ("off" never; "on" always,
+    incl. under interpret for CPU tests; "auto" on real TPU when the pad
+    would unlock the streamed-states kernels — alignment is the only
+    structural blocker since auto_time_segment bounds the segment to fit
+    the stream HBM budget — and the padded shape still fits VMEM)."""
+    mode = cfg.kernel_pad_lanes
+    if mode == "off" or (B * r_loc) % 128 == 0:
+        return r_loc
+    m = 128 // math.gcd(B, 128)
+    r_p = -(-r_loc // m) * m
+    if mode == "on":
+        return r_p
+    # no cfg.defer_norm gate: the partials path resolves auto_stream with
+    # defer_norm=True (the kernel is inherently defer-style), so the
+    # stream unlock is available regardless of the monolithic-path knob
+    if interpret or cfg.kernel_stream == "off":
+        return r_loc
+    if not partials_supported(cfg, B, r_p):
+        return r_loc
+    return r_p
+
+
 def chunked_stream_viable(cfg: CMPSConfig, batch: int,
                           rank_chunk: int) -> bool:
     """Will the streamed-states path engage for a rank-chunked run with
@@ -534,17 +569,29 @@ def chunked_stream_viable(cfg: CMPSConfig, batch: int,
     they are not re-checked here. training.nll_fn_for consults this to
     decide whether beyond-ceiling fp32 'highest' stays on the chunked
     kernel (measured faster than the XLA scan only when streamed —
-    tools/rankstream_bench.py) or falls back to the XLA scan."""
-    return (cfg.kernel_stream != "off" and cfg.defer_norm
-            and (batch * rank_chunk) % 128 == 0)
+    tools/rankstream_bench.py) or falls back to the XLA scan.
+
+    Pad-aware: a misaligned chunk still streams when lane padding will
+    align it (auto_pad_rank_partials resolves inside the partials run)."""
+    if cfg.kernel_stream == "off" or not cfg.defer_norm:
+        return False
+    r_eff = auto_pad_rank_partials(cfg, batch, rank_chunk,
+                                   interpret=False)
+    return (batch * r_eff) % 128 == 0
 
 
 def rank_chunk_for(cfg: CMPSConfig, batch: int, rank: int) -> Optional[int]:
     """Largest divisor of `rank` whose partials kernel fits VMEM (None if
-    even a single row does not fit — then only bond-dim reduction helps)."""
+    even a single row does not fit — then only bond-dim reduction helps).
+
+    VMEM is checked at the chunk size the kernel will actually run —
+    after lane padding resolves (auto_pad_rank_partials returns the
+    chunk unchanged whenever padding won't engage)."""
     for c in sorted((c for c in range(1, rank + 1) if rank % c == 0),
                     reverse=True):
-        if partials_supported(cfg, batch, c):
+        if partials_supported(
+                cfg, batch,
+                auto_pad_rank_partials(cfg, batch, c, interpret=False)):
             return c
     return None
 
@@ -659,9 +706,10 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     B, T = signals.shape
     D = cfg.bond_dim
     r_loc = params.Wx.shape[0]
-    unroll = auto_unroll(2 * D, B * r_loc, unroll)
+    r_pad = auto_pad_rank_partials(cfg, B, r_loc, bool(interpret))
+    unroll = auto_unroll(2 * D, B * r_pad, unroll)
     n_steps = T - 1
-    D2, BR = 2 * D, B * r_loc
+    D2, BR = 2 * D, B * r_pad
     n_blocks = max(1, -(-n_steps // unroll))
 
     if time_segment is None:
@@ -679,17 +727,23 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
 
     incs = (signals[:, 1:] - signals[:, :-1]).T / cc.A
     seb = _pad_rows(incs, t_pad)                     # per-example rows
-    se = jnp.repeat(seb, r_loc, axis=1)              # rank-expanded lanes
+    se = jnp.repeat(seb, r_pad, axis=1)              # rank-expanded lanes
 
     # LOCAL initial rows: locally unit-normalized + absolute log-scale
     # (the global W normalization cancels in e — it is scale-invariant —
     # so per-group bookkeeping only needs each group's own scale)
     wr, wi = params.Wx, params.Wy
+    if r_pad > r_loc:
+        # lane padding: zero factor rows (auto_pad_rank_partials) — zero
+        # through the linear update, no contribution to the e/tr partial
+        # sums, tr0 (hence gamma) unchanged
+        wr = jnp.pad(wr, ((0, r_pad - r_loc), (0, 0)))
+        wi = jnp.pad(wi, ((0, r_pad - r_loc), (0, 0)))
     tr0 = jnp.sum(wr * wr + wi * wi)
     inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
     h0r = jnp.tile(wr.T * inv0, (1, B))
     h0i = jnp.tile(wi.T * inv0, (1, B))
-    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), r_loc, axis=0)
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), r_pad, axis=0)
     c0 = jnp.log(jnp.maximum(tr0, cfg.norm_eps))
 
     ab, bb, xb = _rho_block_constants(cc)
@@ -711,13 +765,13 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
             f"TPU (static lane slices of the state stream must be "
             f"tile-aligned), got B*r_loc={BR}")
     if time_segment is None:
-        fused = _rank_partials_factory(cfg, B, t_pad + 1, r_loc, unroll,
+        fused = _rank_partials_factory(cfg, B, t_pad + 1, r_pad, unroll,
                                        bool(interpret), precision,
                                        bool(stream))
         eh, trr, _ = fused(ab, bb, xb, t0, se, zmat, zmat.T)
     else:
         L = seg_blocks * unroll
-        fused = _rank_partials_factory(cfg, B, L + 1, r_loc, unroll,
+        fused = _rank_partials_factory(cfg, B, L + 1, r_pad, unroll,
                                        bool(interpret), precision,
                                        bool(stream))
         zt = zmat.T

@@ -201,14 +201,19 @@ def _auto_fused(cfg: CMPSConfig, params, per_shard_batch: int,
                 n_model: int) -> bool:
     """The ONE auto-select gate for the fused rank-partials path, shared
     by the 1D and 2D rank train steps: real TPU + block layout + rank
-    divisible over the model axis + per-shard partials kernel fits."""
+    divisible over the model axis + per-shard partials kernel fits (VMEM
+    checked at the lane-padded per-shard rank the kernel will actually
+    run — auto_pad_rank_partials is identity when padding won't engage)."""
     from ..ops.pallas_block import supports_block
-    from ..ops.pallas_rank import partials_supported
+    from ..ops.pallas_rank import auto_pad_rank_partials, partials_supported
     rank = params.Wx.shape[0]
     return (jax.devices()[0].platform != "cpu"
             and supports_block(cfg)
             and rank % n_model == 0
-            and partials_supported(cfg, per_shard_batch, rank // n_model))
+            and partials_supported(
+                cfg, per_shard_batch,
+                auto_pad_rank_partials(cfg, per_shard_batch,
+                                       rank // n_model, interpret=False)))
 
 
 def make_rank_train_step(cfg: CMPSConfig, mesh: Mesh, optimizer=None,

@@ -75,6 +75,19 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                             cfg, signals.shape[0], rank,
                             signals.shape[1], cfg.defer_norm,
                             not _on_tpu())) % 128 == 0
+                    if supports_block(cfg) and not handled:
+                        # beyond the single-kernel ceiling the monolithic
+                        # pad declines, but the chunked partials path
+                        # pads each chunk itself (auto_pad_rank_partials)
+                        from .ops.pallas_rank import (
+                            auto_pad_rank_partials, rank_chunk_for)
+                        chunk = rank_chunk_for(cfg, signals.shape[0],
+                                               rank)
+                        if chunk is not None:
+                            handled = (signals.shape[0]
+                                       * auto_pad_rank_partials(
+                                           cfg, signals.shape[0], chunk,
+                                           not _on_tpu())) % 128 == 0
                 import warnings
                 if not handled:
                     warnings.warn(

@@ -342,8 +342,92 @@ def test_chunked_stream_viable_predicate():
     from audio_mps_tpu.ops.pallas_rank import chunked_stream_viable
     cfg = CMPSConfig(bond_dim=256, minibatch_size=8)
     assert chunked_stream_viable(cfg, 8, 64)            # 512 aligned lanes
-    assert not chunked_stream_viable(cfg, 8, 60)        # unaligned
+    # unaligned chunk: lane padding (60 -> 64 zero rows) aligns it under
+    # the default kernel_pad_lanes="auto"; with padding off it stays out
+    assert chunked_stream_viable(cfg, 8, 60)
+    assert not chunked_stream_viable(
+        dataclasses.replace(cfg, kernel_pad_lanes="off"), 8, 60)
     assert not chunked_stream_viable(
         dataclasses.replace(cfg, kernel_stream="off"), 8, 64)
     assert not chunked_stream_viable(
         dataclasses.replace(cfg, defer_norm=False), 8, 64)
+
+
+def test_rank_partials_lane_padding_exact():
+    """Rank-partials lane padding (auto_pad_rank_partials): zero factor
+    rows pad B*r_loc to the next 128 multiple — zero through the linear
+    update, no contribution to the e/tr partial sums, tr0/gamma
+    unchanged — so padded values AND gradients match the unpadded
+    partials and the XLA factor scan. Misaligned on purpose (B=3,
+    rank=5); pad forced with kernel_pad_lanes='on' (interpret)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, minibatch_size=3, initial_rank=5)
+    cfg_on = dataclasses.replace(cfg, kernel_pad_lanes="on")
+    cfg_off = dataclasses.replace(cfg, kernel_pad_lanes="off")
+    params, sig = _params(cfg), _sig(b=3, t=50)
+
+    def nll(c):
+        def f(p):
+            eh, trp, gam, seb = rho_nll_rank_partials(p, c, sig,
+                                                      unroll=4,
+                                                      interpret=True)
+            return combine_rank_partials(eh[None], trp[None], gam[None],
+                                         seb, c)
+        return f
+
+    v_off, g_off = jax.value_and_grad(nll(cfg_off))(params)
+    v_on, g_on = jax.value_and_grad(nll(cfg_on))(params)
+    np.testing.assert_allclose(float(v_on), float(v_off), rtol=1e-5,
+                               atol=1e-6)
+    _assert_grads_close(g_off, g_on)
+    ref = float(core.rho_nll_factor(params, cfg, sig))
+    np.testing.assert_allclose(float(v_on), ref, rtol=1e-5, atol=1e-6)
+
+    # streamed padded kernels: the pad is what makes stream legal on TPU
+    # at misaligned shards; CPU-side the structure is pinned explicitly
+    v_s, g_s = jax.value_and_grad(
+        lambda p: rho_nll_rank_chunked(p, cfg_on, sig, rank_chunk=5,
+                                       unroll=4, interpret=True,
+                                       stream=True))(params)
+    np.testing.assert_allclose(float(v_s), ref, rtol=1e-5, atol=1e-6)
+    _assert_grads_close(g_off, g_s)
+
+
+def test_rank_sharded_fused_padded_matches_single_device():
+    """TP shards pad their LOCAL rows independently (pad resolves inside
+    shard_map): a 4-way rank shard at B=3 (r_loc=2 -> misaligned 6
+    lanes) with kernel_pad_lanes='on' reproduces the single-device
+    unpadded NLL, values and gradients."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, minibatch_size=3)
+    cfg_on = dataclasses.replace(cfg, kernel_pad_lanes="on")
+    params, sig = _params(cfg), _sig(b=3)
+    ref = float(core.rho_nll_factor(params, cfg, sig))
+    mesh = make_model_mesh(4)
+    fn = jax.jit(lambda p: rho_nll_rank_sharded_fused(
+        p, cfg_on, sig, mesh, unroll=4, interpret=True))
+    np.testing.assert_allclose(float(fn(params)), ref, rtol=1e-5,
+                               atol=1e-6)
+    g_ref = jax.grad(lambda p: core.rho_nll_factor(p, cfg, sig))(params)
+    _assert_grads_close(g_ref, jax.jit(jax.grad(fn))(params))
+
+
+def test_auto_pad_rank_partials_policy():
+    """Pad-resolution policy: 'off' and aligned shapes are identity;
+    'on' pads to the next B*r % 128 == 0 multiple (incl. interpret);
+    'auto' never pads under interpret or with kernel_stream='off'."""
+    import dataclasses
+
+    from audio_mps_tpu.ops.pallas_rank import auto_pad_rank_partials
+    cfg = CMPSConfig(bond_dim=8, minibatch_size=8)
+    on = dataclasses.replace(cfg, kernel_pad_lanes="on")
+    off = dataclasses.replace(cfg, kernel_pad_lanes="off")
+    assert auto_pad_rank_partials(on, 8, 16, True) == 16     # aligned
+    assert auto_pad_rank_partials(on, 8, 5, True) == 16      # 8*16=128
+    assert auto_pad_rank_partials(on, 3, 5, True) == 128     # gcd(3,128)=1
+    assert auto_pad_rank_partials(off, 8, 5, True) == 5
+    assert auto_pad_rank_partials(cfg, 8, 5, True) == 5      # interpret
+    assert auto_pad_rank_partials(
+        dataclasses.replace(cfg, kernel_stream="off"), 8, 5, False) == 5
+    # auto on "TPU" (interpret=False): pads when the padded kernel fits
+    assert auto_pad_rank_partials(cfg, 8, 5, False) == 16

@@ -4,8 +4,8 @@ configs — an out-of-suite stress companion to tests/test_pallas_block.py
 (run it after kernel changes: `python tools/conformance_sweep.py [seed]`;
 14 public-API cases + 6 batched spine/limbs-kernel cases + 6
 streamed-states cases + 6 streamed rank-partials cases + 6 lane-padded
-cases (kernel_pad_lanes='on'), ~16 min on one CPU; expect
-`FAILURES: 0`)."""
+cases (kernel_pad_lanes='on') + 6 lane-padded rank-partials cases,
+~18 min on one CPU; expect `FAILURES: 0`)."""
 import os, sys, random
 # only append XLA flags the caller hasn't set (same guard as
 # tests/conftest.py)
@@ -276,6 +276,48 @@ for i in range(6):
         v_ref = float(ref_fn(pp, cfg, data))
         v_pal = float(pal(pp))
         g_ref = jax.grad(lambda p: ref_fn(p, cfg, data))(pp)
+        g_pal = jax.grad(pal)(pp)
+        ok = abs(v_pal - v_ref) < 1e-6 + 3e-5 * abs(v_ref)
+        gerr = max(
+            np.abs(np.asarray(a) - np.asarray(b)).max() /
+            (np.abs(np.asarray(a)).max() + 1e-12)
+            for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pal)))
+        ok = ok and gerr < 3e-4
+        print(("OK  " if ok else "FAIL") + f" {tag}  v={v_ref:+.5f} "
+              f"gerr={gerr:.1e}", flush=True)
+        fails += 0 if ok else 1
+    except Exception as e:
+        print(f"ERR  {tag}: {str(e)[:110]}", flush=True)
+        fails += 1
+
+# --- lane-padded rank-partials (auto_pad_rank_partials: zero factor
+# rows pad each chunk/shard's B*r_loc to the next 128 multiple — the
+# alignment-free fused-TP / beyond-ceiling path): rho_nll_rank_chunked
+# with kernel_pad_lanes='on' and deliberately misaligned chunks vs
+# jax.grad of the factor scan, across (chunk, time_segment, stream).
+for i in range(6):
+    D = rng.choice([4, 8, 16])
+    B = rng.choice([1, 2, 3, 5])
+    T = rng.choice([17, 49, 97])
+    unroll = rng.choice([4, 8])
+    rank = rng.choice([2, 3, 5, D]) if D >= 4 else 4
+    chunk = rng.choice([c for c in (1, 2, 3, rank) if rank % c == 0])
+    seg = rng.choice([None, 8, 24])
+    stream = rng.choice([True, False])
+    cfg = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=0,
+                     initial_rank=rank, kernel_pad_lanes="on")
+    data = damped_sine_batch(jax.random.PRNGKey(T + D + 7 * i), B, T,
+                             cfg.delta_t)
+    tag = (f"padrank rho D={D} B={B} T={T} rank={rank} c={chunk} "
+           f"seg={seg} stream={stream} u={unroll}")
+    try:
+        pp = init_rho(jax.random.PRNGKey(D + 5 * i), cfg)
+        pal = lambda p: rho_nll_rank_chunked(
+            p, cfg, data, rank_chunk=chunk, unroll=unroll,
+            interpret=True, time_segment=seg, stream=stream)
+        v_ref = float(core.rho_nll_factor(pp, cfg, data))
+        v_pal = float(pal(pp))
+        g_ref = jax.grad(lambda p: core.rho_nll_factor(p, cfg, data))(pp)
         g_pal = jax.grad(pal)(pp)
         ok = abs(v_pal - v_ref) < 1e-6 + 3e-5 * abs(v_ref)
         gerr = max(
