@@ -75,10 +75,13 @@ def nll_fn_for(mps_model: str, fused: Optional[bool] = None):
                             cfg, signals.shape[0], rank,
                             signals.shape[1], cfg.defer_norm,
                             not _on_tpu())) % 128 == 0
-                    if supports_block(cfg) and not handled:
+                    if (supports_block(cfg) and not handled
+                            and not fused_supported(cfg, signals.shape[0],
+                                                    rank)):
                         # beyond the single-kernel ceiling the monolithic
                         # pad declines, but the chunked partials path
-                        # pads each chunk itself (auto_pad_rank_partials)
+                        # (the kernel that will actually run there) pads
+                        # each chunk itself (auto_pad_rank_partials)
                         from .ops.pallas_rank import (
                             auto_pad_rank_partials, rank_chunk_for)
                         chunk = rank_chunk_for(cfg, signals.shape[0],
