@@ -850,6 +850,11 @@ def auto_pad_rank(cfg: CMPSConfig, B: int, rank: int, T: int,
         return rank_p
     if interpret:
         return rank
+    if -(-B * rank_p // 128) != -(-B * rank // 128):
+        # the uniform per-example pad overshoots the 128-lane tile
+        # ceiling (non-power-of-2 B): real extra MXU passes, not
+        # hardware-padded-anyway lanes — auto declines, "on" forces
+        return rank
     from .pallas_grad import fused_supported
     if not fused_supported(cfg, B, rank_p):
         return rank

@@ -554,6 +554,14 @@ def auto_pad_rank_partials(cfg: CMPSConfig, B: int, r_loc: int,
     # stream unlock is available regardless of the monolithic-path knob
     if interpret or cfg.kernel_stream == "off":
         return r_loc
+    if -(-B * r_p // 128) != -(-B * r_loc // 128):
+        # the uniform per-example pad overshoots the 128-lane tile
+        # ceiling (non-power-of-2 B, e.g. B=12 r=8: 96 -> 384 lanes =
+        # 1 -> 3 MXU tiles): every dot would pay REAL extra passes, not
+        # hardware-padded-anyway lanes — measured a 1.65-1.83x LOSS
+        # despite the stream unlock (PADRANK_r04.json overshoot rows);
+        # auto declines, "on" still forces
+        return r_loc
     if not partials_supported(cfg, B, r_p):
         return r_loc
     return r_p

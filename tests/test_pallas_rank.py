@@ -431,3 +431,8 @@ def test_auto_pad_rank_partials_policy():
         dataclasses.replace(cfg, kernel_stream="off"), 8, 5, False) == 5
     # auto on "TPU" (interpret=False): pads when the padded kernel fits
     assert auto_pad_rank_partials(cfg, 8, 5, False) == 16
+    # overshoot guard: B=12 r=8 would pad 96 -> 384 lanes (1 -> 3 MXU
+    # tiles) — measured a 1.65-1.83x loss (PADRANK_r04.json), so auto
+    # declines while "on" still forces
+    assert auto_pad_rank_partials(cfg, 12, 8, False) == 8
+    assert auto_pad_rank_partials(on, 12, 8, False) == 32
