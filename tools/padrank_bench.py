@@ -10,9 +10,18 @@ misaligned shapes where auto_pad_rank_partials engages:
 - rank40: D=64 B=8 rank=40 — a rank with NO lane-aligned divisor
   (chunks 40/20/10/8/... all misaligned), so unpadded can never stream;
   auto pads the single 40-row chunk to 48 (BR=384).
+- overshoot: D=64 B=12 rank=8 — non-power-of-2 B where the uniform
+  per-example pad OVERSHOOTS the tile ceiling (96 -> 384 lanes = 1 -> 3
+  MXU tiles, real extra passes); measured with pad FORCED ("on") vs off
+  to justify the auto-decline guard (auto leaves this shape unpadded).
 
-Timing follows the axon discipline (donated jit, iters=10 per the r4
-harness finding, host readback barrier). One JSON line to stdout.
+Timing follows the axon discipline (donated jit, host readback barrier,
+back-to-back loop). Like bench.py, the ~19 ms first-dispatch-after-
+readback tunnel penalty sits inside the window and is amortized by
+iters (default 20 here: <=5% on the fastest ~20 ms row; the committed
+PADRANK_r04.json rows were captured at the recorded iters). One JSON
+line to stdout. Losses: identical at fp32; bf16x3 differs <= ~1e-5
+where padding changes the auto unroll (reduction association).
 """
 import argparse
 import dataclasses
@@ -53,19 +62,21 @@ def time_case(cfg, params, sig, *, rank_chunk, precision, iters):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--T", type=int, default=16385)
     args = ap.parse_args()
 
     out = {"T": args.T, "iters": args.iters}
-    cases = [("shard8", 64, 8, 8), ("rank40", 64, 40, 8)]
-    for name, D, rank, B in cases:
+    # (name, D, rank, B, pad mode measured against "off")
+    cases = [("shard8", 64, 8, 8, "auto"), ("rank40", 64, 40, 8, "auto"),
+             ("overshoot", 64, 8, 12, "on")]   # auto declines here: force
+    for name, D, rank, B, pad_mode in cases:
         base = CMPSConfig(bond_dim=D, minibatch_size=B, initial_rank=rank)
         params = init_rho(jax.random.PRNGKey(0), base)
         sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
                                 base.delta_t)
         for precision in ("highest", "high"):
-            for mode in ("off", "auto"):
+            for mode in ("off", pad_mode):
                 cfg = dataclasses.replace(base, kernel_pad_lanes=mode,
                                           kernel_precision=precision)
                 chunk = rank_chunk_for(cfg, B, rank)
@@ -79,7 +90,7 @@ def main():
                 out[f"loss_{tag}"] = lf
         for precision in ("highest", "high"):
             a = out[f"ms_{name}_{precision}_off"]
-            b = out[f"ms_{name}_{precision}_auto"]
+            b = out[f"ms_{name}_{precision}_{pad_mode}"]
             out[f"speedup_{name}_{precision}"] = round(a / b, 3)
     print(json.dumps(out), flush=True)
 
