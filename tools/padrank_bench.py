@@ -27,7 +27,11 @@ import argparse
 import dataclasses
 import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +44,17 @@ from audio_mps_tpu.ops.pallas_rank import (auto_pad_rank_partials,
                                            rho_nll_rank_chunked)
 
 
-def time_case(cfg, params, sig, *, rank_chunk, precision, iters):
+def time_case(cfg, params, sig, *, rank_chunk, precision, iters,
+              kernel="partials"):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(p, s):
         def loss(q):
+            if kernel == "mono":
+                from audio_mps_tpu.ops.pallas_block import \
+                    rho_nll_block_trainable
+                return rho_nll_block_trainable(q, cfg, s,
+                                               precision=precision,
+                                               defer_norm=True)
             return rho_nll_rank_chunked(q, cfg, s, rank_chunk=rank_chunk,
                                         precision=precision)
         l, g = jax.value_and_grad(loss)(p)
@@ -67,10 +78,15 @@ def main():
     args = ap.parse_args()
 
     out = {"T": args.T, "iters": args.iters}
-    # (name, D, rank, B, pad mode measured against "off")
-    cases = [("shard8", 64, 8, 8, "auto"), ("rank40", 64, 40, 8, "auto"),
-             ("overshoot", 64, 8, 12, "on")]   # auto declines here: force
-    for name, D, rank, B, pad_mode in cases:
+    # (name, D, rank, B, pad mode measured against "off", kernel):
+    # "overshoot" rows force the pad ("on") that auto declines, for BOTH
+    # the rank-partials and the monolithic block kernel (the same guard
+    # lives in auto_pad_rank_partials and pallas_block.auto_pad_rank)
+    cases = [("shard8", 64, 8, 8, "auto", "partials"),
+             ("rank40", 64, 40, 8, "auto", "partials"),
+             ("overshoot", 64, 8, 12, "on", "partials"),
+             ("mono_overshoot", 64, 8, 12, "on", "mono")]
+    for name, D, rank, B, pad_mode, kernel in cases:
         base = CMPSConfig(bond_dim=D, minibatch_size=B, initial_rank=rank)
         params = init_rho(jax.random.PRNGKey(0), base)
         sig = damped_sine_batch(jax.random.PRNGKey(1), B, args.T,
@@ -84,7 +100,8 @@ def main():
                 tag = f"{name}_{precision}_{mode}"
                 print(f"{tag}: chunk={chunk} r_eff={r_eff}", flush=True)
                 dt, lf = time_case(cfg, params, sig, rank_chunk=chunk,
-                                   precision=precision, iters=args.iters)
+                                   precision=precision, iters=args.iters,
+                                   kernel=kernel)
                 print(f"  {dt:.2f} ms/step loss={lf:.4f}", flush=True)
                 out[f"ms_{tag}"] = round(dt, 2)
                 out[f"loss_{tag}"] = lf

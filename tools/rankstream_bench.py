@@ -13,7 +13,11 @@ axon discipline (donated jit, long loop, host readback barrier).
 import argparse
 import functools
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
