@@ -404,6 +404,36 @@ def main():
         except Exception as e:   # keep the headline JSON robust
             detail["saturated_error"] = str(e)[:120]
 
+    # --- latent family (VAE encoder + cMPS decoder — the working
+    # follow_vae.py): fused ELBO train step at the headline shape. The
+    # reconstruction term rides the per-example-psi0 fused kernels
+    # (models/latent.py -> pallas_block.psi_nll_block_trainable_from_state,
+    # auto lane-pad + streamed backward), so the encoder/decoder MLPs add
+    # <0.1% FLOPs — MFU uses the psi training model.
+    if not quick:
+        try:
+            from audio_mps_tpu.training import init_params_for
+            key_l = jax.random.PRNGKey(7)
+            for prec, suffix in (("highest", ""), ("high", "_bf16x3")):
+                cfg_l = CMPSConfig(bond_dim=D, minibatch_size=B_wide,
+                                   scan_chunk=256, kernel_precision=prec)
+                params_l = init_params_for("latent", jax.random.PRNGKey(0),
+                                           cfg_l)
+                opt_l, lstep = make_train_step("latent", cfg_l)
+                batch_l = damped_sine_batch(jax.random.PRNGKey(1), B_wide,
+                                            T, cfg_l.delta_t)
+                t_lat = time_train_step(
+                    lambda p, o, b: lstep(p, o, b, key_l),
+                    params_l, opt_l.init(params_l), batch_l, iters)
+                _, lat_mfu = _mfu(
+                    _train_flops_per_frame(D, 1, stream_head), B_wide, T,
+                    t_lat, precision=prec)
+                detail[f"train_step_ms_latent_elbo{suffix}"] = \
+                    round(t_lat * 1e3, 2)
+                detail[f"mfu_pct_latent_elbo{suffix}"] = lat_mfu
+        except Exception as e:   # keep the headline JSON robust
+            detail["latent_error"] = str(e)[:120]
+
     # --- samplers: XLA scan + Pallas fused (serial in time, parallel in
     # chains). NOTE: the first Mosaic compile in a session costs ~3 min on
     # this backend; subsequent ~1 s.
