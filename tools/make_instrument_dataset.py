@@ -1,19 +1,22 @@
 """Synthesize an instrument-like NSynth-schema TFRecord and run it through
 the repo's own ETL into an audio-only training dataset.
 
-Purpose (VERDICT r2 item 5): the reference's real training artifact is a
-run on ``guitar.tfrecords`` (reference: data.py:28-34) whose data blobs are
-stripped from the repo. This tool manufactures a stand-in with realistic
-structure — plucked-string synthesis: a stack of ~12 harmonics with 1/h
-amplitudes, per-harmonic decay (higher partials die faster), string
-inharmonicity, a soft onset, and light pick noise — writes it in the FULL
-NSynth schema (note/pitch/sample_rate/instrument fields + audio[64000]),
-and then exercises the exact ETL path the reference used
+Purpose (VERDICT r2 item 5): the reference's real training artifacts are
+runs on ``guitar.tfrecords`` / ``organ.tfrecords`` (reference: data.py:28-34)
+whose data blobs are stripped from the repo. This tool manufactures
+stand-ins with realistic structure — plucked-string synthesis (a stack of
+~12 harmonics with 1/h amplitudes, per-harmonic decay, string
+inharmonicity, soft onset, pick noise) and a sustained pipe-organ synth
+(harmonic drawbar stack, pipe speech, chiff, tremulant) — writes them in
+the FULL NSynth schema (note/pitch/sample_rate/instrument fields +
+audio[64000]), and then exercises the exact ETL path the reference used
 (make-small-dataset.py): NSynth filter -> pad to 2^16 -> audio-only
 Examples.
 
     python tools/make_instrument_dataset.py --output_dir=data \
         --name=guitarish --pitch=50 --count=100
+    python tools/make_instrument_dataset.py --output_dir=data \
+        --name=organish --family=organ --pitch=55 --count=100
 
 The realistic-scale convergence anchor trained on this dataset is recorded
 in BASELINE.md; when the real guitar.tfrecords lands, the parity run is:
@@ -68,10 +71,49 @@ def pluck(rng: np.random.RandomState, f0: float, t_samples: int = NSYNTH_T,
     return (0.5 * wave / max(peak, 1e-9)).astype(np.float32)
 
 
+def organ(rng: np.random.RandomState, f0: float, t_samples: int = NSYNTH_T,
+          sr: int = 16000) -> np.ndarray:
+    """One sustained pipe-organ note — the stand-in for the reference's
+    second stripped blob, ``organ.tfrecords``: a harmonic drawbar stack
+    (pipes are harmonic — no inharmonicity, unlike the plucked string),
+    per-pipe "speech" onsets, a breathy chiff transient, gentle tremulant
+    AM, and a release fade. The sustained envelope is the structural
+    contrast with pluck(): energy does not decay over the note."""
+    t = np.arange(t_samples, dtype=np.float64) / sr
+    drawbars = [(1, 1.0), (2, 0.9), (3, 0.45), (4, 0.4),
+                (5, 0.22), (6, 0.18), (8, 0.12)]
+    wave = np.zeros_like(t)
+    for h, base_amp in drawbars:
+        fh = f0 * h
+        if fh >= sr / 2:
+            break
+        amp = base_amp * rng.uniform(0.85, 1.15)
+        phase = rng.uniform(0, 2 * np.pi)
+        speech = rng.uniform(0.01, 0.05) / np.sqrt(h)   # pipe speech time
+        env = 1.0 - np.exp(-t / speech)
+        wave += amp * env * np.sin(2 * np.pi * fh * t + phase)
+    trem_rate = rng.uniform(4.5, 6.5)                    # tremulant AM
+    trem_depth = rng.uniform(0.03, 0.10)
+    wave *= 1.0 + trem_depth * np.sin(
+        2 * np.pi * trem_rate * t + rng.uniform(0, 2 * np.pi))
+    n_noise = int(0.02 * sr)                             # chiff at onset
+    noise = rng.randn(n_noise) * np.exp(-np.arange(n_noise) / (0.006 * sr))
+    wave[:n_noise] += 0.08 * noise
+    n_rel = int(0.2 * sr)                                # release fade
+    wave[-n_rel:] *= np.linspace(1.0, 0.0, n_rel) ** 2
+    peak = np.abs(wave).max()
+    return (0.5 * wave / max(peak, 1e-9)).astype(np.float32)
+
+
+SYNTHS = {"pluck": pluck, "organ": organ}
+
+
 def synthesize_nsynth(path: str, pitch: int, count: int, family: str,
-                      seed: int = 0):
+                      seed: int = 0, synth: str = "auto"):
     rng = np.random.RandomState(seed)
     f0 = midi_to_hz(pitch)
+    gen = SYNTHS[synth if synth != "auto"
+                 else ("organ" if family == "organ" else "pluck")]
     recs = []
     for i in range(count):
         # small per-note detune, like real instrument takes
@@ -82,7 +124,7 @@ def synthesize_nsynth(path: str, pitch: int, count: int, family: str,
             "sample_rate": np.array([16000], np.int64),
             "instrument_source_str": [b"acoustic"],
             "instrument_family_str": [family.encode()],
-            "audio": pluck(rng, f),
+            "audio": gen(rng, f),
         }))
     write_records(path, recs)
     return len(recs)
@@ -96,6 +138,11 @@ def main():
     ap.add_argument("--pitch", type=int, default=50)
     ap.add_argument("--count", type=int, default=100)
     ap.add_argument("--family", default="guitar")
+    ap.add_argument("--synth", default="auto",
+                    choices=["auto"] + sorted(SYNTHS),
+                    help="waveform generator; auto maps family 'organ' to "
+                         "the sustained drawbar synth, anything else to "
+                         "the plucked string")
     ap.add_argument("--length", type=int, default=2 ** 16)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -103,7 +150,7 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     raw = os.path.join(args.output_dir, f"{args.name}-nsynth.tfrecord")
     n = synthesize_nsynth(raw, args.pitch, args.count, args.family,
-                          args.seed)
+                          args.seed, synth=args.synth)
     print(f"synthesized {n} NSynth-schema notes at MIDI {args.pitch} "
           f"({midi_to_hz(args.pitch):.1f} Hz) -> {raw}")
 
