@@ -67,6 +67,32 @@ def test_nsynth_etl_train_sample(tmp_path):
     assert np.isfinite(waves).all()
 
 
+def test_make_instrument_dataset_cli_both_synths(tmp_path):
+    """The stand-in synthesizer for the reference's stripped data blobs
+    (guitar.tfrecords / organ.tfrecords), via its CLI: both generators
+    produce valid audio-only datasets through the NSynth ETL, and the
+    structural contrast holds — the plucked string decays, the organ
+    sustains."""
+    late = {}
+    for name, family in (("guitarish", "guitar"), ("organish", "organ")):
+        res = subprocess.run(
+            [sys.executable, "tools/make_instrument_dataset.py",
+             f"--output_dir={tmp_path}", f"--name={name}",
+             f"--family={family}", "--pitch=55", "--count=3",
+             "--length=65536"],
+            capture_output=True, text=True, cwd=".")
+        assert res.returncode == 0, res.stderr
+        data = read_audio_tfrecords(str(tmp_path / f"{name}.tfrecords"))
+        assert data.shape == (3, 65536)
+        assert np.isfinite(data).all()
+        # energy in the last second of the 4 s note vs the first
+        sr = 16000
+        early = float(np.abs(data[:, sr:2 * sr]).mean())
+        late[name] = float(np.abs(data[:, 3 * sr:4 * sr]).mean()) / early
+    assert late["guitarish"] < 0.35, late   # plucked string has died down
+    assert late["organish"] > 0.6, late     # pipe still speaking
+
+
 def test_make_small_dataset_cli(tmp_path):
     """The ETL tool itself, via its CLI entry."""
     raw = str(tmp_path / "nsynth-test.tfrecord")
