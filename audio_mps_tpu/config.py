@@ -216,13 +216,14 @@ def parse_mesh_spec(mesh: str):
 
     'dp' -> ('dp', None);      'dp:4' -> ('dp', 4)
     'rank' -> ('rank', None);  'rank:4' -> ('rank', 4)
+    'time' -> ('time', None);  'time:4' -> ('time', 4)
     'dpxrank:2x4' -> ('dpxrank', (2, 4))
     'dpxtime:2x4' -> ('dpxtime', (2, 4))
     """
-    err = (f"mesh must be '', 'dp[:N]', 'rank[:N]', 'dpxrank:AxB', or "
-           f"'dpxtime:AxB', got {mesh!r}")
+    err = (f"mesh must be '', 'dp[:N]', 'rank[:N]', 'time[:N]', "
+           f"'dpxrank:AxB', or 'dpxtime:AxB', got {mesh!r}")
     kind, sep, dims = mesh.partition(":")
-    if kind in ("dp", "rank"):
+    if kind in ("dp", "rank", "time"):
         if not sep:
             return kind, None
         if dims.isdigit() and int(dims) > 0:
@@ -271,9 +272,11 @@ class RunConfig:
     # shard_map over all/the first N local devices (mesh size must divide
     # the minibatch); "rank"/"rank:N" = purification-rank tensor
     # parallelism (rho family; axis size must divide the rank);
-    # "dpxrank:AxB" = 2D data x model mesh (DP x TP); "dpxtime:AxB" = 2D
-    # data x time mesh (DP x sequence parallelism; the time axis must
-    # divide T-1).
+    # "time"/"time:N" = temporal pipeline (both families; stage count
+    # must divide T-1; fused=auto selects the carried-state partials
+    # kernels); "dpxrank:AxB" = 2D data x model mesh (DP x TP);
+    # "dpxtime:AxB" = 2D data x time mesh (DP x sequence parallelism;
+    # the time axis must divide T-1).
     mesh: str = ""
 
     def __post_init__(self):

@@ -865,3 +865,111 @@ def rho_nll_rank_chunked(params, cfg: CMPSConfig, signals, *,
     gam = jnp.stack([p[2] for p in parts])
     seb = parts[0][3]
     return combine_rank_partials(eh, trp, gam, seb, cfg)
+
+
+# ===========================================================================
+# Temporal-pipeline composition pieces — a fused chunk step with a CARRIED
+# state (t_in -> partials + t_out), so the time axis can be sharded over a
+# mesh with the hot loop still fused (parallel/time_pipeline.py consumes
+# these; VERDICT r3 item 1's "time-sharding rides the XLA chunked scan").
+# ===========================================================================
+
+def rank_partials_chunk_unroll(cfg: CMPSConfig, B: int, r_pad: int,
+                               chunk_steps: int,
+                               unroll: Optional[int] = None) -> int:
+    """Unroll for a carried-state chunk: it must DIVIDE chunk_steps
+    exactly — in-kernel tail padding would evolve the carried state
+    through dummy zero-signal steps (zero signal is NOT the identity:
+    the deterministic C pass and the block renormalization still apply),
+    contaminating t_fin for the next stage. An explicit `unroll` is
+    reduced to gcd(unroll, chunk_steps)."""
+    u = auto_unroll(2 * cfg.bond_dim, B * r_pad, unroll)
+    return max(1, math.gcd(int(u), int(chunk_steps)))
+
+
+def rank_partials_chunk_operands(cc, wr, wi, cfg: CMPSConfig, B: int,
+                                 r_pad: int):
+    """Kernel operands + kernel-frame initial state from (possibly
+    unnormalized) local factor rows wr/wi [r_loc, D].
+
+    Returns (ops, t0): ops = (ab, bb, xb, zmat, zt) for
+    `rank_partials_chunk_factory`'s chunk_fn; t0 = [2D, B*r_pad] stacked
+    block-frame initial factor, locally unit-normalized (the absolute
+    scale cancels in e = eh/trp — single-group combine). Zero pad rows
+    are exact (auto_pad_rank_partials's rationale)."""
+    r_loc = wr.shape[0]
+    if r_pad > r_loc:
+        wr = jnp.pad(wr, ((0, r_pad - r_loc), (0, 0)))
+        wi = jnp.pad(wi, ((0, r_pad - r_loc), (0, 0)))
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    h0r = jnp.tile(wr.T * inv0, (1, B))
+    h0i = jnp.tile(wi.T * inv0, (1, B))
+    zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), r_pad, axis=0)
+    ab, bb, xb = _rho_block_constants(cc)
+    t0 = _rho_block_t0(cc, h0r, h0i)
+    return (ab, bb, xb, zmat, zmat.T), t0
+
+
+def rank_partials_chunk_factory(cfg: CMPSConfig, B: int, chunk_steps: int,
+                                r_loc: int, *,
+                                unroll: Optional[int] = None,
+                                interpret: Optional[bool] = None,
+                                precision: str = "highest",
+                                stream: bool = False):
+    """Fused chunk step with a carried state, for temporal pipelining.
+
+    Returns (chunk_fn, r_pad, unroll) where
+    ``chunk_fn(ops, t_in, seb_chunk [chunk_steps, B]) ->
+    (t_out, (eh, tr))`` with ops from `rank_partials_chunk_operands`.
+    t_in/t_out are in the kernel frame ([2D, B*r_pad]); chaining them
+    across chunk calls is exact (the kernel renormalizes at every block
+    exit, and chunk_steps is a whole number of unroll blocks — enforced
+    by `rank_partials_chunk_unroll`). Grads flow through t_in AND t_out
+    (the custom VJP's dtfin seeds the adjoint recurrence)."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if not supports_block(cfg):
+        raise ValueError(
+            f"rank-partials kernels use the block layout "
+            f"(bond_dim % 4 == 0), got bond_dim={cfg.bond_dim}")
+    r_pad = auto_pad_rank_partials(cfg, B, r_loc, bool(interpret))
+    u = rank_partials_chunk_unroll(cfg, B, r_pad, chunk_steps, unroll)
+    if chunk_steps % u:
+        raise ValueError(
+            f"chunk_steps {chunk_steps} not a multiple of unroll {u}")
+    BR = B * r_pad
+    if stream and not interpret and BR % 128 != 0:
+        raise ValueError(
+            f"streamed rank-partials kernels need B*r_loc % 128 == 0 on "
+            f"TPU (static lane slices of the state stream must be "
+            f"tile-aligned), got B*r_loc={BR}")
+    fused = _rank_partials_factory(cfg, B, chunk_steps + 1, r_pad, u,
+                                   bool(interpret), precision, bool(stream))
+
+    def chunk_fn(ops, t_in, seb_chunk):
+        ab, bb, xb, zmat, zt = ops
+        se = jnp.repeat(seb_chunk, r_pad, axis=1)
+        eh, tr, t_out = fused(ab, bb, xb, t_in, se, zmat, zt)
+        return t_out, (eh, tr)
+
+    return chunk_fn, r_pad, u
+
+
+def rank_partials_chunk_nll(eh, tr, seb, unroll: int, cfg: CMPSConfig):
+    """Per-example NLL sum over one chunk from its LOCAL partial rows —
+    the single-group (full local rank) specialization of
+    `combine_rank_partials`: with one group the rescaling weights cancel
+    and e = eh / trp exactly, so no gamma bookkeeping (and no cross-chunk
+    state) is needed. eh/tr: [L, B] kernel outputs; seb: [L, B]."""
+    L, B = eh.shape
+    nb = L // unroll
+    tr3 = tr.reshape(nb, unroll, B)
+    trp = jnp.concatenate(
+        [jnp.ones((nb, 1, B), tr.dtype), tr3[:, :unroll - 1]],
+        axis=1).reshape(L, B)
+    e = eh / jnp.maximum(trp, cfg.norm_eps)
+    arg = 1.0 + e * seb
+    if cfg.log_eps > 0:
+        arg = jnp.maximum(arg, cfg.log_eps)
+    return jnp.sum(-jnp.log(arg), axis=0)

@@ -14,6 +14,20 @@ to pipeline, SURVEY.md §2.4 PP row).
 Payload per hop: the rotating-frame ancilla plus the per-example running
 NLL. Loss semantics are identical to the single-device scan (pinned by
 tests on the virtual CPU mesh).
+
+Two hot-loop implementations per family:
+- `psi_nll_pipelined` / `rho_nll_pipelined` — XLA chunked-remat scan per
+  stage (the r1-r3 path; any bond_dim).
+- `psi_nll_pipelined_fused` / `rho_nll_pipelined_fused` — the
+  ops/pallas_rank carried-state chunk kernels per stage: each tick is ONE
+  fused kernel call over the stage's whole time chunk, the hop payload is
+  the kernel-frame state [2D, b*rank], and per-step losses are computed
+  locally from the chunk's e/tr partials (single-group combine — exact).
+  psi rides the SAME kernels as a rank-1 purification: G = conj(psi)^T
+  evolves as G U^dag exactly when psi evolves as U psi, and e, the trace
+  and the eps floors coincide (pinned by tests). This closes the last
+  XLA-scan cliff in the strategy matrix (fused DP r2, fused rank-TP r4,
+  fused time-pipeline here).
 """
 from __future__ import annotations
 
@@ -154,3 +168,200 @@ def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     M = num_microbatches or signals.shape[0]
     return _pipeline_nll(cell.rho_factor_loss_step, _rho_factor_state0,
                          params, cfg, signals, M, mesh, axis)
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel pipeline (ops/pallas_rank carried-state chunk kernels)
+# ---------------------------------------------------------------------------
+
+def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
+                        num_microbatches: int, mesh: Mesh, axis: str, *,
+                        unroll: int = None, interpret: bool = None,
+                        precision: str = None, stream: bool = None):
+    """Temporal pipeline with the FUSED hot loop: per tick each stage runs
+    one carried-state rank-partials kernel call over its local time chunk
+    (w_pair = local factor rows: params' W, or the rank-1 conj(psi)
+    embedding) and banks the chunk's per-example NLL from the local
+    partials. Identical tick/microbatch structure to `_pipeline_nll`."""
+    from ..ops.pallas_block import auto_stream
+    from ..ops.pallas_rank import (rank_partials_chunk_factory,
+                                   rank_partials_chunk_operands,
+                                   rank_partials_chunk_nll,
+                                   auto_pad_rank_partials, _on_tpu)
+
+    B, T = signals.shape
+    M = num_microbatches
+    S = mesh.devices.size
+    if B % M:
+        raise ValueError(f"batch {B} not divisible into {M} microbatches")
+    b = B // M
+    n_steps = T - 1
+    if n_steps % S:
+        raise ValueError(f"T-1={n_steps} steps not divisible by {S} stages")
+    Tc = n_steps // S
+    if interpret is None:
+        interpret = not _on_tpu()
+    precision = precision or cfg.kernel_precision
+    r_loc = w_pair[0].shape[0]
+    r_pad = auto_pad_rank_partials(cfg, b, r_loc, bool(interpret))
+    if stream is None:
+        # all live ticks' forward residuals coexist until the backward
+        live = M + S - 1
+        stream = auto_stream(cfg, b * r_pad, Tc * live + 1, True,
+                             bool(interpret))
+    chunk_fn, r_pad, u = rank_partials_chunk_factory(
+        cfg, b, Tc, r_loc, unroll=unroll, interpret=interpret,
+        precision=precision, stream=bool(stream))
+
+    cc = make_constants(params, cfg)
+    # [B, T-1] signal increments / A (the partials' seb), chunked
+    # [M, b, S, Tc] -> per stage, time-major [M, S, Tc, b]
+    seb = (signals[:, 1:] - signals[:, :-1]) / cc.A
+    seb = seb.reshape(M, b, S, Tc).transpose(0, 2, 3, 1)
+
+    # params/constants as replicated shard_map OPERANDS (see
+    # _pipeline_nll's note on captured outer-mesh avals)
+    def local(cc, wr, wi, seb_local):
+        seb_local = seb_local[:, 0]                  # [M, Tc, b]
+        s_idx = jax.lax.axis_index(axis)
+        ops, t0 = rank_partials_chunk_operands(cc, wr, wi, cfg, b, r_pad)
+        zero_loss = jnp.zeros((b,), signals.dtype)
+
+        def tick(acc, t):
+            (tstate, loss_in), losses = acc
+            m = t - s_idx                            # active microbatch
+            active = jnp.logical_and(m >= 0, m < M)
+            m_c = jnp.clip(m, 0, M - 1)
+            seb_c = jax.lax.dynamic_index_in_dim(seb_local, m_c, axis=0,
+                                                 keepdims=False)  # [Tc, b]
+            # stage 0 injects a fresh initial state per new microbatch
+            tstate = jnp.where(s_idx == 0, t0, tstate)
+            loss_in = jnp.where(s_idx == 0, zero_loss, loss_in)
+            t_out, (eh, tr) = chunk_fn(ops, tstate, seb_c)
+            loss_out = loss_in + rank_partials_chunk_nll(eh, tr, seb_c,
+                                                         u, cfg)
+            t_out = jnp.where(active, t_out, tstate)
+            loss_out = jnp.where(active, loss_out, loss_in)
+            # last stage banks the finished microbatch's loss
+            done = jnp.logical_and(s_idx == S - 1, active)
+            losses = jax.lax.cond(
+                done,
+                lambda ls: jax.lax.dynamic_update_index_in_dim(
+                    ls, loss_out, m_c, axis=0),
+                lambda ls: ls, losses)
+            perm = [(i, (i + 1) % S) for i in range(S)]
+            carry_next = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, axis, perm),
+                (t_out, loss_out))
+            return (carry_next, losses), None
+
+        init = ((t0, zero_loss), jnp.zeros((M, b), signals.dtype))
+        (_, losses), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
+        losses = jax.lax.psum(
+            jnp.where(s_idx == S - 1, losses, jnp.zeros_like(losses)), axis)
+        return jnp.mean(losses)[None]
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(None, axis, None, None)),
+        out_specs=P(axis),
+        check=False)
+    return jnp.mean(sharded(cc, w_pair[0], w_pair[1], seb))
+
+
+def rho_nll_pipelined_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
+                            num_microbatches: int = None,
+                            axis: str = TIME_AXIS, **kw):
+    """Mixed-state NLL, time axis pipelined over `mesh` with the FUSED
+    hot loop (semantics of core.rho_nll, reference model.py:132-142):
+    one carried-state partials kernel call per stage per tick."""
+    M = num_microbatches or signals.shape[0]
+    return _pipeline_nll_fused((params.Wx, params.Wy), params, cfg,
+                               signals, M, mesh, axis, **kw)
+
+
+def psi_nll_pipelined_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
+                            num_microbatches: int = None,
+                            axis: str = TIME_AXIS, **kw):
+    """Pure-state NLL, time axis pipelined over `mesh` with the FUSED hot
+    loop (semantics of core.psi_nll, reference model.py:257-267). psi is
+    a rank-1 purification: the factor G = conj(psi)^T ([1, D] row)
+    evolves as G U^dag exactly when psi evolves as U psi, with identical
+    expectation (2 Re <psi|R|psi> = Re tr[(R+R^dag) psi psi^dag]), trace
+    (|psi|^2) and eps-floor semantics — so the rho chunk kernels compute
+    the psi NLL bit-for-bit (pinned by tests/test_parallel.py)."""
+    M = num_microbatches or signals.shape[0]
+    w = (params.psi_x[None, :], -params.psi_y[None, :])
+    return _pipeline_nll_fused(w, params, cfg, signals, M, mesh, axis, **kw)
+
+
+def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int,
+                         chunk_steps: int) -> bool:
+    """Auto-select gate for the fused pipeline (mirrors
+    rank_parallel._auto_fused): real TPU + block layout + the per-stage
+    chunk kernel fits VMEM at the lane-padded local rank."""
+    from ..ops.pallas_block import supports_block
+    from ..ops.pallas_rank import (auto_pad_rank_partials,
+                                   partials_supported)
+    return (jax.devices()[0].platform != "cpu"
+            and supports_block(cfg)
+            and partials_supported(
+                cfg, b, auto_pad_rank_partials(cfg, b, r_loc,
+                                               interpret=False)))
+
+
+def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
+                         optimizer=None, num_microbatches: int = None,
+                         fused=None, axis: str = TIME_AXIS):
+    """Temporal-pipeline training step: the time axis sharded over `mesh`
+    (batch and params replicated). Works for both model families.
+
+    `num_microbatches=None` pipelines per-example (M = B — best pipeline
+    efficiency M/(M+S-1); fewer microbatches widen the per-stage kernel
+    at lower efficiency). `fused=None` auto-selects the carried-state
+    partials kernels (psi as its rank-1 purification) when the block
+    layout applies and the per-stage chunk kernel fits VMEM; False forces
+    the XLA chunk scan; True raises if unsupported. step(params,
+    opt_state, batch) with the make_dp_train_step contract."""
+    import optax
+    from ..training import make_loss_fn, make_optimizer
+
+    if mps_model not in ("rho_mps", "psi_mps"):
+        raise ValueError(
+            f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+    optimizer = optimizer or make_optimizer(cfg)
+    S = mesh.devices.size
+
+    def nll(params, cfg_, batch):
+        is_rho = hasattr(params, "Wx")
+        if is_rho != (mps_model == "rho_mps"):
+            raise ValueError(
+                f"params are for {'rho_mps' if is_rho else 'psi_mps'} but "
+                f"the step was built for {mps_model}")
+        B, T = batch.shape
+        M = num_microbatches or B
+        use_fused = fused
+        if use_fused is None:
+            r_loc = params.Wx.shape[0] if is_rho else 1
+            use_fused = _auto_fused_pipeline(cfg_, r_loc, B // max(M, 1),
+                                             (T - 1) // S)
+        pipelined = {
+            (True, True): rho_nll_pipelined_fused,
+            (True, False): rho_nll_pipelined,
+            (False, True): psi_nll_pipelined_fused,
+            (False, False): psi_nll_pipelined,
+        }[(is_rho, bool(use_fused))]
+        return pipelined(params, cfg_, batch, mesh,
+                         num_microbatches=M, axis=axis)
+
+    loss_fn = make_loss_fn(mps_model, cfg, nll=nll)
+
+    def step_fn(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1))
+    return optimizer, step

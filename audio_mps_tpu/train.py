@@ -89,6 +89,21 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
             optimizer, step_fn = make_rank_train_step(
                 cfg, make_model_mesh(n), fused=fused)
             opt_state = optimizer.init(params)
+        elif kind == "time":
+            # temporal pipeline over the local devices (both families);
+            # fused=auto rides the carried-state partials kernels
+            from .parallel import make_time_mesh, make_time_train_step
+            n = dims or n_dev
+            if n > n_dev:
+                raise ValueError(f"requested {n} devices, have {n_dev}")
+            if (run.sample_duration - 1) % n:
+                raise ValueError(
+                    f"sample_duration-1={run.sample_duration - 1} must be "
+                    f"divisible by the {n}-stage pipeline "
+                    f"(--mesh={run.mesh})")
+            optimizer, step_fn = make_time_train_step(
+                run.mps_model, cfg, make_time_mesh(n), fused=fused)
+            opt_state = optimizer.init(params)
         elif kind == "dpxrank":
             # combined 2D (data x model) mesh: DP x rank-TP
             if run.mps_model != "rho_mps":

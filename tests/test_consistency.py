@@ -24,7 +24,9 @@ from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
 from audio_mps_tpu.parallel.combined import make_2d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
-                                                  rho_nll_pipelined)
+                                                  psi_nll_pipelined_fused,
+                                                  rho_nll_pipelined,
+                                                  rho_nll_pipelined_fused)
 from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 from audio_mps_tpu.parallel.rank_parallel import (make_model_mesh,
                                                   rho_nll_rank_sharded,
@@ -116,6 +118,9 @@ def test_rho_nll_all_implementations_agree(bond_dim):
                 lambda: jax.jit(lambda: rho_nll_rank_sharded_fused(
                     params, cfg, data, make_model_mesh(4),
                     interpret=True))(),
+            "temporal_pipeline_fused":
+                lambda: rho_nll_pipelined_fused(params, cfg, data, mesh,
+                                                num_microbatches=4),
         })
     _check({name: float(fn()) for name, fn in impls.items()})
 
@@ -205,5 +210,8 @@ def test_psi_nll_all_implementations_agree(bond_dim):
                 lambda: jax.jit(lambda: psi_nll_time_sharded(
                     params, cfg, data, mesh2, time_chunk=24,
                     batch_axis="data"))(),
+            "temporal_pipeline_fused":
+                lambda: psi_nll_pipelined_fused(params, cfg, data, mesh,
+                                                num_microbatches=4),
         })
     _check({name: float(fn()) for name, fn in impls.items()})

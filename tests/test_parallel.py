@@ -450,3 +450,78 @@ def test_time_strategies_survive_multi_step_training():
             p, s, loss = step(p, s, batch)
             losses.append(float(loss))
         assert all(np.isfinite(v) for v in losses), losses
+
+
+def test_time_pipeline_fused_matches_single_device():
+    """FUSED temporal pipeline (carried-state partials kernels per stage)
+    == the single-device scans, both families — values AND gradients.
+    psi rides the rho kernels as a rank-1 purification (G = conj(psi)^T),
+    so this also pins that embedding."""
+    from audio_mps_tpu.parallel.time_pipeline import (
+        make_time_mesh, psi_nll_pipelined_fused, rho_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_psi, init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 4 * 24 + 1                       # 24 steps per stage
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(4)
+
+    pp = init_psi(jax.random.PRNGKey(0), cfg)
+    ref = float(_core.psi_nll(pp, cfg, data))
+    got = float(psi_nll_pipelined_fused(pp, cfg, data, mesh,
+                                        num_microbatches=4))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    g_ref = jax.grad(_core.psi_nll)(pp, cfg, data)
+    g_got = jax.jit(jax.grad(
+        lambda p: psi_nll_pipelined_fused(p, cfg, data, mesh,
+                                          num_microbatches=2)))(pp)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-6)
+
+    # rho, low-rank purification (rank 2 < D)
+    cfg_r = dataclasses.replace(cfg, initial_rank=2)
+    pr = init_rho(jax.random.PRNGKey(1), cfg_r)
+    ref = float(_core.rho_nll_factor(pr, cfg_r, data))
+    got = float(rho_nll_pipelined_fused(pr, cfg_r, data, mesh,
+                                        num_microbatches=2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    g_ref = jax.grad(lambda p: _core.rho_nll_factor(p, cfg_r, data))(pr)
+    g_got = jax.jit(jax.grad(
+        lambda p: rho_nll_pipelined_fused(p, cfg_r, data, mesh,
+                                          num_microbatches=2)))(pr)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-6)
+
+
+def test_time_train_step_matches_single_device():
+    """make_time_train_step (XLA and fused hot loops) reproduces the
+    single-device one-Adam-step parameter trajectory exactly."""
+    from audio_mps_tpu.parallel import make_time_mesh, make_time_train_step
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 4 * 16 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(4)
+
+    for model in ("rho_mps", "psi_mps"):
+        ref_params = init_params_for(model, jax.random.PRNGKey(0), cfg)
+        opt_ref, step_ref = make_train_step(model, cfg, fused=False)
+        p_ref, _, m_ref = step_ref(ref_params, opt_ref.init(ref_params),
+                                   data)
+        for fused in (False, True):
+            params = init_params_for(model, jax.random.PRNGKey(0), cfg)
+            opt, step = make_time_train_step(model, cfg, mesh, fused=fused)
+            p, _, m = step(params, opt.init(params), data)
+            np.testing.assert_allclose(
+                float(m["model_loss"]), float(m_ref["model_loss"]),
+                rtol=1e-5, err_msg=f"{model} fused={fused}")
+            for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7,
+                    err_msg=f"{model} fused={fused}")
+
+    with pytest.raises(ValueError, match="mps_model"):
+        make_time_train_step("latent", cfg, mesh)
