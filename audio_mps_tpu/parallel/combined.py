@@ -6,7 +6,9 @@ reference has no distribution at all) on one ``(data, time)`` mesh:
   - the batch is sharded over the ``data`` axis (parallel/data_parallel.py
     semantics: tiny replicated params, per-example work dominates);
   - each data-parallel row shards the waveform's TIME axis over the
-    ``time`` axis using the transfer-operator associative scan
+    ``time`` axis — either the FUSED temporal pipeline (carried-state
+    partials kernels, parallel/time_pipeline.py; the auto-selected TPU
+    path) or the transfer-operator associative scan
     (parallel/time_pscan.py): each device owns a [B/dp, (T-1)/tp] tile.
 
 Communication stays minimal and axis-local: the time-sharding all_gather
@@ -29,7 +31,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import CMPSConfig
 from ..training import make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
-from .time_pipeline import TIME_AXIS
+from .time_pipeline import (TIME_AXIS, _auto_fused_pipeline,
+                            psi_nll_pipelined_fused,
+                            rho_nll_pipelined_fused)
 from .time_pscan import rho_nll_time_sharded
 
 
@@ -45,14 +49,22 @@ def make_2d_mesh(n_data: int, n_time: int, devices=None) -> Mesh:
 
 
 def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
-                            optimizer=None, time_chunk: int = 1024):
+                            optimizer=None, time_chunk: int = 1024,
+                            fused=None, num_microbatches: int = None):
     """Build (optimizer, jitted step) for combined DP x time-sharded
     training on a (data, time) mesh.
 
     step(params, opt_state, batch[B, T]) -> (params, opt_state, metrics);
     params/opt_state replicated, batch rows sharded over ``data`` (the NLL
     internally shards time over ``time``). Works for both model families
-    (the time-sharded NLL accepts psi's rank-1 factor)."""
+    (the time-sharded NLL accepts psi's rank-1 factor).
+
+    `fused=None` auto-selects the FUSED temporal pipeline over the
+    ``time`` axis (time_pipeline's carried-state partials kernels, with
+    the microbatch examples sharded over ``data``) when the block layout
+    applies and the per-device chunk kernel fits VMEM; the fallback (and
+    `fused=False`) is the XLA transfer-operator associative scan
+    (time_pscan). Both are exact vs the single-device step."""
     if mps_model not in ("rho_mps", "psi_mps"):
         raise ValueError(
             f"mps_model must be rho_mps or psi_mps, got {mps_model}")
@@ -67,6 +79,26 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
             raise ValueError(
                 f"params are for {'rho_mps' if is_rho else 'psi_mps'} but "
                 f"the step was built for {mps_model}")
+        B, T = batch.shape
+        S = mesh.shape[TIME_AXIS]
+        n_data = mesh.shape[DATA_AXIS]
+        # default: per-example microbatches per data shard (b = n_data,
+        # one example per device per microbatch)
+        M = num_microbatches or max(1, B // n_data)
+        use_fused = fused
+        if use_fused is None:
+            r_loc = params.Wx.shape[0] if is_rho else 1
+            use_fused = (
+                B % M == 0 and (B // M) % n_data == 0
+                and (T - 1) % S == 0
+                and _auto_fused_pipeline(cfg_, r_loc,
+                                         B // M // n_data, (T - 1) // S))
+        if use_fused:
+            pipelined = (rho_nll_pipelined_fused if is_rho
+                         else psi_nll_pipelined_fused)
+            return pipelined(params, cfg_, batch, mesh,
+                             num_microbatches=M, axis=TIME_AXIS,
+                             data_axis=DATA_AXIS)
         return rho_nll_time_sharded(params, cfg_, batch, mesh,
                                     time_chunk=time_chunk,
                                     batch_axis=DATA_AXIS)

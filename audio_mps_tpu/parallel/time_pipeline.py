@@ -176,13 +176,18 @@ def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
 
 def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                         num_microbatches: int, mesh: Mesh, axis: str, *,
-                        unroll: int = None, interpret: bool = None,
-                        precision: str = None, stream: bool = None):
+                        data_axis: str = None, unroll: int = None,
+                        interpret: bool = None, precision: str = None,
+                        stream: bool = None):
     """Temporal pipeline with the FUSED hot loop: per tick each stage runs
     one carried-state rank-partials kernel call over its local time chunk
     (w_pair = local factor rows: params' W, or the rank-1 conj(psi)
     embedding) and banks the chunk's per-example NLL from the local
-    partials. Identical tick/microbatch structure to `_pipeline_nll`."""
+    partials. Identical tick/microbatch structure to `_pipeline_nll`.
+
+    `data_axis`: optional second mesh axis for the DP x pipeline
+    composition — each microbatch's examples shard over it (the pipeline
+    collectives stay `axis`-local; the loss pmean rides `data_axis`)."""
     from ..ops.pallas_block import auto_stream
     from ..ops.pallas_rank import (rank_partials_chunk_factory,
                                    rank_partials_chunk_operands,
@@ -191,10 +196,16 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
 
     B, T = signals.shape
     M = num_microbatches
-    S = mesh.devices.size
+    S = mesh.shape[axis]
     if B % M:
         raise ValueError(f"batch {B} not divisible into {M} microbatches")
     b = B // M
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
+    if b % n_data:
+        raise ValueError(
+            f"microbatch size {b} must be divisible by the "
+            f"{data_axis!r} axis size {n_data}")
+    b_loc = b // n_data
     n_steps = T - 1
     if n_steps % S:
         raise ValueError(f"T-1={n_steps} steps not divisible by {S} stages")
@@ -203,14 +214,14 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
         interpret = not _on_tpu()
     precision = precision or cfg.kernel_precision
     r_loc = w_pair[0].shape[0]
-    r_pad = auto_pad_rank_partials(cfg, b, r_loc, bool(interpret))
+    r_pad = auto_pad_rank_partials(cfg, b_loc, r_loc, bool(interpret))
     if stream is None:
         # all live ticks' forward residuals coexist until the backward
         live = M + S - 1
-        stream = auto_stream(cfg, b * r_pad, Tc * live + 1, True,
+        stream = auto_stream(cfg, b_loc * r_pad, Tc * live + 1, True,
                              bool(interpret))
     chunk_fn, r_pad, u = rank_partials_chunk_factory(
-        cfg, b, Tc, r_loc, unroll=unroll, interpret=interpret,
+        cfg, b_loc, Tc, r_loc, unroll=unroll, interpret=interpret,
         precision=precision, stream=bool(stream))
 
     cc = make_constants(params, cfg)
@@ -222,10 +233,11 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     # params/constants as replicated shard_map OPERANDS (see
     # _pipeline_nll's note on captured outer-mesh avals)
     def local(cc, wr, wi, seb_local):
-        seb_local = seb_local[:, 0]                  # [M, Tc, b]
+        seb_local = seb_local[:, 0]                  # [M, Tc, b_loc]
         s_idx = jax.lax.axis_index(axis)
-        ops, t0 = rank_partials_chunk_operands(cc, wr, wi, cfg, b, r_pad)
-        zero_loss = jnp.zeros((b,), signals.dtype)
+        ops, t0 = rank_partials_chunk_operands(cc, wr, wi, cfg, b_loc,
+                                               r_pad)
+        zero_loss = jnp.zeros((b_loc,), signals.dtype)
 
         def tick(acc, t):
             (tstate, loss_in), losses = acc
@@ -255,15 +267,18 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                 (t_out, loss_out))
             return (carry_next, losses), None
 
-        init = ((t0, zero_loss), jnp.zeros((M, b), signals.dtype))
+        init = ((t0, zero_loss), jnp.zeros((M, b_loc), signals.dtype))
         (_, losses), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
         losses = jax.lax.psum(
             jnp.where(s_idx == S - 1, losses, jnp.zeros_like(losses)), axis)
-        return jnp.mean(losses)[None]
+        val = jnp.mean(losses)
+        if data_axis is not None:
+            val = jax.lax.pmean(val, data_axis)
+        return val[None]
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(None, axis, None, None)),
+        in_specs=(P(), P(), P(), P(None, axis, None, data_axis)),
         out_specs=P(axis),
         check=False)
     return jnp.mean(sharded(cc, w_pair[0], w_pair[1], seb))

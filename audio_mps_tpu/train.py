@@ -145,13 +145,8 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
                     f"sample_duration-1={run.sample_duration - 1} must be "
                     f"divisible by the time axis size {b} "
                     f"(--mesh={run.mesh})")
-            if fused is True:
-                raise ValueError(
-                    f"--fused=true is not supported with --mesh={run.mesh}: "
-                    f"the time-sharded step rides the XLA pscan (use "
-                    f"dp/rank/dpxrank for the fused kernels)")
             optimizer, step_fn = make_dp_time_train_step(
-                run.mps_model, cfg, make_2d_mesh(a, b),
+                run.mps_model, cfg, make_2d_mesh(a, b), fused=fused,
                 time_chunk=_pscan_time_chunk((run.sample_duration - 1) // b))
             opt_state = optimizer.init(params)
         if verbose:

@@ -525,3 +525,57 @@ def test_time_train_step_matches_single_device():
 
     with pytest.raises(ValueError, match="mps_model"):
         make_time_train_step("latent", cfg, mesh)
+
+
+def test_dp_time_fused_pipeline_matches_single_device():
+    """DP x FUSED-pipeline on a (data, time) 2D mesh == the single-device
+    scans: NLL values+grads and the make_dp_time_train_step(fused=True)
+    one-Adam-step parameter trajectory."""
+    from audio_mps_tpu.parallel.combined import (
+        make_2d_mesh, make_dp_time_train_step, shard_batch_2d)
+    from audio_mps_tpu.parallel.time_pipeline import (
+        psi_nll_pipelined_fused, rho_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=8, scan_chunk=0)
+    T = 4 * 12 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 8, T, cfg.delta_t)
+    mesh2 = make_2d_mesh(2, 4)
+
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    got = float(rho_nll_pipelined_fused(pr, cfg, data, mesh2,
+                                        num_microbatches=2,
+                                        data_axis="data"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    g_ref = jax.grad(lambda p: _core.rho_nll_factor(p, cfg, data))(pr)
+    g_got = jax.jit(jax.grad(
+        lambda p: rho_nll_pipelined_fused(p, cfg, data, mesh2,
+                                          num_microbatches=2,
+                                          data_axis="data")))(pr)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-6)
+
+    for model in ("rho_mps", "psi_mps"):
+        ref_params = init_params_for(model, jax.random.PRNGKey(0), cfg)
+        opt_ref, step_ref = make_train_step(model, cfg, fused=False)
+        p_ref, _, m_ref = step_ref(ref_params, opt_ref.init(ref_params),
+                                   data)
+        params = init_params_for(model, jax.random.PRNGKey(0), cfg)
+        opt, step = make_dp_time_train_step(model, cfg, mesh2, fused=True,
+                                            num_microbatches=2)
+        p, _, m = step(params, opt.init(params),
+                       shard_batch_2d(data, mesh2))
+        np.testing.assert_allclose(
+            float(m["model_loss"]), float(m_ref["model_loss"]),
+            rtol=1e-5, err_msg=model)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-7, err_msg=model)
+
+    # microbatch divisibility validation
+    with pytest.raises(ValueError, match="divisible"):
+        rho_nll_pipelined_fused(pr, cfg, data, mesh2, num_microbatches=8,
+                                data_axis="data")

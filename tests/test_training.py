@@ -318,6 +318,15 @@ def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
         np.testing.assert_allclose(v, losses[""], rtol=5e-5, atol=1e-7,
                                    err_msg=f"--mesh={mesh}")
 
+    # --fused=true forces the FUSED temporal pipeline on the dpxtime
+    # 2D mesh (auto stays on pscan off-TPU); same loss through the CLI
+    run_f = dataclasses.replace(base, mesh="dpxtime:2x4", fused="true",
+                                logdir=str(tmp_path / "dpxtime_fused"))
+    _, metrics_f = train(run_f, verbose=False)
+    np.testing.assert_allclose(float(metrics_f["model_loss"]), losses[""],
+                               rtol=5e-5, atol=1e-7,
+                               err_msg="--mesh=dpxtime:2x4 --fused=true")
+
 
 def test_train_cli_rank_mesh_resume_and_validation(tmp_path):
     """rank-TP checkpoints restore across mesh changes (rank:4 ->
