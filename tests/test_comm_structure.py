@@ -161,3 +161,30 @@ def test_pipeline_in_loop_traffic_is_ppermute_only():
     looped = in_loop(counts)
     assert looped, "pipeline must hand the ancilla across stages in-loop"
     assert all(k[0] == "ppermute" for k in looped), counts
+
+
+def test_fused_pipeline_in_loop_traffic_is_ppermute_only():
+    """The FUSED pipeline must keep the same comm structure as the XLA
+    one: per-TICK ppermute handoffs only (the whole per-stage time chunk
+    runs inside one kernel call), no reductions in the tick loop — values
+    AND gradients (the ppermute transpose is another ppermute; the kernel
+    VJP must not introduce per-step collectives)."""
+    from audio_mps_tpu.parallel.time_pipeline import (
+        make_time_mesh, psi_nll_pipelined_fused, rho_nll_pipelined_fused)
+    cfg = dataclasses.replace(CFG, scan_chunk=0)
+    sig = jnp.asarray(np.random.RandomState(1).randn(4, 8 * 8 + 1),
+                      jnp.float32)
+    mesh = make_time_mesh(8)
+    for model, fn in (("psi_mps", psi_nll_pipelined_fused),
+                      ("rho_mps", rho_nll_pipelined_fused)):
+        params = init_params_for(model, jax.random.PRNGKey(0), cfg)
+        counts = collectives_by_loop(
+            lambda p: fn(p, cfg, sig, mesh, num_microbatches=2,
+                         interpret=True), params)
+        looped = in_loop(counts)
+        assert looped, f"{model}: pipeline must hand off in-loop"
+        assert all(k[0] == "ppermute" for k in looped), (model, counts)
+        grad = collectives_by_loop(
+            jax.grad(lambda p: fn(p, cfg, sig, mesh, num_microbatches=2,
+                                  interpret=True)), params)
+        assert all(k[0] == "ppermute" for k in in_loop(grad)), (model, grad)

@@ -193,6 +193,24 @@ def test_vmem_boundary_helpers():
     assert rank_chunk_for(CFG, 4, 8) == 8
 
 
+def test_chunk_unroll_divisor_pick():
+    """The carried-state chunk unroll is the LARGEST divisor of
+    chunk_steps <= the auto/explicit pick — not gcd(pick, chunk), which
+    collapses to 1 whenever the auto pick is coprime with the chunk
+    (measured 3.5x regression: auto=5 over a 2^14-step chunk)."""
+    from audio_mps_tpu.ops.pallas_grad import auto_unroll
+    from audio_mps_tpu.ops.pallas_rank import rank_partials_chunk_unroll
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=8)
+    auto = auto_unroll(2 * cfg.bond_dim, 8 * 64, None)
+    if auto == 5:  # the shape that exposed the bug: 5 is coprime to 2^14
+        assert rank_partials_chunk_unroll(cfg, 8, 64, 2 ** 14) == 4
+    # general contract: a divisor, <= the pick, and maximal among divisors
+    for steps, explicit in ((2 ** 14, 5), (96, 7), (96, 12), (7, 16), (1, 3)):
+        u = rank_partials_chunk_unroll(cfg, 8, 64, steps, unroll=explicit)
+        assert steps % u == 0 and 1 <= u <= max(1, explicit)
+        assert not any(steps % d == 0 for d in range(u + 1, explicit + 1))
+
+
 def test_validation_errors():
     params, sig = _params(), _sig()
     with pytest.raises(ValueError, match="divisible by rank_chunk"):

@@ -471,7 +471,9 @@ def test_time_pipeline_fused_matches_single_device():
     ref = float(_core.psi_nll(pp, cfg, data))
     got = float(psi_nll_pipelined_fused(pp, cfg, data, mesh,
                                         num_microbatches=4))
-    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    # atol guards the near-zero loss at this tiny T: the unroll pick
+    # (a divisor of the per-stage chunk) sets the block summation order
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
     g_ref = jax.grad(_core.psi_nll)(pp, cfg, data)
     g_got = jax.jit(jax.grad(
         lambda p: psi_nll_pipelined_fused(p, cfg, data, mesh,
