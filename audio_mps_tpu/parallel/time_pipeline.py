@@ -325,15 +325,47 @@ def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int,
                                                interpret=False)))
 
 
+def auto_microbatches(cfg: CMPSConfig, B: int, r_loc: int, S: int,
+                      interpret: bool = False) -> int:
+    """Microbatch count for the FUSED pipeline, from the measured tick
+    cost model (PIPEBENCH_r04.json): a tick costs ~ a + c * lane_tiles
+    with a ~= c on v5e (the per-step floor is worth about one 128-lane
+    tile-pass; the model predicts the measured M=8/M=1 ratio 3.2 vs
+    3.15). Wall-clock = (M+S-1) ticks x tick(B/M), so per-example
+    microbatches (M=B) lose whenever they leave lane tiles half-empty —
+    minimize (M+S-1) * (1 + tiles) over divisors M of B instead, where
+    tiles counts the microbatch's PHYSICAL 128-lane tiles at the
+    auto-padded local rank. Ties break to the smaller M (wider kernels
+    amortize the per-step floor better). The XLA pipeline path keeps
+    M=B: its per-step cost is linear in the microbatch width, so
+    (M+S-1)/M is all that matters and M=B is optimal."""
+    from ..ops.pallas_rank import auto_pad_rank_partials
+    best, best_cost = B, None
+    for m in range(1, B + 1):
+        if B % m:
+            continue
+        b = B // m
+        r_pad = auto_pad_rank_partials(cfg, b, r_loc, interpret)
+        tiles = -(-b * r_pad // 128)
+        cost = (m + S - 1) * (1 + tiles)
+        if best_cost is None or cost < best_cost or (
+                cost == best_cost and m < best):
+            best, best_cost = m, cost
+    return best
+
+
 def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                          optimizer=None, num_microbatches: int = None,
                          fused=None, axis: str = TIME_AXIS):
     """Temporal-pipeline training step: the time axis sharded over `mesh`
     (batch and params replicated). Works for both model families.
 
-    `num_microbatches=None` pipelines per-example (M = B — best pipeline
-    efficiency M/(M+S-1); fewer microbatches widen the per-stage kernel
-    at lower efficiency). `fused=None` auto-selects the carried-state
+    `num_microbatches=None` auto-picks: per-example (M = B — best
+    pipeline efficiency M/(M+S-1), optimal for the width-linear XLA
+    path) or, on the fused path, `auto_microbatches`'s lane-tile-aware
+    pick (per-example microbatches that leave 128-lane tiles half-empty
+    cost as much per tick as full ones — measured cost model in
+    PIPEBENCH_r04.json). `fused=None` auto-selects the carried-state
     partials kernels (psi as its rank-1 purification) when the block
     layout applies and the per-stage chunk kernel fits VMEM; False forces
     the XLA chunk scan; True raises if unsupported. step(params,
@@ -354,12 +386,19 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                 f"params are for {'rho_mps' if is_rho else 'psi_mps'} but "
                 f"the step was built for {mps_model}")
         B, T = batch.shape
-        M = num_microbatches or B
+        r_loc = params.Wx.shape[0] if is_rho else 1
+        M = num_microbatches
         use_fused = fused
-        if use_fused is None:
-            r_loc = params.Wx.shape[0] if is_rho else 1
-            use_fused = _auto_fused_pipeline(cfg_, r_loc, B // max(M, 1),
-                                             (T - 1) // S)
+        if use_fused or use_fused is None:
+            # the fused default is the tile-aware pick; the auto gate
+            # judges VMEM fit at that M's microbatch width
+            m_fused = M or auto_microbatches(cfg_, B, r_loc, S)
+            if use_fused is None:
+                use_fused = _auto_fused_pipeline(cfg_, r_loc, B // m_fused,
+                                                 (T - 1) // S)
+            if use_fused:
+                M = m_fused
+        M = M or B
         pipelined = {
             (True, True): rho_nll_pipelined_fused,
             (True, False): rho_nll_pipelined,

@@ -498,6 +498,24 @@ def test_time_pipeline_fused_matches_single_device():
                                    rtol=5e-3, atol=1e-6)
 
 
+def test_auto_microbatches_tile_aware():
+    """The fused pipeline's default M fills 128-lane tiles: per-example
+    microbatches that pad half-empty tiles cost a full tick each
+    (PIPEBENCH_r04 cost model, tick ~ a + c*tiles with a ~= c)."""
+    from audio_mps_tpu.parallel.time_pipeline import auto_microbatches
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=8)
+    # rho full-rank: b=2 x rank 64 = exactly one tile; (4+7)*2 beats
+    # per-example's (8+7)*2 and wider-but-multi-tile picks
+    assert auto_microbatches(cfg, 8, 64, 8) == 4
+    # psi (rank-1) at B<=128: every width is one padded tile, so the
+    # model honestly degenerates to M=1 (use pscan/DP there instead)
+    assert auto_microbatches(cfg, 128, 1, 8) == 1
+    # M always divides B
+    for B in (6, 12):
+        m = auto_microbatches(cfg, B, 64, 8)
+        assert B % m == 0
+
+
 def test_time_train_step_matches_single_device():
     """make_time_train_step (XLA and fused hot loops) reproduces the
     single-device one-Adam-step parameter trajectory exactly."""

@@ -86,7 +86,9 @@ def main():
     pr = init_rho(jax.random.PRNGKey(0), cfg)
     sig = damped_sine_batch(jax.random.PRNGKey(1), 8, args.T, cfg.delta_t)
     for prec in precisions:
-        for m in (1, 8):
+        # M=4 pins the cost model's interior point: tick ~ a + c*tiles
+        # with a ~= c predicts m4 = 8 units vs m1 = 5 and m8 = 16
+        for m in (1, 4, 8):
             key = f"rho_d64_pipe_fused_m{m}_{prec}"
             print(f"case {key}", flush=True)
             ms, loss = time_loss(
