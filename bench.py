@@ -108,7 +108,8 @@ def _sync(tree):
     return float(jnp.sum(jax.tree.leaves(tree)[0]))
 
 
-def time_train_step(step, params, opt_state, batch, iters):
+def time_train_step(step, params, opt_state, batch, iters,
+                    discard_loops=0):
     """Per-step time over `iters` back-to-back calls ending in a host
     readback (the only true barrier on axon). NOTE (measured r4, device
     trace + iters sweep): the FIRST dispatch after a blocking readback
@@ -117,9 +118,20 @@ def time_train_step(step, params, opt_state, batch, iters):
     inflated every row ~6 ms/step (psi bf16x3 read 25.3 ms vs its real
     back-to-back 18.8; the device timeline is gapless at 15.2). Use
     iters >= ~8 for fused rows; slow reference rows (>0.4 s/step) can
-    stay at 2-3 (the distortion is <5% there)."""
+    stay at 2-3 (the distortion is <5% there).
+
+    `discard_loops`: extra timed loops run and thrown away first. REQUIRED
+    for shard_map'd steps on axon: their first back-to-back async loop
+    after compile runs 2-50x slow (self-heals by the next loop; per-call
+    readback timing never shows it — measured r4, /tmp/probe_pipe*.log:
+    D=16 pipeline rep0 311 ms/step vs rep1 5.7, D=64 loop0 only mildly
+    inflated). Plain-jit rows measure flat loop0==loop1."""
     params, opt_state, out = step(params, opt_state, batch)
     _sync((params,))
+    for _ in range(discard_loops):
+        for _ in range(iters):
+            params, opt_state, out = step(params, opt_state, batch)
+        _sync((params,))
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, out = step(params, opt_state, batch)
@@ -310,6 +322,41 @@ def main():
         detail["rank_partials_vs_xla"] = round(t_xla / t_part, 2)
     except Exception as e:
         detail["rank_partials_error"] = str(e)[:120]
+
+    # --- fused temporal pipeline scaffolding (r4, PIPEBENCH_r04.json):
+    # a 1-stage mesh with M=1 runs the whole T through the pipeline
+    # machinery (shard_map + tick scan + carried-state chunk kernel) —
+    # its time vs the monolithic partials row above IS the scaffolding
+    # cost a real S-stage time mesh pays per tick. T-1 must divide by
+    # the stage count (T=16384 -> 16385 samples); params are COMMITTED
+    # to the mesh first (uncommitted donated inputs re-place operands
+    # every call on this backend — see the verify skill).
+    try:
+        from audio_mps_tpu.parallel import (make_time_mesh,
+                                            make_time_train_step,
+                                            replicate)
+        mesh1 = make_time_mesh(1)
+        cfg_pl = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+        batch_pl = replicate(
+            damped_sine_batch(jax.random.PRNGKey(1), B, T + 1, cfg.delta_t),
+            mesh1)
+        opt_pl, pl_step = make_time_train_step(
+            "rho_mps", cfg_pl, mesh1, num_microbatches=1, fused=True)
+        p_pl = replicate(init_rho(jax.random.PRNGKey(0), cfg_pl), mesh1)
+        # discard >=8 calls: a shard_map step's first async calls after
+        # compile run slow on this backend (see time_train_step)
+        t_pipe = time_train_step(pl_step, p_pl, opt_pl.init(p_pl),
+                                 batch_pl, iters,
+                                 discard_loops=-(-8 // iters))
+        detail["train_step_ms_rho_pipeline_fused_m1"] = round(
+            t_pipe * 1e3, 2)
+        detail["pipeline_fused_vs_xla"] = round(t_xla / t_pipe, 2)
+        if "train_step_ms_rho_rank_partials" in detail:
+            detail["pipeline_scaffold_overhead"] = round(
+                t_pipe * 1e3 / detail["train_step_ms_rho_rank_partials"],
+                3)
+    except Exception as e:
+        detail["pipeline_error"] = str(e)[:120]
 
     rho_tfs, rho_mfu = _mfu(_train_flops_per_frame(D, D, stream_rho),
                             B, T, t_rho)
