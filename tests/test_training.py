@@ -370,8 +370,9 @@ def test_train_cli_mesh_validation_up_front(tmp_path):
     """Review-r4 regressions: malformed 'dp:'/'rank:' specs (trailing colon,
     empty N) are parse errors rather than silently meaning all-devices;
     dpxrank catches rank % model-axis before building the step (same
-    up-front contract as rank:N); dpxtime refuses --fused=true instead of
-    silently ignoring it; the pscan time_chunk is always a divisor."""
+    up-front contract as rank:N); the pscan time_chunk is always a
+    divisor. (dpxtime --fused=true is now SUPPORTED — the fused temporal
+    pipeline — and has its own positive CLI test above.)"""
     from audio_mps_tpu.train import _pscan_time_chunk, train
 
     with pytest.raises(ValueError, match="mesh must be"):
@@ -387,9 +388,6 @@ def test_train_cli_mesh_validation_up_front(tmp_path):
     with pytest.raises(ValueError, match="rank 4 must be divisible by the "
                                          "model axis size 3"):
         train(dataclasses.replace(run, mesh="dpxrank:2x3"), verbose=False)
-    with pytest.raises(ValueError, match="fused=true is not supported"):
-        train(dataclasses.replace(run, mesh="dpxtime:2x4", fused="true"),
-              verbose=False)
 
     # largest divisor <= cap — never the bare min() that crashed t_c=1280
     assert _pscan_time_chunk(1280) == 640
