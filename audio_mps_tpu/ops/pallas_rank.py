@@ -891,28 +891,61 @@ def rank_partials_chunk_unroll(cfg: CMPSConfig, B: int, r_pad: int,
     return next(d for d in range(min(u, cs), 0, -1) if cs % d == 0)
 
 
-def rank_partials_chunk_operands(cc, wr, wi, cfg: CMPSConfig, B: int,
-                                 r_pad: int):
-    """Kernel operands + kernel-frame initial state from (possibly
-    unnormalized) local factor rows wr/wi [r_loc, D].
-
-    Returns (ops, t0): ops = (ab, bb, xb, zmat, zt) for
-    `rank_partials_chunk_factory`'s chunk_fn; t0 = [2D, B*r_pad] stacked
-    block-frame initial factor, locally unit-normalized (the absolute
-    scale cancels in e = eh/trp — single-group combine). Zero pad rows
-    are exact (auto_pad_rank_partials's rationale)."""
-    r_loc = wr.shape[0]
-    if r_pad > r_loc:
-        wr = jnp.pad(wr, ((0, r_pad - r_loc), (0, 0)))
-        wi = jnp.pad(wi, ((0, r_pad - r_loc), (0, 0)))
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    h0r = jnp.tile(wr.T * inv0, (1, B))
-    h0i = jnp.tile(wi.T * inv0, (1, B))
+def rank_partials_chunk_ops(cc, cfg: CMPSConfig, B: int, r_pad: int):
+    """Data-independent kernel operands (ab, bb, xb, zmat, zt) for
+    `rank_partials_chunk_factory`'s chunk_fn — split out of
+    `rank_partials_chunk_operands` so callers with PER-EXAMPLE initial
+    states (the latent family's pipelined recon) can pair them with their
+    own `rank_partials_chunk_t0` stacks."""
     zmat = jnp.repeat(jnp.eye(B, dtype=jnp.float32), r_pad, axis=0)
     ab, bb, xb = _rho_block_constants(cc)
-    t0 = _rho_block_t0(cc, h0r, h0i)
-    return (ab, bb, xb, zmat, zmat.T), t0
+    return (ab, bb, xb, zmat, zmat.T)
+
+
+def rank_partials_chunk_t0(cc, wr, wi, cfg: CMPSConfig, r_pad: int,
+                           B: int = None):
+    """Kernel-frame initial state [2D, B*r_pad] from (possibly
+    unnormalized) local factor rows, locally unit-normalized (the
+    absolute scale cancels in e = eh/trp — single-group combine). Zero
+    pad rows are exact (auto_pad_rank_partials's rationale).
+
+    wr/wi [r_loc, D]: rows SHARED across the batch (B required), tiled
+    per example and normalized by the global trace (= the trace of rho0,
+    identical for every example). wr/wi [B, r_loc, D]: PER-EXAMPLE rows
+    (e.g. the latent family's decoded psi_0 as a rank-1 purification,
+    models/latent.py decode_psi0), each example normalized by its own
+    trace — the identity map for already-normalized psi_0 (and the
+    normalize-VJP's tangential projection is idempotent, so gradients
+    through an upstream normalize are unchanged)."""
+    if wr.ndim == 2:
+        r_loc = wr.shape[0]
+        if r_pad > r_loc:
+            wr = jnp.pad(wr, ((0, r_pad - r_loc), (0, 0)))
+            wi = jnp.pad(wi, ((0, r_pad - r_loc), (0, 0)))
+        tr0 = jnp.sum(wr * wr + wi * wi)
+        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+        h0r = jnp.tile(wr.T * inv0, (1, B))
+        h0i = jnp.tile(wi.T * inv0, (1, B))
+    else:
+        b, r_loc, d = wr.shape
+        if r_pad > r_loc:
+            wr = jnp.pad(wr, ((0, 0), (0, r_pad - r_loc), (0, 0)))
+            wi = jnp.pad(wi, ((0, 0), (0, r_pad - r_loc), (0, 0)))
+        tr0 = jnp.sum(wr * wr + wi * wi, axis=(1, 2))
+        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+        h0r = (wr * inv0[:, None, None]).reshape(b * r_pad, d).T
+        h0i = (wi * inv0[:, None, None]).reshape(b * r_pad, d).T
+    return _rho_block_t0(cc, h0r, h0i)
+
+
+def rank_partials_chunk_operands(cc, wr, wi, cfg: CMPSConfig, B: int,
+                                 r_pad: int):
+    """Kernel operands + kernel-frame initial state from shared local
+    factor rows wr/wi [r_loc, D]: (ops, t0) with ops = (ab, bb, xb, zmat,
+    zt) for `rank_partials_chunk_factory`'s chunk_fn and t0 =
+    [2D, B*r_pad] (see `rank_partials_chunk_t0`)."""
+    return (rank_partials_chunk_ops(cc, cfg, B, r_pad),
+            rank_partials_chunk_t0(cc, wr, wi, cfg, r_pad, B))
 
 
 def rank_partials_chunk_factory(cfg: CMPSConfig, B: int, chunk_steps: int,

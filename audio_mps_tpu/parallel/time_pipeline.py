@@ -52,12 +52,16 @@ def make_time_mesh(n_stages: int = None, axis_name: str = TIME_AXIS) -> Mesh:
 
 
 def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
-                  num_microbatches: int, mesh: Mesh, axis: str):
+                  num_microbatches: int, mesh: Mesh, axis: str,
+                  state0_stack=None):
     """Generic pipelined NLL.
 
     step_fn(cc, cfg, carry, inc) -> carry, with carry = (state..., loss).
     state0_fn(params, cfg, b) -> initial carry state tuple for microbatch
-    size b.
+    size b (the same state for every microbatch). `state0_stack`
+    overrides it with PER-EXAMPLE initial states: a tuple of [B, ...]
+    arrays (e.g. the latent family's decoded per-example psi_0) — stage 0
+    then injects each microbatch's own slice.
     """
     B, T = signals.shape
     M = num_microbatches
@@ -74,16 +78,27 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
     incs = (signals[:, 1:] - signals[:, :-1])            # [B, T-1]
     # [M, b, S, Tc] -> time-major per stage [M, S, Tc, b]
     incs = incs.reshape(M, b, S, Tc).transpose(0, 2, 3, 1)
+    # per-example initial states, microbatch-major [M, b, ...]
+    stack = (tuple(s.reshape((M, b) + s.shape[1:]) for s in state0_stack)
+             if state0_stack else ())
 
     # params/constants enter as replicated shard_map OPERANDS, not closure
     # captures: captured arrays keep their outer Auto-mesh avals inside
     # the Manual context and break the scan transpose once the step's
     # donated outputs (NamedSharding on this mesh) feed the next step
-    def local(cc, params, incs_local):
+    def local(cc, params, incs_local, *stack):
         # incs_local: [M, 1, Tc, b] — this stage's chunk of every microbatch
         incs_local = incs_local[:, 0]                    # [M, Tc, b]
         s_idx = jax.lax.axis_index(axis)
-        state0 = state0_fn(params, cfg, b)
+        if stack:
+            def fresh_state(m_c):
+                return tuple(jax.lax.dynamic_index_in_dim(
+                    s, m_c, axis=0, keepdims=False) for s in stack)
+            state_init = tuple(s[0] for s in stack)
+        else:
+            state0 = state0_fn(params, cfg, b)
+            fresh_state = lambda m_c: state0
+            state_init = state0
         zero_loss = jnp.zeros((b,), signals.dtype)
 
         def chunk_scan(carry, chunk):                    # chunk [Tc, b]
@@ -100,7 +115,7 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
             chunk = jax.lax.dynamic_index_in_dim(incs_local, m_c, axis=0,
                                                  keepdims=False)
             # stage 0 injects a fresh initial state for each new microbatch
-            fresh = state0 + (zero_loss,)
+            fresh = fresh_state(m_c) + (zero_loss,)
             carry_in = jax.tree.map(
                 lambda f, c: jnp.where(s_idx == 0, f, c), fresh, carry_in)
             carry_out = chunk_scan(carry_in, chunk)
@@ -119,7 +134,7 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
                 lambda x: jax.lax.ppermute(x, axis, perm), carry_out)
             return (carry_next, losses), None
 
-        init_carry = state0 + (zero_loss,)
+        init_carry = state_init + (zero_loss,)
         losses0 = jnp.zeros((M, b), signals.dtype)
         (_, losses), _ = jax.lax.scan(tick, (init_carry, losses0),
                                       jnp.arange(M + S - 1))
@@ -130,10 +145,10 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(None, axis, None, None)),
+        in_specs=(P(), P(), P(None, axis, None, None)) + (P(),) * len(stack),
         out_specs=P(axis),
         check=False)
-    return jnp.mean(sharded(cc, params, incs))
+    return jnp.mean(sharded(cc, params, incs, *stack))
 
 
 def _psi_state0(params, cfg, b):
@@ -185,12 +200,19 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     embedding) and banks the chunk's per-example NLL from the local
     partials. Identical tick/microbatch structure to `_pipeline_nll`.
 
+    w_pair [r_loc, D]: factor rows shared across the batch. w_pair
+    [B, r_loc, D]: PER-EXAMPLE rows (the latent family's decoded psi_0 as
+    a rank-1 purification) — stage 0 injects each microbatch's own
+    kernel-frame initial-state slice.
+
     `data_axis`: optional second mesh axis for the DP x pipeline
     composition — each microbatch's examples shard over it (the pipeline
     collectives stay `axis`-local; the loss pmean rides `data_axis`)."""
     from ..ops.pallas_block import auto_stream
     from ..ops.pallas_rank import (rank_partials_chunk_factory,
                                    rank_partials_chunk_operands,
+                                   rank_partials_chunk_ops,
+                                   rank_partials_chunk_t0,
                                    rank_partials_chunk_nll,
                                    auto_pad_rank_partials, _on_tpu)
 
@@ -213,7 +235,8 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     if interpret is None:
         interpret = not _on_tpu()
     precision = precision or cfg.kernel_precision
-    r_loc = w_pair[0].shape[0]
+    per_example = w_pair[0].ndim == 3
+    r_loc = w_pair[0].shape[-2]
     r_pad = auto_pad_rank_partials(cfg, b_loc, r_loc, bool(interpret))
     if stream is None:
         # all live ticks' forward residuals coexist until the backward
@@ -229,14 +252,35 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     # [M, b, S, Tc] -> per stage, time-major [M, S, Tc, b]
     seb = (signals[:, 1:] - signals[:, :-1]) / cc.A
     seb = seb.reshape(M, b, S, Tc).transpose(0, 2, 3, 1)
+    if per_example:
+        # per-microbatch kernel-frame initial states [M, 2D, b*r_pad];
+        # the example-major column blocks (r_pad columns each) make the
+        # data_axis shard a contiguous column slice, matching seb's
+        # example sharding
+        wr_m = w_pair[0].reshape(M, b, r_loc, w_pair[0].shape[-1])
+        wi_m = w_pair[1].reshape(M, b, r_loc, w_pair[1].shape[-1])
+        t0_stack = jax.vmap(
+            lambda a, c: rank_partials_chunk_t0(cc, a, c, cfg, r_pad))(
+                wr_m, wi_m)
+        t0_stack = t0_stack.reshape(M, t0_stack.shape[1], n_data,
+                                    b_loc * r_pad)
 
     # params/constants as replicated shard_map OPERANDS (see
     # _pipeline_nll's note on captured outer-mesh avals)
-    def local(cc, wr, wi, seb_local):
+    def local(cc, wr, wi, t0s, seb_local):
         seb_local = seb_local[:, 0]                  # [M, Tc, b_loc]
         s_idx = jax.lax.axis_index(axis)
-        ops, t0 = rank_partials_chunk_operands(cc, wr, wi, cfg, b_loc,
-                                               r_pad)
+        if per_example:
+            ops = rank_partials_chunk_ops(cc, cfg, b_loc, r_pad)
+            t0_l = t0s[:, :, 0, :]                   # [M, 2D, b_loc*r_pad]
+            fresh_t0 = lambda m_c: jax.lax.dynamic_index_in_dim(
+                t0_l, m_c, axis=0, keepdims=False)
+            t_init = t0_l[0]
+        else:
+            ops, t0 = rank_partials_chunk_operands(cc, wr, wi, cfg, b_loc,
+                                                   r_pad)
+            fresh_t0 = lambda m_c: t0
+            t_init = t0
         zero_loss = jnp.zeros((b_loc,), signals.dtype)
 
         def tick(acc, t):
@@ -247,7 +291,7 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             seb_c = jax.lax.dynamic_index_in_dim(seb_local, m_c, axis=0,
                                                  keepdims=False)  # [Tc, b]
             # stage 0 injects a fresh initial state per new microbatch
-            tstate = jnp.where(s_idx == 0, t0, tstate)
+            tstate = jnp.where(s_idx == 0, fresh_t0(m_c), tstate)
             loss_in = jnp.where(s_idx == 0, zero_loss, loss_in)
             t_out, (eh, tr) = chunk_fn(ops, tstate, seb_c)
             loss_out = loss_in + rank_partials_chunk_nll(eh, tr, seb_c,
@@ -267,7 +311,7 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                 (t_out, loss_out))
             return (carry_next, losses), None
 
-        init = ((t0, zero_loss), jnp.zeros((M, b_loc), signals.dtype))
+        init = ((t_init, zero_loss), jnp.zeros((M, b_loc), signals.dtype))
         (_, losses), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
         losses = jax.lax.psum(
             jnp.where(s_idx == S - 1, losses, jnp.zeros_like(losses)), axis)
@@ -276,8 +320,18 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             val = jax.lax.pmean(val, data_axis)
         return val[None]
 
+    if per_example:
+        sharded = shard_map(
+            lambda cc, t0s, seb_l: local(cc, None, None, t0s, seb_l),
+            mesh=mesh,
+            in_specs=(P(), P(None, None, data_axis, None),
+                      P(None, axis, None, data_axis)),
+            out_specs=P(axis),
+            check=False)
+        return jnp.mean(sharded(cc, t0_stack, seb))
     sharded = shard_map(
-        local, mesh=mesh,
+        lambda cc, wr, wi, seb_l: local(cc, wr, wi, None, seb_l),
+        mesh=mesh,
         in_specs=(P(), P(), P(), P(None, axis, None, data_axis)),
         out_specs=P(axis),
         check=False)
@@ -308,6 +362,61 @@ def psi_nll_pipelined_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
     M = num_microbatches or signals.shape[0]
     w = (params.psi_x[None, :], -params.psi_y[None, :])
     return _pipeline_nll_fused(w, params, cfg, signals, M, mesh, axis, **kw)
+
+
+def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
+                          key=None, eps=None, beta: float = 1.0,
+                          loss_type: str = "log",
+                          num_microbatches: int = None, fused=None,
+                          axis: str = TIME_AXIS, **kw):
+    """Negative ELBO for the latent-conditioned family with the
+    reconstruction NLL's time axis pipelined over `mesh` — semantics of
+    models.latent.elbo_loss (the working completion of the reference's
+    follow_vae.py), returns (loss, {"recon", "kl"}).
+
+    The encoder/decoder MLPs run replicated outside the pipeline (they
+    are ~free — the time mesh shards time, not examples, so the full
+    batch is resident everywhere anyway); the decoded per-example psi_0
+    enters the pipeline as a per-example rank-1 purification factor
+    (stage 0 injects each microbatch's own initial states). `fused=None`
+    auto-selects the carried-state partials kernels exactly like
+    make_time_train_step; the quadratic reconstruction
+    (follow_vae.py:69-70) is XLA-pipeline only, as in recon_loss."""
+    from ..models import latent as latent_lib
+
+    mu, logvar = latent_lib.encode(params, signals)
+    if eps is None:
+        if key is None:
+            raise ValueError("latent_elbo_pipelined needs either `key` or "
+                             "explicit `eps` (models.latent.elbo_loss "
+                             "contract)")
+        eps = jax.random.normal(key, mu.shape)
+    z = mu + jnp.exp(0.5 * logvar) * eps
+    pr, pi = latent_lib.decode_psi0(params, z, cfg)
+
+    B, T = signals.shape
+    S = mesh.shape[axis]
+    M = num_microbatches or B
+    if fused is None:
+        fused = (loss_type == "log"
+                 and _auto_fused_pipeline(cfg, 1, B // M, (T - 1) // S))
+    if fused and loss_type != "log":
+        raise ValueError("fused pipelined recon supports loss_type='log' "
+                         "only (models.latent.recon_loss contract)")
+    if fused:
+        # G = conj(psi)^T per example: [B, 1, D] rank-1 factor rows
+        recon = _pipeline_nll_fused((pr[:, None, :], -pi[:, None, :]),
+                                    params, cfg, signals, M, mesh, axis,
+                                    **kw)
+    else:
+        step_fn = (cell.psi_loss_step if loss_type == "log"
+                   else latent_lib._psi_quadratic_step)
+        recon = _pipeline_nll(step_fn, None, params, cfg, signals, M,
+                              mesh, axis, state0_stack=(pr, pi))
+    kl = 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=-1)
+    kl_mean = jnp.mean(kl)
+    # the pipeline returns the batch-mean recon directly
+    return recon + beta * kl_mean, {"recon": recon, "kl": kl_mean}
 
 
 def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int,
@@ -369,15 +478,24 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     partials kernels (psi as its rank-1 purification) when the block
     layout applies and the per-stage chunk kernel fits VMEM; False forces
     the XLA chunk scan; True raises if unsupported. step(params,
-    opt_state, batch) with the make_dp_train_step contract."""
+    opt_state, batch) with the make_dp_train_step contract — except
+    ``mps_model="latent"``, whose step takes an extra PRNG key (the
+    make_train_step latent contract): its ELBO's reconstruction term
+    rides the pipeline from per-example decoded psi_0
+    (latent_elbo_pipelined)."""
     import optax
     from ..training import make_loss_fn, make_optimizer
 
-    if mps_model not in ("rho_mps", "psi_mps"):
+    if mps_model not in ("rho_mps", "psi_mps", "latent"):
         raise ValueError(
-            f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+            f"mps_model must be rho_mps, psi_mps or latent, "
+            f"got {mps_model}")
     optimizer = optimizer or make_optimizer(cfg)
     S = mesh.devices.size
+
+    if mps_model == "latent":
+        return optimizer, _make_latent_time_step(
+            cfg, mesh, optimizer, num_microbatches, fused, axis, S)
 
     def nll(params, cfg_, batch):
         is_rho = hasattr(params, "Wx")
@@ -419,3 +537,44 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
 
     step = jax.jit(step_fn, donate_argnums=(0, 1))
     return optimizer, step
+
+
+def _make_latent_time_step(cfg: CMPSConfig, mesh: Mesh, optimizer,
+                           num_microbatches, fused, axis: str, S: int):
+    """Temporal-pipeline ELBO step for the latent family —
+    step(params, opt_state, batch, key), the make_train_step latent
+    contract (metrics dict of training.make_latent_loss_fn)."""
+    import optax
+    from ..models import core
+
+    def loss_fn(params, batch, key):
+        B, T = batch.shape
+        M = num_microbatches
+        use_fused = fused
+        if use_fused or use_fused is None:
+            m_fused = M or auto_microbatches(cfg, B, 1, S)
+            if use_fused is None:
+                use_fused = (cfg.latent_loss == "log"
+                             and _auto_fused_pipeline(
+                                 cfg, 1, B // m_fused, (T - 1) // S))
+            if use_fused:
+                M = m_fused
+        M = M or B
+        nll, aux = latent_elbo_pipelined(
+            params, cfg, batch, mesh, key=key, beta=cfg.latent_beta,
+            loss_type=cfg.latent_loss, num_microbatches=M,
+            fused=bool(use_fused), axis=axis)
+        total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
+        return total, {"model_loss": nll, "total_loss": total,
+                       "recon": aux["recon"], "kl": aux["kl"],
+                       "h_l2sqnorm": h_sq, "r_l2sqnorm": r_sq,
+                       "A": params.A}
+
+    def step_fn(params, opt_state, batch, key):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))

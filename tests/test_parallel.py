@@ -544,7 +544,77 @@ def test_time_train_step_matches_single_device():
                     err_msg=f"{model} fused={fused}")
 
     with pytest.raises(ValueError, match="mps_model"):
-        make_time_train_step("latent", cfg, mesh)
+        make_time_train_step("not_a_model", cfg, mesh)
+
+
+def test_latent_elbo_pipelined_matches_single_device():
+    """The latent family's pipelined ELBO (per-example decoded psi_0
+    injected at stage 0) == models.latent.elbo_loss: values + grads, for
+    the XLA pipeline (both loss types) and the fused carried-state
+    kernels (psi_0 as per-example rank-1 purification factors)."""
+    from audio_mps_tpu.models import latent as latent_lib
+    from audio_mps_tpu.parallel import make_time_mesh
+    from audio_mps_tpu.parallel.time_pipeline import latent_elbo_pipelined
+
+    cfg = dataclasses.replace(CFG, latent_dim=4, latent_hidden=16,
+                              scan_chunk=0)
+    T = 4 * 16 + 1
+    params = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, T, cfg.delta_t)
+    eps = jax.random.normal(jax.random.PRNGKey(9), (8, cfg.latent_dim))
+    mesh = make_time_mesh(4)
+
+    for loss_type in ("log", "quadratic"):
+        v_ref, g_ref = jax.value_and_grad(
+            lambda p: latent_lib.elbo_loss(
+                p, cfg, batch, eps=eps, beta=0.7,
+                loss_type=loss_type)[0])(params)
+        for fused in ((False, True) if loss_type == "log" else (False,)):
+            v, g = jax.jit(jax.value_and_grad(
+                lambda p: latent_elbo_pipelined(
+                    p, cfg, batch, mesh, eps=eps, beta=0.7,
+                    loss_type=loss_type, num_microbatches=4,
+                    fused=fused)[0]))(params)
+            np.testing.assert_allclose(
+                float(v), float(v_ref), rtol=1e-5,
+                err_msg=f"{loss_type} fused={fused}")
+            for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6,
+                    err_msg=f"{loss_type} fused={fused}")
+
+
+def test_latent_time_train_step_matches_single_device():
+    """make_time_train_step("latent") reproduces the single-device latent
+    one-Adam-step trajectory exactly (same key -> same replicated
+    reparameterization noise), XLA and fused hot loops."""
+    from audio_mps_tpu.parallel import make_time_mesh, make_time_train_step
+
+    cfg = dataclasses.replace(CFG, minibatch_size=8, latent_dim=4,
+                              latent_hidden=16, scan_chunk=0)
+    T = 4 * 16 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 8, T, cfg.delta_t)
+    key = jax.random.PRNGKey(9)
+    mesh = make_time_mesh(4)
+
+    ref_params = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+    opt_ref, step_ref = make_train_step("latent", cfg, fused=False)
+    p_ref, _, m_ref = step_ref(ref_params, opt_ref.init(ref_params),
+                               data, key)
+    for fused in (False, True):
+        params = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+        opt, step = make_time_train_step("latent", cfg, mesh, fused=fused,
+                                         num_microbatches=4)
+        p, _, m = step(params, opt.init(params), data, key)
+        np.testing.assert_allclose(
+            float(m["model_loss"]), float(m_ref["model_loss"]),
+            rtol=1e-5, err_msg=f"latent fused={fused}")
+        np.testing.assert_allclose(float(m["kl"]), float(m_ref["kl"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=f"latent fused={fused}")
 
 
 def test_dp_time_fused_pipeline_matches_single_device():

@@ -328,6 +328,29 @@ def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
                                err_msg="--mesh=dpxtime:2x4 --fused=true")
 
 
+def test_train_cli_latent_time_mesh_loss_parity(tmp_path):
+    """The latent family drives the temporal pipeline from the CLI
+    (--mesh=time:N): same seed -> same reparameterization noise -> the
+    pipelined ELBO reproduces the single-device latent CLI loss."""
+    from audio_mps_tpu.train import train
+
+    base = RunConfig(mps_model="latent", dataset="damped_sine",
+                     sample_duration=129, max_steps=2, summary_every=10,
+                     visualize=False, num_samples=0, checkpoint_secs=1e9,
+                     hparams="bond_dim=4,minibatch_size=8,scan_chunk=32,"
+                             "latent_dim=4,latent_hidden=16")
+
+    _, m_ref = train(dataclasses.replace(
+        base, logdir=str(tmp_path / "single")), verbose=False)
+    _, m_time = train(dataclasses.replace(
+        base, mesh="time:4", logdir=str(tmp_path / "time")), verbose=False)
+    np.testing.assert_allclose(float(m_time["model_loss"]),
+                               float(m_ref["model_loss"]),
+                               rtol=5e-5, atol=1e-7)
+    np.testing.assert_allclose(float(m_time["kl"]), float(m_ref["kl"]),
+                               rtol=5e-5, atol=1e-7)
+
+
 def test_train_cli_rank_mesh_resume_and_validation(tmp_path):
     """rank-TP checkpoints restore across mesh changes (rank:4 ->
     single-device -> rank:2), and the CLI rejects bad strategy shapes
