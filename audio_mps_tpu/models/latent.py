@@ -89,12 +89,29 @@ def _features(signals):
     through them (the encoder differentiates w.r.t. its weights)."""
     B, T = signals.shape
     frame = T // N_FRAMES
+    if frame < 1:
+        raise ValueError(
+            f"latent encoder features need T >= {N_FRAMES} samples "
+            f"(one per frame), got T={T}")
     x = signals[:, : frame * N_FRAMES].reshape(B, N_FRAMES, frame)
-    dx = x[:, :, 1:] - x[:, :, :-1]
-    zc = 0.5 * jnp.abs(jnp.sign(x[:, :, 1:]) - jnp.sign(x[:, :, :-1]))
+    if frame >= 2:
+        dx = x[:, :, 1:] - x[:, :, :-1]
+        mad = jnp.abs(dx).mean(-1)
+        zcr = 0.5 * jnp.abs(jnp.sign(x[:, :, 1:])
+                            - jnp.sign(x[:, :, :-1])).mean(-1)
+    else:
+        # frame == 1 (N_FRAMES <= T < 2*N_FRAMES): within-frame pairs
+        # don't exist — a mean over the empty diff axis is NaN (this
+        # NaN'd the whole ELBO). x[:, :, 0] is exactly the decimated
+        # signal; use its cross-frame differences, edge-padded back to
+        # N_FRAMES columns. frame >= 2 behavior is bit-identical.
+        d = x[:, 1:, 0] - x[:, :-1, 0]               # [B, N_FRAMES-1]
+        mad = jnp.pad(jnp.abs(d), ((0, 0), (0, 1)), mode="edge")
+        zcr = jnp.pad(
+            0.5 * jnp.abs(jnp.sign(x[:, 1:, 0]) - jnp.sign(x[:, :-1, 0])),
+            ((0, 0), (0, 1)), mode="edge")
     feats = jnp.concatenate(
-        [x.mean(-1), x.std(-1), jnp.abs(x).max(-1),
-         jnp.abs(dx).mean(-1), zc.mean(-1)], axis=-1)
+        [x.mean(-1), x.std(-1), jnp.abs(x).max(-1), mad, zcr], axis=-1)
     return feats
 
 

@@ -253,3 +253,25 @@ def test_latent_learns_two_pitch_structure():
                               batch=16, beta=0.15, verbose=False)
     assert res["posterior_pass"], res
     assert res["conditional_pass"], res
+
+
+def test_features_finite_at_single_sample_frames():
+    """N_FRAMES <= T < 2*N_FRAMES gives one sample per frame — there are
+    no within-frame pairs, and a mean over the empty diff axis NaN'd the
+    whole ELBO (caught by dryrun_multichip(4): T = 4*16+1 = 65). The
+    frame==1 path uses cross-frame differences of the decimated signal
+    instead; T < N_FRAMES raises a clear contract error."""
+    from audio_mps_tpu.models.latent import N_FRAMES, N_STATS, _features
+
+    params = init_latent(jax.random.PRNGKey(0), CFG)
+    for t in (N_FRAMES, N_FRAMES + 1, 2 * N_FRAMES - 1, 2 * N_FRAMES,
+              2 * N_FRAMES + 1):
+        sig = damped_sine_batch(jax.random.PRNGKey(2), 3, t, CFG.delta_t)
+        f = _features(sig)
+        assert f.shape == (3, N_FRAMES * N_STATS) and bool(
+            jnp.isfinite(f).all()), t
+        loss, aux = elbo_loss(params, CFG, sig,
+                              eps=jnp.zeros((3, CFG.latent_dim)))
+        assert bool(jnp.isfinite(loss)), (t, float(loss))
+    with pytest.raises(ValueError, match="T >= "):
+        _features(jnp.zeros((2, N_FRAMES - 1)))
