@@ -885,7 +885,9 @@ def rank_partials_chunk_unroll(cfg: CMPSConfig, B: int, r_pad: int,
     DIVISOR of chunk_steps <= the auto/explicit unroll — NOT
     gcd(unroll, chunk_steps), which collapses to 1 whenever the auto
     pick is coprime with the chunk (measured 3.5x: auto=5 vs 2^14 steps
-    gave unroll=1 and 347 ms where the monolithic kernel runs 99)."""
+    gave unroll=1 and 347 ms where the monolithic kernel runs 99).
+    (Pure helper: `rank_partials_chunk_factory` separately REJECTS an
+    explicit non-divisor unroll rather than silently adjusting it.)"""
     u = max(1, int(auto_unroll(2 * cfg.bond_dim, B * r_pad, unroll)))
     cs = int(chunk_steps)
     return next(d for d in range(min(u, cs), 0, -1) if cs % d == 0)
@@ -971,10 +973,16 @@ def rank_partials_chunk_factory(cfg: CMPSConfig, B: int, chunk_steps: int,
             f"rank-partials kernels use the block layout "
             f"(bond_dim % 4 == 0), got bond_dim={cfg.bond_dim}")
     r_pad = auto_pad_rank_partials(cfg, B, r_loc, bool(interpret))
-    u = rank_partials_chunk_unroll(cfg, B, r_pad, chunk_steps, unroll)
-    if chunk_steps % u:
+    if unroll is not None and chunk_steps % unroll:
+        # an EXPLICIT unroll is honored or rejected, like the other
+        # kernel knobs (stream/precision) — silently swapping in a
+        # divisor would make an A/B harness measure a different unroll
+        # than requested; unroll=None auto-picks the largest divisor
         raise ValueError(
-            f"chunk_steps {chunk_steps} not a multiple of unroll {u}")
+            f"explicit unroll {unroll} must divide chunk_steps "
+            f"{chunk_steps} (carried-state chunks cannot tail-pad); "
+            f"leave unroll=None for the auto divisor pick")
+    u = rank_partials_chunk_unroll(cfg, B, r_pad, chunk_steps, unroll)
     BR = B * r_pad
     if stream and not interpret and BR % 128 != 0:
         raise ValueError(

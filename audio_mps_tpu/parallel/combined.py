@@ -32,6 +32,7 @@ from ..config import CMPSConfig
 from ..training import make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
 from .time_pipeline import (TIME_AXIS, _auto_fused_pipeline,
+                            auto_microbatches,
                             psi_nll_pipelined_fused,
                             rho_nll_pipelined_fused)
 from .time_pscan import rho_nll_time_sharded
@@ -82,17 +83,30 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
         B, T = batch.shape
         S = mesh.shape[TIME_AXIS]
         n_data = mesh.shape[DATA_AXIS]
-        # default: per-example microbatches per data shard (b = n_data,
-        # one example per device per microbatch)
-        M = num_microbatches or max(1, B // n_data)
+        r_loc = params.Wx.shape[0] if is_rho else 1
+        M = num_microbatches
         use_fused = fused
-        if use_fused is None:
-            r_loc = params.Wx.shape[0] if is_rho else 1
-            use_fused = (
-                B % M == 0 and (B // M) % n_data == 0
-                and (T - 1) % S == 0
-                and _auto_fused_pipeline(cfg_, r_loc,
-                                         B // M // n_data, (T - 1) // S))
+        if (use_fused or use_fused is None) and B % n_data == 0 \
+                and (T - 1) % S == 0:
+            # fused default: the lane-tile-aware pick over the per-data-
+            # shard width (auto_microbatches' measured tick cost model —
+            # per-example microbatches that leave 128-lane tiles half-
+            # empty cost a full tick each, PIPEBENCH_r04); a divisor of
+            # B // n_data satisfies both divisibility contracts
+            m_fused = M or auto_microbatches(cfg_, B // n_data, r_loc, S)
+            if use_fused is None:
+                use_fused = (B % m_fused == 0
+                             and (B // m_fused) % n_data == 0
+                             and _auto_fused_pipeline(
+                                 cfg_, r_loc, B // m_fused // n_data))
+            if use_fused:
+                M = m_fused
+        elif use_fused is None:
+            use_fused = False
+        # XLA paths: per-example microbatches per data shard (width-
+        # linear per-step cost, so pipeline efficiency is all that
+        # matters)
+        M = M or max(1, B // n_data)
         if use_fused:
             pipelined = (rho_nll_pipelined_fused if is_rho
                          else psi_nll_pipelined_fused)

@@ -65,7 +65,7 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
     """
     B, T = signals.shape
     M = num_microbatches
-    S = mesh.devices.size
+    S = mesh.shape[axis]
     if B % M:
         raise ValueError(f"batch {B} not divisible into {M} microbatches")
     b = B // M
@@ -189,11 +189,70 @@ def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
 # Fused-kernel pipeline (ops/pallas_rank carried-state chunk kernels)
 # ---------------------------------------------------------------------------
 
+def _fused_pipeline_plan(cfg: CMPSConfig, BR: int, Tc: int, live: int,
+                         u: int, interpret: bool):
+    """Backward-residual memory plan for the fused pipeline.
+
+    Left alone, every live tick's kernel residuals — the state stream
+    (stream mode) or one [2D, BR] block-entry checkpoint per unroll
+    block — coexist in HBM until the backward (live = M + S - 1 ticks).
+    The monolithic partials path bounds the same residuals with
+    jax.checkpoint time segmentation (rho_nll_rank_partials /
+    auto_time_segment); mirror that hierarchy here:
+
+      1. the whole pipeline's stream fits STREAM_HBM_LIMIT -> stream,
+         nothing rematerialized (the measured fast path, PIPEBENCH_r04);
+      2. all live ticks' block-entry checkpoints fit SEGMENT_CK_BUDGET
+         -> non-streamed, nothing rematerialized (kept ahead of the
+         remat+stream plan: unmeasured, and remat re-runs each tick's
+         forward during the backward);
+      3. remat ticks (jax.checkpoint per tick: only the tiny tick-entry
+         states persist; the backward recomputes one tick at a time),
+         streaming if ONE tick's stream fits;
+      4. remat ticks, non-streamed, if one tick's checkpoints fit;
+      5. segment within the tick — a checkpointed scan of sub-chunk
+         kernel calls in whole unroll blocks (carried chunks cannot
+         tail-pad, see rank_partials_chunk_unroll) — preferring a
+         stream-fitting divisor (measured on the monolithic path:
+         segmentation is free and the streamed backward wins,
+         RANKBENCH_r04).
+
+    Returns (stream, remat_ticks, seg_steps); seg_steps=None means one
+    kernel call per tick. kernel_stream="on" resolves at step 1 (forced
+    streams skip budgets — the documented paging caveat); "off" falls
+    through to the checkpoint budgets.
+    """
+    from ..ops.pallas_block import STREAM_HBM_LIMIT, auto_stream
+    from ..ops.pallas_rank import SEGMENT_CK_BUDGET
+    step_bytes = 8 * cfg.bond_dim * BR
+    nb = Tc // u
+    if auto_stream(cfg, BR, Tc * live + 1, True, interpret):
+        return True, False, None
+    if step_bytes * nb * live <= SEGMENT_CK_BUDGET:
+        return False, False, None
+    if auto_stream(cfg, BR, Tc + 1, True, interpret):
+        return True, True, None
+    if step_bytes * nb <= SEGMENT_CK_BUDGET:
+        return False, True, None
+    divs = [d for d in range(1, nb + 1) if nb % d == 0]
+    if auto_stream(cfg, BR, u + 1, True, interpret):
+        # structurally streamable: largest divisor whose sub-chunk
+        # stream fits (the u+1-step probe just fit, so cap >= 1)
+        cap = (STREAM_HBM_LIMIT // step_bytes - 1) // u
+        seg = max((d for d in divs if d <= cap), default=0)
+        if seg:
+            return True, True, seg * u
+    cap = max(1, SEGMENT_CK_BUDGET // step_bytes)
+    seg = max((d for d in divs if d <= cap), default=1)
+    return False, True, seg * u
+
+
 def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                         num_microbatches: int, mesh: Mesh, axis: str, *,
                         data_axis: str = None, unroll: int = None,
                         interpret: bool = None, precision: str = None,
-                        stream: bool = None):
+                        stream: bool = None, remat_ticks: bool = None,
+                        tick_segment: int = None):
     """Temporal pipeline with the FUSED hot loop: per tick each stage runs
     one carried-state rank-partials kernel call over its local time chunk
     (w_pair = local factor rows: params' W, or the rank-1 conj(psi)
@@ -207,13 +266,20 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
 
     `data_axis`: optional second mesh axis for the DP x pipeline
     composition — each microbatch's examples shard over it (the pipeline
-    collectives stay `axis`-local; the loss pmean rides `data_axis`)."""
+    collectives stay `axis`-local; the loss pmean rides `data_axis`).
+
+    `stream` / `remat_ticks` / `tick_segment`: all-None auto-resolves
+    the backward-residual memory plan (`_fused_pipeline_plan`); any
+    explicit value pins that leg (expert/test knobs — an explicit
+    `stream=True` with the other two None keeps every live tick's
+    stream resident, the pre-plan behavior)."""
     from ..ops.pallas_block import auto_stream
     from ..ops.pallas_rank import (rank_partials_chunk_factory,
                                    rank_partials_chunk_operands,
                                    rank_partials_chunk_ops,
                                    rank_partials_chunk_t0,
                                    rank_partials_chunk_nll,
+                                   rank_partials_chunk_unroll,
                                    auto_pad_rank_partials, _on_tpu)
 
     B, T = signals.shape
@@ -238,14 +304,58 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     per_example = w_pair[0].ndim == 3
     r_loc = w_pair[0].shape[-2]
     r_pad = auto_pad_rank_partials(cfg, b_loc, r_loc, bool(interpret))
-    if stream is None:
-        # all live ticks' forward residuals coexist until the backward
-        live = M + S - 1
-        stream = auto_stream(cfg, b_loc * r_pad, Tc * live + 1, True,
-                             bool(interpret))
+    if unroll is not None and Tc % unroll:
+        raise ValueError(
+            f"explicit unroll {unroll} must divide the stage chunk "
+            f"{Tc} (carried-state chunks cannot tail-pad); leave "
+            f"unroll=None for the auto divisor pick")
+    u = rank_partials_chunk_unroll(cfg, b_loc, r_pad, Tc, unroll)
+    BR = b_loc * r_pad
+    if stream is None and remat_ticks is None and tick_segment is None:
+        stream, remat_ticks, tick_segment = _fused_pipeline_plan(
+            cfg, BR, Tc, M + S - 1, u, bool(interpret))
+    elif stream is None:
+        # manual remat/segment: only what one kernel call (times the
+        # live ticks, if nothing rematerializes) holds must fit
+        hold = 1 if (remat_ticks or tick_segment) else M + S - 1
+        stream = auto_stream(cfg, BR, (tick_segment or Tc) * hold + 1,
+                             True, bool(interpret))
+    if tick_segment is not None and (Tc % tick_segment
+                                     or tick_segment % u):
+        raise ValueError(
+            f"tick_segment {tick_segment} must divide the stage chunk "
+            f"{Tc} in whole unroll blocks (unroll {u})")
+    seg_steps = tick_segment or Tc
+    n_seg = Tc // seg_steps
     chunk_fn, r_pad, u = rank_partials_chunk_factory(
-        cfg, b_loc, Tc, r_loc, unroll=unroll, interpret=interpret,
+        cfg, b_loc, seg_steps, r_loc, unroll=u, interpret=interpret,
         precision=precision, stream=bool(stream))
+
+    def tick_chunk(ops, t_in, seb_chunk):
+        """One tick's chunk -> (t_out, per-example NLL sum). n_seg > 1
+        runs a checkpointed scan of sub-chunk kernel calls so only one
+        sub-chunk's residuals materialize during the backward (segments
+        are whole unroll blocks, so the per-block trp/renormalization
+        structure — hence the NLL — is unchanged)."""
+        if n_seg == 1:
+            t_out, (eh, tr) = chunk_fn(ops, t_in, seb_chunk)
+            return t_out, rank_partials_chunk_nll(eh, tr, seb_chunk, u,
+                                                  cfg)
+
+        def seg_fn(t, se_seg):
+            t2, (eh, tr) = chunk_fn(ops, t, se_seg)
+            return t2, rank_partials_chunk_nll(eh, tr, se_seg, u, cfg)
+
+        t_out, nlls = jax.lax.scan(
+            jax.checkpoint(seg_fn), t_in,
+            seb_chunk.reshape(n_seg, seg_steps, seb_chunk.shape[-1]))
+        return t_out, jnp.sum(nlls, axis=0)
+
+    if remat_ticks and n_seg == 1:
+        # per-tick remat: only the tiny tick-entry states persist across
+        # ticks; the backward recomputes one tick's forward at a time
+        # (segmented ticks already checkpoint per segment)
+        tick_chunk = jax.checkpoint(tick_chunk)
 
     cc = make_constants(params, cfg)
     # [B, T-1] signal increments / A (the partials' seb), chunked
@@ -293,9 +403,8 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             # stage 0 injects a fresh initial state per new microbatch
             tstate = jnp.where(s_idx == 0, fresh_t0(m_c), tstate)
             loss_in = jnp.where(s_idx == 0, zero_loss, loss_in)
-            t_out, (eh, tr) = chunk_fn(ops, tstate, seb_c)
-            loss_out = loss_in + rank_partials_chunk_nll(eh, tr, seb_c,
-                                                         u, cfg)
+            t_out, nll_c = tick_chunk(ops, tstate, seb_c)
+            loss_out = loss_in + nll_c
             t_out = jnp.where(active, t_out, tstate)
             loss_out = jnp.where(active, loss_out, loss_in)
             # last stage banks the finished microbatch's loss
@@ -399,7 +508,7 @@ def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     M = num_microbatches or B
     if fused is None:
         fused = (loss_type == "log"
-                 and _auto_fused_pipeline(cfg, 1, B // M, (T - 1) // S))
+                 and _auto_fused_pipeline(cfg, 1, B // M))
     if fused and loss_type != "log":
         raise ValueError("fused pipelined recon supports loss_type='log' "
                          "only (models.latent.recon_loss contract)")
@@ -419,11 +528,13 @@ def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     return recon + beta * kl_mean, {"recon": recon, "kl": kl_mean}
 
 
-def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int,
-                         chunk_steps: int) -> bool:
+def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int) -> bool:
     """Auto-select gate for the fused pipeline (mirrors
     rank_parallel._auto_fused): real TPU + block layout + the per-stage
-    chunk kernel fits VMEM at the lane-padded local rank."""
+    chunk kernel fits VMEM at the lane-padded local rank. Chunk LENGTH
+    never gates selection: per-tick HBM residuals are bounded separately
+    by `_fused_pipeline_plan` (remat/segmentation always yields a
+    fitting plan)."""
     from ..ops.pallas_block import supports_block
     from ..ops.pallas_rank import (auto_pad_rank_partials,
                                    partials_supported)
@@ -444,8 +555,9 @@ def auto_microbatches(cfg: CMPSConfig, B: int, r_loc: int, S: int,
     microbatches (M=B) lose whenever they leave lane tiles half-empty —
     minimize (M+S-1) * (1 + tiles) over divisors M of B instead, where
     tiles counts the microbatch's PHYSICAL 128-lane tiles at the
-    auto-padded local rank. Ties break to the smaller M (wider kernels
-    amortize the per-step floor better). The XLA pipeline path keeps
+    auto-padded local rank. Ties keep the smaller M — guaranteed by the
+    ascending sweep + strict improvement (wider kernels amortize the
+    per-step floor better). The XLA pipeline path keeps
     M=B: its per-step cost is linear in the microbatch width, so
     (M+S-1)/M is all that matters and M=B is optimal."""
     from ..ops.pallas_rank import auto_pad_rank_partials
@@ -457,8 +569,7 @@ def auto_microbatches(cfg: CMPSConfig, B: int, r_loc: int, S: int,
         r_pad = auto_pad_rank_partials(cfg, b, r_loc, interpret)
         tiles = -(-b * r_pad // 128)
         cost = (m + S - 1) * (1 + tiles)
-        if best_cost is None or cost < best_cost or (
-                cost == best_cost and m < best):
+        if best_cost is None or cost < best_cost:
             best, best_cost = m, cost
     return best
 
@@ -491,7 +602,7 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
             f"mps_model must be rho_mps, psi_mps or latent, "
             f"got {mps_model}")
     optimizer = optimizer or make_optimizer(cfg)
-    S = mesh.devices.size
+    S = mesh.shape[axis]
 
     if mps_model == "latent":
         return optimizer, _make_latent_time_step(
@@ -512,8 +623,8 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
             # judges VMEM fit at that M's microbatch width
             m_fused = M or auto_microbatches(cfg_, B, r_loc, S)
             if use_fused is None:
-                use_fused = _auto_fused_pipeline(cfg_, r_loc, B // m_fused,
-                                                 (T - 1) // S)
+                use_fused = _auto_fused_pipeline(cfg_, r_loc,
+                                                 B // m_fused)
             if use_fused:
                 M = m_fused
         M = M or B
@@ -556,7 +667,7 @@ def _make_latent_time_step(cfg: CMPSConfig, mesh: Mesh, optimizer,
             if use_fused is None:
                 use_fused = (cfg.latent_loss == "log"
                              and _auto_fused_pipeline(
-                                 cfg, 1, B // m_fused, (T - 1) // S))
+                                 cfg, 1, B // m_fused))
             if use_fused:
                 M = m_fused
         M = M or B

@@ -669,3 +669,180 @@ def test_dp_time_fused_pipeline_matches_single_device():
     with pytest.raises(ValueError, match="divisible"):
         rho_nll_pipelined_fused(pr, cfg, data, mesh2, num_microbatches=8,
                                 data_axis="data")
+
+
+def test_fused_pipeline_memory_plan():
+    """_fused_pipeline_plan mirrors the monolithic partials path's
+    residual budgets (rho_nll_rank_partials / auto_time_segment): stream
+    when the WHOLE pipeline's stream fits STREAM_HBM_LIMIT, else keep
+    block-entry checkpoints if all live ticks' fit SEGMENT_CK_BUDGET,
+    else remat per tick (one tick's stream preferred), else segment
+    within the tick. Pure arithmetic — interpret=False probes the real
+    TPU budgets without touching a device (step = 64 KiB at D=64,
+    BR=128)."""
+    from audio_mps_tpu.parallel.time_pipeline import _fused_pipeline_plan
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=8)     # kernel_stream auto
+    BR, u = 128, 4
+    # whole-pipeline stream fits (4.3 GB <= 6 GiB): the measured fast path
+    assert _fused_pipeline_plan(cfg, BR, 8192, 8, u, False) == \
+        (True, False, None)
+    # whole stream busts (8.6 GB), all-tick checkpoints bust (2 GiB),
+    # one tick's stream fits (1.07 GB): remat ticks, streamed
+    assert _fused_pipeline_plan(cfg, BR, 16384, 8, u, False) == \
+        (True, True, None)
+    # same shape with streaming off: remat + one tick's ck (256 MB) fits
+    cfg_off = dataclasses.replace(cfg, kernel_stream="off")
+    assert _fused_pipeline_plan(cfg_off, BR, 16384, 8, u, False) == \
+        (False, True, None)
+    # misaligned lanes (BR=96): stream structurally unavailable; the
+    # all-tick ck (1.6 GB) busts -> remat + per-tick ck (201 MB)
+    assert _fused_pipeline_plan(cfg, 96, 16384, 8, u, False) == \
+        (False, True, None)
+    # giant tick (2^19 steps): even ONE tick busts both budgets ->
+    # intra-tick segmentation in whole unroll blocks; the stream-fitting
+    # divisor is preferred (measured: segmentation free, stream wins)
+    assert _fused_pipeline_plan(cfg, BR, 2 ** 19, 8, u, False) == \
+        (True, True, 16384 * u)
+    assert _fused_pipeline_plan(cfg_off, BR, 2 ** 19, 8, u, False) == \
+        (False, True, 16384 * u)
+
+
+def test_fused_pipeline_remat_and_segment_match():
+    """The beyond-budget memory plans — per-tick remat and intra-tick
+    segmentation — are EXACT: values + grads match the unsegmented fused
+    pipeline and the single-device factor scan (segments are whole
+    unroll blocks, so the per-block renormalization/trp structure is
+    unchanged)."""
+    from audio_mps_tpu.parallel.time_pipeline import (
+        make_time_mesh, rho_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0,
+                              initial_rank=2)
+    T = 4 * 24 + 1                       # Tc = 24 steps per stage
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(4)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    base = float(rho_nll_pipelined_fused(pr, cfg, data, mesh,
+                                         num_microbatches=2, unroll=2))
+    np.testing.assert_allclose(base, ref, rtol=1e-5)
+    # per-tick remat: bitwise-deterministic recompute of the same kernels
+    remat = float(rho_nll_pipelined_fused(pr, cfg, data, mesh,
+                                          num_microbatches=2, unroll=2,
+                                          remat_ticks=True))
+    np.testing.assert_allclose(remat, base, rtol=1e-6)
+    # intra-tick segmentation (24 = 4 segments x 6 steps x unroll 2)
+    seg = float(rho_nll_pipelined_fused(pr, cfg, data, mesh,
+                                        num_microbatches=2, unroll=2,
+                                        tick_segment=6))
+    np.testing.assert_allclose(seg, base, rtol=1e-6)
+
+    g_ref = jax.grad(lambda p: _core.rho_nll_factor(p, cfg, data))(pr)
+    for kw in ({"remat_ticks": True}, {"tick_segment": 6},
+               {"tick_segment": 6, "remat_ticks": True}):
+        g_got = jax.jit(jax.grad(
+            lambda p: rho_nll_pipelined_fused(p, cfg, data, mesh,
+                                              num_microbatches=2,
+                                              unroll=2, **kw)))(pr)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-3, atol=1e-6, err_msg=str(kw))
+
+    # validation: segments must divide the stage chunk in unroll blocks
+    with pytest.raises(ValueError, match="tick_segment"):
+        rho_nll_pipelined_fused(pr, cfg, data, mesh, num_microbatches=2,
+                                unroll=2, tick_segment=5)
+
+
+def test_fused_pipeline_explicit_unroll_rejected():
+    """An explicit non-divisor unroll RAISES (like the other kernel
+    knobs) instead of being silently swapped for a divisor — an A/B
+    harness must never measure a different unroll than it requested.
+    unroll=None keeps the auto divisor pick."""
+    from audio_mps_tpu.ops.pallas_rank import rank_partials_chunk_factory
+    from audio_mps_tpu.parallel.time_pipeline import (
+        make_time_mesh, rho_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_rho
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0,
+                              initial_rank=2)
+    with pytest.raises(ValueError, match="must divide"):
+        rank_partials_chunk_factory(cfg, 4, 24, 2, unroll=5,
+                                    interpret=True)
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, 97, cfg.delta_t)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    with pytest.raises(ValueError, match="must divide"):
+        rho_nll_pipelined_fused(pr, cfg, data, make_time_mesh(4),
+                                num_microbatches=2, unroll=5)
+
+
+def test_pipeline_multi_axis_mesh_uses_axis_size():
+    """Driving the pipeline on ONE axis of a multi-axis mesh must use
+    that AXIS's size, not the total device count: with a (2 data x 4
+    time) mesh and axis='time', S is 4 — deriving S=8 from
+    mesh.devices.size made the XLA path's [M, b, S, Tc] chunk reshape
+    silently DROP half of every waveform (T-1=96 divides both 4 and 8,
+    so nothing raised)."""
+    from audio_mps_tpu.parallel.combined import make_2d_mesh
+    from audio_mps_tpu.parallel.time_pipeline import (
+        TIME_AXIS, make_time_train_step, psi_nll_pipelined,
+        psi_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_psi
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T = 97                               # T-1 = 96: divisible by 4 AND 8
+    data = damped_sine_batch(jax.random.PRNGKey(3), 4, T, cfg.delta_t)
+    mesh2 = make_2d_mesh(2, 4)
+    pp = init_psi(jax.random.PRNGKey(0), cfg)
+    ref = float(_core.psi_nll(pp, cfg, data))
+
+    got = float(psi_nll_pipelined(pp, cfg, data, mesh2,
+                                  num_microbatches=4, axis=TIME_AXIS))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+    got = float(psi_nll_pipelined_fused(pp, cfg, data, mesh2,
+                                        num_microbatches=4,
+                                        axis=TIME_AXIS))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+    # the train-step builder's divisibility/auto logic must also judge
+    # the time AXIS (device count 8 would reject T-1=96... no: 96 % 8
+    # == 0 too — it would WRONGLY pass S=8 down); pin the loss through
+    # one full step
+    ref_params = init_params_for("psi_mps", jax.random.PRNGKey(0), cfg)
+    opt_ref, step_ref = make_train_step("psi_mps", cfg, fused=False)
+    _, _, m_ref = step_ref(ref_params, opt_ref.init(ref_params), data)
+    params = init_params_for("psi_mps", jax.random.PRNGKey(0), cfg)
+    opt, step = make_time_train_step("psi_mps", cfg, mesh2, fused=False)
+    _, _, m = step(params, opt.init(params), data)
+    np.testing.assert_allclose(float(m["model_loss"]),
+                               float(m_ref["model_loss"]), rtol=1e-5)
+
+
+def test_dp_time_fused_default_microbatches():
+    """make_dp_time_train_step with fused=True and NO explicit M uses the
+    lane-tile-aware auto_microbatches pick over the per-data-shard width
+    (not the per-example default the XLA path keeps) — and the result is
+    still exact vs the single-device step (M never changes values)."""
+    from audio_mps_tpu.parallel.combined import (
+        make_2d_mesh, make_dp_time_train_step, shard_batch_2d)
+
+    cfg = dataclasses.replace(CFG, minibatch_size=8, scan_chunk=0)
+    T = 4 * 12 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 8, T, cfg.delta_t)
+    mesh2 = make_2d_mesh(2, 4)
+
+    ref_params = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+    opt_ref, step_ref = make_train_step("rho_mps", cfg, fused=False)
+    p_ref, _, m_ref = step_ref(ref_params, opt_ref.init(ref_params), data)
+    params = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+    opt, step = make_dp_time_train_step("rho_mps", cfg, mesh2, fused=True)
+    p, _, m = step(params, opt.init(params), shard_batch_2d(data, mesh2))
+    np.testing.assert_allclose(float(m["model_loss"]),
+                               float(m_ref["model_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
