@@ -65,11 +65,23 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
     the microbatch examples sharded over ``data``) when the block layout
     applies and the per-device chunk kernel fits VMEM; the fallback (and
     `fused=False`) is the XLA transfer-operator associative scan
-    (time_pscan). Both are exact vs the single-device step."""
-    if mps_model not in ("rho_mps", "psi_mps"):
+    (time_pscan). Both are exact vs the single-device step.
+
+    ``mps_model="latent"`` composes the latent family's pipelined ELBO
+    with DP: step(params, opt_state, batch, key) — the make_train_step
+    latent contract. The fused reconstruction shards each microbatch's
+    examples over ``data``; the XLA fallback runs the pipeline
+    replicated over ``data`` (exact; there is no latent pscan)."""
+    if mps_model not in ("rho_mps", "psi_mps", "latent"):
         raise ValueError(
-            f"mps_model must be rho_mps or psi_mps, got {mps_model}")
+            f"mps_model must be rho_mps, psi_mps or latent, "
+            f"got {mps_model}")
     optimizer = optimizer or make_optimizer(cfg)
+    if mps_model == "latent":
+        from .time_pipeline import _make_latent_time_step
+        return optimizer, _make_latent_time_step(
+            cfg, mesh, optimizer, num_microbatches, fused, TIME_AXIS,
+            mesh.shape[TIME_AXIS], data_axis=DATA_AXIS)
 
     def nll(params, cfg_, batch):
         # the time-sharded NLL handles both families via the factor form;

@@ -651,30 +651,45 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
 
 
 def _make_latent_time_step(cfg: CMPSConfig, mesh: Mesh, optimizer,
-                           num_microbatches, fused, axis: str, S: int):
+                           num_microbatches, fused, axis: str, S: int,
+                           data_axis: str = None):
     """Temporal-pipeline ELBO step for the latent family —
     step(params, opt_state, batch, key), the make_train_step latent
-    contract (metrics dict of training.make_latent_loss_fn)."""
+    contract (metrics dict of training.make_latent_loss_fn).
+
+    `data_axis`: optional second mesh axis (the DP x time composition,
+    combined.make_dp_time_train_step): the FUSED path shards each
+    microbatch's examples over it; the XLA fallback runs the pipeline
+    replicated over that axis (correct, no DP speedup — there is no
+    latent transfer-operator pscan)."""
     import optax
     from ..models import core
+
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
 
     def loss_fn(params, batch, key):
         B, T = batch.shape
         M = num_microbatches
         use_fused = fused
-        if use_fused or use_fused is None:
-            m_fused = M or auto_microbatches(cfg, B, 1, S)
+        if (use_fused or use_fused is None) and B % n_data == 0:
+            m_fused = M or auto_microbatches(cfg, B // n_data, 1, S)
             if use_fused is None:
                 use_fused = (cfg.latent_loss == "log"
+                             and B % m_fused == 0
+                             and (B // m_fused) % n_data == 0
                              and _auto_fused_pipeline(
-                                 cfg, 1, B // m_fused))
+                                 cfg, 1, B // m_fused // n_data))
             if use_fused:
                 M = m_fused
+        elif use_fused is None:
+            use_fused = False
         M = M or B
+        kw = ({"data_axis": data_axis}
+              if (use_fused and data_axis is not None) else {})
         nll, aux = latent_elbo_pipelined(
             params, cfg, batch, mesh, key=key, beta=cfg.latent_beta,
             loss_type=cfg.latent_loss, num_microbatches=M,
-            fused=bool(use_fused), axis=axis)
+            fused=bool(use_fused), axis=axis, **kw)
         total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
         return total, {"model_loss": nll, "total_loss": total,
                        "recon": aux["recon"], "kl": aux["kl"],

@@ -846,3 +846,40 @@ def test_dp_time_fused_default_microbatches():
     for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_dp_time_latent_step_matches_single_device():
+    """The latent family composes with DP x time: make_dp_time_train_step
+    ("latent") on a (2 data x 4 time) mesh reproduces the single-device
+    latent step (same key -> same reparameterization noise), with the
+    fused reconstruction sharding microbatch examples over the data axis
+    and the XLA fallback running replicated over it."""
+    from audio_mps_tpu.parallel.combined import (
+        make_2d_mesh, make_dp_time_train_step, shard_batch_2d)
+
+    cfg = dataclasses.replace(CFG, latent_dim=4, latent_hidden=16,
+                              scan_chunk=0)
+    T_lat = 129                          # T-1 = 128: 4 stages x 32 steps
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, T_lat, cfg.delta_t)
+    key = jax.random.PRNGKey(9)
+    mesh2 = make_2d_mesh(2, 4)
+
+    params = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+    opt_s, step_s = make_train_step("latent", cfg)
+    p1, _, m1 = step_s(params, opt_s.init(params), batch, key)
+
+    for fused in (False, True):
+        params_d = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+        opt_d, step_d = make_dp_time_train_step("latent", cfg, mesh2,
+                                                fused=fused)
+        p2, _, m2 = step_d(params_d, opt_d.init(params_d),
+                           shard_batch_2d(batch, mesh2), key)
+        np.testing.assert_allclose(float(m2["model_loss"]),
+                                   float(m1["model_loss"]), rtol=1e-5,
+                                   err_msg=f"fused={fused}")
+        np.testing.assert_allclose(float(m2["kl"]), float(m1["kl"]),
+                                   rtol=1e-5, err_msg=f"fused={fused}")
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6,
+                                       err_msg=f"fused={fused}")

@@ -329,9 +329,10 @@ def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
 
 
 def test_train_cli_latent_time_mesh_loss_parity(tmp_path):
-    """The latent family drives the temporal pipeline from the CLI
-    (--mesh=time:N): same seed -> same reparameterization noise -> the
-    pipelined ELBO reproduces the single-device latent CLI loss."""
+    """The latent family drives the temporal pipeline from the CLI —
+    both --mesh=time:N and the DP x time 2D mesh (--mesh=dpxtime:AxB):
+    same seed -> same reparameterization noise -> the pipelined ELBO
+    reproduces the single-device latent CLI loss."""
     from audio_mps_tpu.train import train
 
     base = RunConfig(mps_model="latent", dataset="damped_sine",
@@ -342,13 +343,17 @@ def test_train_cli_latent_time_mesh_loss_parity(tmp_path):
 
     _, m_ref = train(dataclasses.replace(
         base, logdir=str(tmp_path / "single")), verbose=False)
-    _, m_time = train(dataclasses.replace(
-        base, mesh="time:4", logdir=str(tmp_path / "time")), verbose=False)
-    np.testing.assert_allclose(float(m_time["model_loss"]),
-                               float(m_ref["model_loss"]),
-                               rtol=5e-5, atol=1e-7)
-    np.testing.assert_allclose(float(m_time["kl"]), float(m_ref["kl"]),
-                               rtol=5e-5, atol=1e-7)
+    for mesh in ("time:4", "dpxtime:2x4"):
+        _, m_time = train(dataclasses.replace(
+            base, mesh=mesh,
+            logdir=str(tmp_path / mesh.replace(":", "_"))), verbose=False)
+        np.testing.assert_allclose(float(m_time["model_loss"]),
+                                   float(m_ref["model_loss"]),
+                                   rtol=5e-5, atol=1e-7,
+                                   err_msg=f"--mesh={mesh}")
+        np.testing.assert_allclose(float(m_time["kl"]), float(m_ref["kl"]),
+                                   rtol=5e-5, atol=1e-7,
+                                   err_msg=f"--mesh={mesh}")
 
 
 def test_train_cli_rank_mesh_resume_and_validation(tmp_path):
