@@ -314,17 +314,23 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     if stream is None and remat_ticks is None and tick_segment is None:
         stream, remat_ticks, tick_segment = _fused_pipeline_plan(
             cfg, BR, Tc, M + S - 1, u, bool(interpret))
-    elif stream is None:
-        # manual remat/segment: only what one kernel call (times the
-        # live ticks, if nothing rematerializes) holds must fit
-        hold = 1 if (remat_ticks or tick_segment) else M + S - 1
-        stream = auto_stream(cfg, BR, (tick_segment or Tc) * hold + 1,
-                             True, bool(interpret))
-    if tick_segment is not None and (Tc % tick_segment
+    if tick_segment is not None and (tick_segment < 1
+                                     or Tc % tick_segment
                                      or tick_segment % u):
         raise ValueError(
-            f"tick_segment {tick_segment} must divide the stage chunk "
-            f"{Tc} in whole unroll blocks (unroll {u})")
+            f"tick_segment {tick_segment} must be a positive divisor of "
+            f"the stage chunk {Tc} in whole unroll blocks (unroll {u})")
+    # an explicit tick_segment ALWAYS checkpoints per segment (that is
+    # what segmentation means here — even tick_segment == Tc degenerates
+    # to a checkpointed whole tick), so one segment's residuals bound
+    # the backward footprint
+    seg_given = tick_segment is not None
+    if stream is None:
+        # manual remat/segment: only what one kernel call (times the
+        # live ticks, if nothing rematerializes) holds must fit
+        hold = 1 if (remat_ticks or seg_given) else M + S - 1
+        stream = auto_stream(cfg, BR, (tick_segment or Tc) * hold + 1,
+                             True, bool(interpret))
     seg_steps = tick_segment or Tc
     n_seg = Tc // seg_steps
     chunk_fn, r_pad, u = rank_partials_chunk_factory(
@@ -337,7 +343,7 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
         sub-chunk's residuals materialize during the backward (segments
         are whole unroll blocks, so the per-block trp/renormalization
         structure — hence the NLL — is unchanged)."""
-        if n_seg == 1:
+        if not seg_given and n_seg == 1:
             t_out, (eh, tr) = chunk_fn(ops, t_in, seb_chunk)
             return t_out, rank_partials_chunk_nll(eh, tr, seb_chunk, u,
                                                   cfg)
@@ -351,7 +357,7 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             seb_chunk.reshape(n_seg, seg_steps, seb_chunk.shape[-1]))
         return t_out, jnp.sum(nlls, axis=0)
 
-    if remat_ticks and n_seg == 1:
+    if remat_ticks and not seg_given:
         # per-tick remat: only the tiny tick-entry states persist across
         # ticks; the backward recomputes one tick's forward at a time
         # (segmented ticks already checkpoint per segment)
@@ -506,9 +512,14 @@ def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     B, T = signals.shape
     S = mesh.shape[axis]
     M = num_microbatches or B
+    data_axis = kw.pop("data_axis", None)
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
     if fused is None:
+        # the auto gate judges VMEM fit at the PER-DATA-SHARD microbatch
+        # width when a data axis is given
         fused = (loss_type == "log"
-                 and _auto_fused_pipeline(cfg, 1, B // M))
+                 and B % M == 0 and (B // M) % n_data == 0
+                 and _auto_fused_pipeline(cfg, 1, B // M // n_data))
     if fused and loss_type != "log":
         raise ValueError("fused pipelined recon supports loss_type='log' "
                          "only (models.latent.recon_loss contract)")
@@ -516,8 +527,14 @@ def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
         # G = conj(psi)^T per example: [B, 1, D] rank-1 factor rows
         recon = _pipeline_nll_fused((pr[:, None, :], -pi[:, None, :]),
                                     params, cfg, signals, M, mesh, axis,
-                                    **kw)
+                                    data_axis=data_axis, **kw)
     else:
+        if kw:
+            raise ValueError(
+                f"fused-kernel knobs {sorted(kw)} require the fused "
+                f"pipeline (fused=True)")
+        # data_axis on the XLA path: the pipeline runs replicated over
+        # it (exact, no DP speedup — there is no latent pscan)
         step_fn = (cell.psi_loss_step if loss_type == "log"
                    else latent_lib._psi_quadratic_step)
         recon = _pipeline_nll(step_fn, None, params, cfg, signals, M,

@@ -741,8 +741,12 @@ def test_fused_pipeline_remat_and_segment_match():
     np.testing.assert_allclose(seg, base, rtol=1e-6)
 
     g_ref = jax.grad(lambda p: _core.rho_nll_factor(p, cfg, data))(pr)
+    # tick_segment == Tc (24): the degenerate one-segment case still
+    # CHECKPOINTS the tick (an explicit segment always bounds the
+    # backward footprint to one segment's residuals)
     for kw in ({"remat_ticks": True}, {"tick_segment": 6},
-               {"tick_segment": 6, "remat_ticks": True}):
+               {"tick_segment": 6, "remat_ticks": True},
+               {"tick_segment": 24}):
         g_got = jax.jit(jax.grad(
             lambda p: rho_nll_pipelined_fused(p, cfg, data, mesh,
                                               num_microbatches=2,
@@ -751,10 +755,14 @@ def test_fused_pipeline_remat_and_segment_match():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=5e-3, atol=1e-6, err_msg=str(kw))
 
-    # validation: segments must divide the stage chunk in unroll blocks
-    with pytest.raises(ValueError, match="tick_segment"):
-        rho_nll_pipelined_fused(pr, cfg, data, mesh, num_microbatches=2,
-                                unroll=2, tick_segment=5)
+    # validation: segments must be positive divisors of the stage chunk
+    # in unroll blocks (0 must raise the contract error, not crash on
+    # the modulo)
+    for bad in (5, 0, -6):
+        with pytest.raises(ValueError, match="tick_segment"):
+            rho_nll_pipelined_fused(pr, cfg, data, mesh,
+                                    num_microbatches=2, unroll=2,
+                                    tick_segment=bad)
 
 
 def test_fused_pipeline_explicit_unroll_rejected():
@@ -883,3 +891,35 @@ def test_dp_time_latent_step_matches_single_device():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6,
                                        err_msg=f"fused={fused}")
+
+
+def test_latent_elbo_pipelined_knob_validation_and_data_axis():
+    """Direct-call API contracts of latent_elbo_pipelined: fused-kernel
+    knobs raise on the XLA path instead of being silently dropped, and
+    data_axis on a 2D mesh is exact for both hot loops (the XLA fallback
+    runs replicated over data; the fused path shards examples)."""
+    from audio_mps_tpu.models import latent as latent_lib
+    from audio_mps_tpu.parallel import make_time_mesh
+    from audio_mps_tpu.parallel.combined import make_2d_mesh
+    from audio_mps_tpu.parallel.time_pipeline import latent_elbo_pipelined
+
+    cfg = dataclasses.replace(CFG, latent_dim=4, latent_hidden=16,
+                              scan_chunk=0)
+    T_lat = 65
+    params = init_params_for("latent", jax.random.PRNGKey(0), cfg)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), 8, T_lat, cfg.delta_t)
+    eps = jax.random.normal(jax.random.PRNGKey(9), (8, cfg.latent_dim))
+
+    with pytest.raises(ValueError, match="fused-kernel knobs"):
+        latent_elbo_pipelined(params, cfg, batch, make_time_mesh(4),
+                              eps=eps, fused=False, num_microbatches=4,
+                              stream=True)
+
+    ref = float(latent_lib.elbo_loss(params, cfg, batch, eps=eps)[0])
+    mesh2 = make_2d_mesh(2, 4)
+    for fused in (False, True):
+        got = float(latent_elbo_pipelined(
+            params, cfg, batch, mesh2, eps=eps, fused=fused,
+            num_microbatches=4, data_axis="data")[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                   err_msg=f"fused={fused}")

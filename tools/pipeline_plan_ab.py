@@ -3,7 +3,8 @@
 The auto plan (parallel/time_pipeline._fused_pipeline_plan) only engages
 remat/segmentation when the backward's residuals bust the HBM budgets;
 this tool FORCES each leg at a budget-fitting shape so the overhead is
-measurable (the losses must agree bitwise — the legs are exact).
+measurable, and ASSERTS the legs' losses agree (they are exact up to
+the segment boundaries reordering the NLL summation).
 
 Measured (v5e, rho D=64 B=8 full-rank T=16385, 1-stage mesh, M=1,
 "highest", 2026-08-19): base 99.2 ms/step (== the bench pipeline row),
@@ -57,7 +58,7 @@ def bench(cfg, sig, mesh, opt, iters, tag, **kw):
     lf = float(l)
     ms = (time.time() - t0) / iters * 1e3
     print(f"{tag}: {ms:.2f} ms/step loss={lf:.4f}", flush=True)
-    return ms
+    return ms, lf
 
 
 def main(argv):
@@ -78,16 +79,21 @@ def main(argv):
     mesh = make_time_mesh(1)
     opt = optax.adam(1e-3)
     it = kw["iters"]
-    base = bench(cfg, sig, mesh, opt, it, "base (auto plan)")
-    remat = bench(cfg, sig, mesh, opt, it, "remat_ticks",
-                  remat_ticks=True)
-    seg = bench(cfg, sig, mesh, opt, it, f"tick_segment={kw['segment']}",
-                tick_segment=kw["segment"])
-    segn = bench(cfg, sig, mesh, opt, it,
-                 f"tick_segment={kw['segment']} nonstream",
-                 tick_segment=kw["segment"], stream=False)
+    base, l0 = bench(cfg, sig, mesh, opt, it, "base (auto plan)")
+    remat, l1 = bench(cfg, sig, mesh, opt, it, "remat_ticks",
+                      remat_ticks=True)
+    seg, l2 = bench(cfg, sig, mesh, opt, it,
+                    f"tick_segment={kw['segment']}",
+                    tick_segment=kw["segment"])
+    segn, l3 = bench(cfg, sig, mesh, opt, it,
+                     f"tick_segment={kw['segment']} nonstream",
+                     tick_segment=kw["segment"], stream=False)
+    # the legs are EXACT — enforce it, don't just print it (segment
+    # boundaries only reorder the NLL summation)
+    for tag, lx in (("remat", l1), ("seg", l2), ("seg-nonstream", l3)):
+        assert np.isclose(lx, l0, rtol=1e-5), (tag, lx, l0)
     print(f"overhead: remat {remat / base:.3f}x seg {seg / base:.3f}x "
-          f"seg-nonstream {segn / base:.3f}x")
+          f"seg-nonstream {segn / base:.3f}x (losses agree)")
 
 
 if __name__ == "__main__":
