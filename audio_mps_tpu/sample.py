@@ -8,7 +8,9 @@ cells 33-37).
         --temperature=1.0 --out=samples.npz
 
 Restores the latest Orbax checkpoint written by train.py and generates
-waveforms fully on-device.
+waveforms fully on-device. ``--mesh=dp[:N]`` shards the chains over a
+device mesh (make_dp_sample); ``--fused`` selects the Pallas SDE
+sampler kernels in either mode.
 """
 from __future__ import annotations
 
@@ -38,12 +40,13 @@ class SampleConfig:
     wav: bool = True
     visualize: bool = False      # waveform PNGs (reference sample.py:12)
     fused: bool = False          # Pallas fused SDE kernel (TPU)
+    mesh: str = ""               # "dp[:N]": shard the chains over devices
 
 
 _TYPES = {"modeldir": str, "mps_model": str, "hparams": str,
           "sample_duration": int, "sample_rate": int, "num_samples": int,
           "temperature": float, "seed": int, "out": str, "wav": bool,
-          "visualize": bool, "fused": bool}
+          "visualize": bool, "fused": bool, "mesh": str}
 
 
 def parse_args(argv) -> SampleConfig:
@@ -104,23 +107,47 @@ def sample(sc: SampleConfig, verbose: bool = True):
         print("warning: no checkpoint found, sampling from random init",
               flush=True)
 
-    if mps_model == "latent":
-        from .models.latent import sample_latent
-        if sc.fused:
-            import functools
-            fn = functools.partial(sample_latent, fused=True)
-        else:
-            fn = sample_latent
-    elif sc.fused:
-        from .ops.pallas_scan import (psi_sample_pallas_keyed,
-                                      rho_sample_pallas_keyed)
-        fn = (rho_sample_pallas_keyed if mps_model == "rho_mps"
-              else psi_sample_pallas_keyed)
+    if sc.mesh:
+        # sharded ancestral sampling: chains split over a dp mesh (the
+        # same shard_map path the dryrun and library expose); generation
+        # is serial in time, so the mesh buys chain throughput
+        from .config import parse_mesh_spec
+        from .parallel import make_dp_sample, make_mesh, replicate
+        kind, dims = parse_mesh_spec(sc.mesh)
+        if kind != "dp":
+            raise ValueError(
+                f"--mesh={sc.mesh}: sampling shards CHAINS over devices "
+                f"— only dp[:N] applies (generation is serial in time)")
+        n = dims or len(jax.devices())
+        if sc.num_samples % n:
+            raise ValueError(
+                f"num_samples={sc.num_samples} must be divisible by the "
+                f"{n}-device mesh size (--mesh={sc.mesh})")
+        mesh = make_mesh(n)
+        # the restored checkpoint sits on device 0 — re-place onto the
+        # mesh (the train CLI's restore path does the same)
+        params = replicate(params, mesh)
+        build = make_dp_sample(mps_model, cfg, mesh, fused=bool(sc.fused))
+        waves = np.asarray(build(sc.num_samples, sc.sample_duration,
+                                 sc.temperature)(params, skey))
     else:
-        fn = (core.sample_rho if mps_model == "rho_mps"
-              else core.sample_psi)
-    waves = np.asarray(fn(params, cfg, skey, sc.num_samples,
-                          sc.sample_duration, sc.temperature))
+        if mps_model == "latent":
+            from .models.latent import sample_latent
+            if sc.fused:
+                import functools
+                fn = functools.partial(sample_latent, fused=True)
+            else:
+                fn = sample_latent
+        elif sc.fused:
+            from .ops.pallas_scan import (psi_sample_pallas_keyed,
+                                          rho_sample_pallas_keyed)
+            fn = (rho_sample_pallas_keyed if mps_model == "rho_mps"
+                  else psi_sample_pallas_keyed)
+        else:
+            fn = (core.sample_rho if mps_model == "rho_mps"
+                  else core.sample_psi)
+        waves = np.asarray(fn(params, cfg, skey, sc.num_samples,
+                              sc.sample_duration, sc.temperature))
     if sc.out:
         np.savez(sc.out, samples=waves, step=step)
         if verbose:

@@ -45,6 +45,10 @@ def _fixture(bond_dim):
 
 def _check(values):
     anchor = values["reference_transcription"]
+    # assert_allclose treats NaN == NaN as agreement, so a NaN anchor
+    # would make the whole certificate VACUOUS (this bit the latent
+    # tests at T=65 before the frame==1 encoder fix) — pin finiteness
+    assert np.all(np.isfinite(anchor)), f"NaN anchor: {values}"
     for name, v in values.items():
         np.testing.assert_allclose(
             v, anchor, rtol=3e-4,
@@ -161,6 +165,7 @@ def test_latent_recon_all_implementations_agree(bond_dim):
     values = {name: np.asarray(fn()) for name, fn in impls.items()}
     anchor = values["xla_scan"]
     assert anchor.shape == (4,)
+    assert np.all(np.isfinite(anchor)), f"NaN anchor: {values}"
     for name, v in values.items():
         np.testing.assert_allclose(
             v, anchor, rtol=3e-4,

@@ -151,6 +151,26 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.exists(out)
     assert os.path.exists(str(tmp_path / "s_0.wav"))
 
+    # --mesh=dp:2 shards the chains over the mesh through the same CLI
+    # (same restored checkpoint; chains fold the shard index into the
+    # key, so values differ from single-device — pin shape/finiteness)
+    waves_dp = sample(SampleConfig(modeldir=logdir, mps_model="psi_mps",
+                                   hparams="bond_dim=3",
+                                   sample_duration=64, num_samples=4,
+                                   out=str(tmp_path / "sdp.npz"),
+                                   wav=False, mesh="dp:2"),
+                      verbose=False)
+    assert waves_dp.shape == (4, 64)
+    assert np.isfinite(waves_dp).all()
+    with pytest.raises(ValueError, match="divisible"):
+        sample(SampleConfig(modeldir=logdir, mps_model="psi_mps",
+                            hparams="bond_dim=3", sample_duration=64,
+                            num_samples=3, mesh="dp:2"), verbose=False)
+    with pytest.raises(ValueError, match="only dp"):
+        sample(SampleConfig(modeldir=logdir, mps_model="psi_mps",
+                            hparams="bond_dim=3", sample_duration=64,
+                            num_samples=4, mesh="time:2"), verbose=False)
+
 
 def test_train_cli_latent_end_to_end(tmp_path):
     """--mps_model=latent trains end-to-end from the CLI and the sample CLI
