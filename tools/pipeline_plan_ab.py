@@ -88,10 +88,13 @@ def main(argv):
     segn, l3 = bench(cfg, sig, mesh, opt, it,
                      f"tick_segment={kw['segment']} nonstream",
                      tick_segment=kw["segment"], stream=False)
-    # the legs are EXACT — enforce it, don't just print it (segment
-    # boundaries only reorder the NLL summation)
+    # fp32 legs are EXACT — enforce it, don't just print it (segment
+    # boundaries only reorder the NLL summation). Lower-precision passes
+    # reorder that summation in bf16x3/bf16 arithmetic and the drift
+    # compounds over the warm Adam steps, so loosen accordingly.
+    rtol = 1e-5 if precision == "highest" else 1e-2
     for tag, lx in (("remat", l1), ("seg", l2), ("seg-nonstream", l3)):
-        assert np.isclose(lx, l0, rtol=1e-5), (tag, lx, l0)
+        assert np.isclose(lx, l0, rtol=rtol), (tag, lx, l0)
     print(f"overhead: remat {remat / base:.3f}x seg {seg / base:.3f}x "
           f"seg-nonstream {segn / base:.3f}x (losses agree)")
 
