@@ -219,9 +219,12 @@ def parse_mesh_spec(mesh: str):
     'time' -> ('time', None);  'time:4' -> ('time', 4)
     'dpxrank:2x4' -> ('dpxrank', (2, 4))
     'dpxtime:2x4' -> ('dpxtime', (2, 4))
+    'rankxtime:2x4' -> ('rankxtime', (2, 4))
+    'dpxrankxtime:2x2x2' -> ('dpxrankxtime', (2, 2, 2))
     """
     err = (f"mesh must be '', 'dp[:N]', 'rank[:N]', 'time[:N]', "
-           f"'dpxrank:AxB', or 'dpxtime:AxB', got {mesh!r}")
+           f"'dpxrank:AxB', 'dpxtime:AxB', 'rankxtime:AxB', or "
+           f"'dpxrankxtime:AxBxC', got {mesh!r}")
     kind, sep, dims = mesh.partition(":")
     if kind in ("dp", "rank", "time"):
         if not sep:
@@ -229,11 +232,12 @@ def parse_mesh_spec(mesh: str):
         if dims.isdigit() and int(dims) > 0:
             return kind, int(dims)
         raise ValueError(err)
-    if kind in ("dpxrank", "dpxtime"):
+    if kind in ("dpxrank", "dpxtime", "rankxtime", "dpxrankxtime"):
         parts = dims.split("x")
-        if (len(parts) == 2 and all(p.isdigit() and int(p) > 0
-                                    for p in parts)):
-            return kind, (int(parts[0]), int(parts[1]))
+        n_axes = 3 if kind == "dpxrankxtime" else 2
+        if (len(parts) == n_axes and all(p.isdigit() and int(p) > 0
+                                         for p in parts)):
+            return kind, tuple(int(p) for p in parts)
         raise ValueError(err)
     raise ValueError(err)
 

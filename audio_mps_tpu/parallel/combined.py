@@ -31,10 +31,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import CMPSConfig
 from ..training import make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
+from .rank_parallel import MODEL_AXIS
 from .time_pipeline import (TIME_AXIS, _auto_fused_pipeline,
                             auto_microbatches,
                             psi_nll_pipelined_fused,
-                            rho_nll_pipelined_fused)
+                            rho_nll_pipelined_fused,
+                            rho_nll_rank_pipelined)
 from .time_pscan import rho_nll_time_sharded
 
 
@@ -130,6 +132,103 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                                     batch_axis=DATA_AXIS)
 
     loss_fn = make_loss_fn(mps_model, cfg, nll=nll)
+
+    def step_fn(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1))
+    return optimizer, step
+
+
+def make_3d_mesh(n_data: int, n_model: int, n_time: int,
+                 devices=None) -> Mesh:
+    """A (data, model, time) mesh over the first n_data*n_model*n_time
+    devices — the full DP x TP x PP grid. n_data=1 expresses a pure
+    TP x PP (rank x time) 2D composition with the same axis names."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_model * n_time
+    if len(devices) < need:
+        raise ValueError(
+            f"requested {n_data}x{n_model}x{n_time} mesh, have "
+            f"{len(devices)} devices")
+    grid = np.asarray(devices[:need]).reshape(n_data, n_model, n_time)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS, TIME_AXIS))
+
+
+def make_dp_rank_time_train_step(cfg: CMPSConfig, mesh: Mesh,
+                                 optimizer=None, fused=None,
+                                 num_microbatches: int = None):
+    """Build (optimizer, jitted step) for the rho family on a
+    (data, model, time) mesh — data parallelism x purification-rank TP x
+    temporal pipelining, all three scaling axes in ONE jitted step:
+
+      - batch rows shard over ``data`` (the gradient pmean rides it);
+      - the purification rank's factor rows shard over ``model``
+        (rank_parallel's megatron-style decomposition — the per-chunk
+        partials gather, or the XLA path's per-step [2, b] psum, stays
+        model-axis-local);
+      - each waveform's time axis pipelines over ``time`` (the ancilla
+        state hops stage-to-stage over ppermute, time-axis-local).
+
+    `fused=None` auto-selects the FUSED temporal pipeline (carried-state
+    rank-partials kernels at the LOCAL rank shard, one partials
+    all_gather per tick) when the block layout applies and the per-shard
+    chunk kernel fits VMEM; the fallback (and `fused=False`) is the XLA
+    rank-sharded pipeline (any bond_dim). Both exact vs the
+    single-device step (tests/test_parallel.py).
+
+    step(params, opt_state, batch) with the make_dp_train_step contract
+    (plain arrays in; the internal shard_map places them)."""
+    if not {DATA_AXIS, MODEL_AXIS, TIME_AXIS} <= set(mesh.axis_names):
+        raise ValueError(
+            f"mesh must have ({DATA_AXIS!r}, {MODEL_AXIS!r}, "
+            f"{TIME_AXIS!r}) axes (make_3d_mesh), got {mesh.axis_names}")
+    optimizer = optimizer or make_optimizer(cfg)
+    S = mesh.shape[TIME_AXIS]
+    n_data = mesh.shape[DATA_AXIS]
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def nll(params, cfg_, batch):
+        if not hasattr(params, "Wx"):
+            raise ValueError("the DP x rank x time step shards the "
+                             "purification rank — a rho_mps strategy")
+        B, T = batch.shape
+        rank = params.Wx.shape[0]
+        if rank % n_model:
+            raise ValueError(
+                f"purification rank {rank} must be divisible by the "
+                f"{MODEL_AXIS!r} axis size {n_model}")
+        r_loc = rank // n_model
+        M = num_microbatches
+        use_fused = fused
+        if (use_fused or use_fused is None) and B % n_data == 0 \
+                and (T - 1) % S == 0:
+            m_fused = M or auto_microbatches(cfg_, B // n_data, r_loc, S)
+            if use_fused is None:
+                use_fused = (B % m_fused == 0
+                             and (B // m_fused) % n_data == 0
+                             and _auto_fused_pipeline(
+                                 cfg_, r_loc, B // m_fused // n_data))
+            if use_fused:
+                M = m_fused
+        elif use_fused is None:
+            use_fused = False
+        # XLA default: per-data-shard-example microbatches (width-linear
+        # per-step cost — pipeline efficiency is all that matters)
+        M = M or max(1, B // n_data)
+        if use_fused:
+            return rho_nll_pipelined_fused(
+                params, cfg_, batch, mesh, num_microbatches=M,
+                axis=TIME_AXIS, data_axis=DATA_AXIS, model_axis=MODEL_AXIS)
+        return rho_nll_rank_pipelined(
+            params, cfg_, batch, mesh, num_microbatches=M,
+            axis=TIME_AXIS, model_axis=MODEL_AXIS, data_axis=DATA_AXIS)
+
+    loss_fn = make_loss_fn("rho", cfg, nll=nll)
 
     def step_fn(params, opt_state, batch):
         (_, metrics), grads = jax.value_and_grad(

@@ -53,7 +53,7 @@ def make_time_mesh(n_stages: int = None, axis_name: str = TIME_AXIS) -> Mesh:
 
 def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
                   num_microbatches: int, mesh: Mesh, axis: str,
-                  state0_stack=None):
+                  state0_stack=None, param_specs=None, data_axis=None):
     """Generic pipelined NLL.
 
     step_fn(cc, cfg, carry, inc) -> carry, with carry = (state..., loss).
@@ -62,7 +62,17 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
     overrides it with PER-EXAMPLE initial states: a tuple of [B, ...]
     arrays (e.g. the latent family's decoded per-example psi_0) — stage 0
     then injects each microbatch's own slice.
+
+    `param_specs` (default all-replicated) lets a caller shard the params
+    pytree over another mesh axis — step_fn/state0_fn then see the LOCAL
+    shard and own whatever collectives make the math global (the
+    rank-sharded pipeline's per-step [2, b] psum). `data_axis` shards
+    each microbatch's examples over that mesh axis (the loss pmean rides
+    it); not supported together with `state0_stack`.
     """
+    if data_axis is not None and state0_stack:
+        raise ValueError("data_axis with per-example initial states is "
+                         "not supported on the XLA pipeline")
     B, T = signals.shape
     M = num_microbatches
     S = mesh.shape[axis]
@@ -87,8 +97,10 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
     # the Manual context and break the scan transpose once the step's
     # donated outputs (NamedSharding on this mesh) feed the next step
     def local(cc, params, incs_local, *stack):
-        # incs_local: [M, 1, Tc, b] — this stage's chunk of every microbatch
-        incs_local = incs_local[:, 0]                    # [M, Tc, b]
+        # incs_local: [M, 1, Tc, b_l] — this stage's chunk of every
+        # microbatch (b_l = b // data-axis size when data_axis is set)
+        incs_local = incs_local[:, 0]                    # [M, Tc, b_l]
+        b_l = incs_local.shape[-1]
         s_idx = jax.lax.axis_index(axis)
         if stack:
             def fresh_state(m_c):
@@ -96,10 +108,10 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
                     s, m_c, axis=0, keepdims=False) for s in stack)
             state_init = tuple(s[0] for s in stack)
         else:
-            state0 = state0_fn(params, cfg, b)
+            state0 = state0_fn(params, cfg, b_l)
             fresh_state = lambda m_c: state0
             state_init = state0
-        zero_loss = jnp.zeros((b,), signals.dtype)
+        zero_loss = jnp.zeros((b_l,), signals.dtype)
 
         def chunk_scan(carry, chunk):                    # chunk [Tc, b]
             return jax.lax.scan(
@@ -135,17 +147,21 @@ def _pipeline_nll(step_fn, state0_fn, params, cfg: CMPSConfig, signals,
             return (carry_next, losses), None
 
         init_carry = state_init + (zero_loss,)
-        losses0 = jnp.zeros((M, b), signals.dtype)
+        losses0 = jnp.zeros((M, b_l), signals.dtype)
         (_, losses), _ = jax.lax.scan(tick, (init_carry, losses0),
                                       jnp.arange(M + S - 1))
         # finished losses live on the last stage; share them
         losses = jax.lax.psum(
             jnp.where(s_idx == S - 1, losses, jnp.zeros_like(losses)), axis)
-        return jnp.mean(losses)[None]
+        val = jnp.mean(losses)
+        if data_axis is not None:
+            val = jax.lax.pmean(val, data_axis)
+        return val[None]
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(None, axis, None, None)) + (P(),) * len(stack),
+        in_specs=(P(), param_specs if param_specs is not None else P(),
+                  P(None, axis, None, data_axis)) + (P(),) * len(stack),
         out_specs=P(axis),
         check=False)
     return jnp.mean(sharded(cc, params, incs, *stack))
@@ -183,6 +199,74 @@ def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     M = num_microbatches or signals.shape[0]
     return _pipeline_nll(cell.rho_factor_loss_step, _rho_factor_state0,
                          params, cfg, signals, M, mesh, axis)
+
+
+def rho_nll_rank_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
+                           num_microbatches: int = None,
+                           axis: str = TIME_AXIS,
+                           model_axis: str = "model",
+                           data_axis: str = None):
+    """Mixed-state NLL with the purification rank sharded over
+    `model_axis` AND the time axis pipelined over `axis` — the XLA
+    (any-bond_dim) TP x PP composition; with `data_axis` the full 3D
+    DP x TP x PP mesh. Semantics of core.rho_nll (reference hot loop
+    model.py:132-142).
+
+    Each (model, time) shard carries its local factor rows through the
+    pipeline; per step the only cross-shard traffic is rank_parallel's
+    one [2, b] psum over `model_axis` (the e/tr partial sums), with the
+    normalization global — exactly rho_nll_rank_sharded's step inside
+    the pipeline's tick machinery."""
+    from functools import partial as _part
+    from .rank_parallel import _param_specs
+    from ..models.cell import nll_increment
+    rank = params.Wx.shape[0]
+    n_model = mesh.shape[model_axis]
+    if rank % n_model:
+        raise ValueError(f"purification rank {rank} must be divisible by "
+                         f"the {model_axis!r} axis size {n_model}")
+    M = num_microbatches or signals.shape[0]
+
+    def step(cc, cfg_, carry, inc):
+        # cell.rho_factor_loss_step with the e/tr reductions made global
+        # (one fused [2, b] psum per step — rank_parallel's decomposition)
+        mm = _part(jnp.matmul, precision="highest")
+        gr, gi, loss = carry
+        s = (inc / cc.A)[:, None, None]
+        cdr, cdi = cc.Cr.T, -cc.Ci.T
+        rdr, rdi = cc.Rr.T, -cc.Ri.T
+        a1r = mm(gr, cdr) - mm(gi, cdi)
+        a1i = mm(gr, cdi) + mm(gi, cdr)
+        a2r = mm(gr, rdr) - mm(gi, rdi)
+        a2i = mm(gr, rdi) + mm(gi, rdr)
+        yr = a1r + s * a2r
+        yi = a1i + s * a2i
+        gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
+        gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
+        part = jnp.stack([
+            jnp.sum(yr * gxr + yi * gxi, axis=(1, 2)),
+            jnp.sum(yr * yr + yi * yi, axis=(1, 2))])
+        tot = jax.lax.psum(part, model_axis)
+        e, tr = tot[0], tot[1]
+        loss = loss + nll_increment(e, s[:, 0, 0], cfg_.log_eps)
+        inv = jax.lax.rsqrt(jnp.maximum(tr, cfg_.norm_eps))[:, None, None]
+        yr = yr * inv
+        yi = yi * inv
+        nr = yr * cc.p_c - yi * cc.p_s
+        ni = yr * cc.p_s + yi * cc.p_c
+        return (nr, ni, loss)
+
+    def state0(p, cfg_, b):
+        # local rows, normalized by the GLOBAL initial trace
+        wr, wi = p.Wx, p.Wy
+        tr0 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), model_axis)
+        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg_.norm_eps))
+        return (jnp.broadcast_to(wr * inv0, (b,) + wr.shape),
+                jnp.broadcast_to(wi * inv0, (b,) + wi.shape))
+
+    return _pipeline_nll(step, state0, params, cfg, signals, M, mesh,
+                         axis, param_specs=_param_specs(params, model_axis),
+                         data_axis=data_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +331,53 @@ def _fused_pipeline_plan(cfg: CMPSConfig, BR: int, Tc: int, live: int,
     return False, True, seg * u
 
 
+def _sharded_chunk_nll(eh, tr, seb, gam_in, unroll: int, cfg: CMPSConfig,
+                       axis: str, n_model: int):
+    """Per-example NLL sum over one pipeline chunk with the factor rows
+    SHARDED over `axis` — ops.pallas_rank.combine_rank_partials applied
+    per chunk: each shard contributes its local (eh, trp) partials at its
+    own absolute log-scale gamma, gathered ONCE per chunk over the model
+    axis. gamma is carried tick-to-tick (`gam_in` [B] = log squared-norm
+    of this shard's rows at the chunk's first block entry) and advanced
+    by the chunk's block-exit log traces — the kernel renormalizes its
+    local state by the LOCAL trace at every block exit, and gamma is
+    exactly the bookkeeping that makes the cross-shard combine global
+    (rho_nll_rank_partials' single-call analogue of this carry).
+
+    The psum of 1/n keeps the (replicated-by-value) NLL and makes
+    shard_map's transpose exact — each shard contributes 1/n of the
+    gathered partials' cotangent and the all_gather transpose sums them
+    (rank_parallel.rho_nll_rank_sharded_fused's rationale).
+
+    Returns (nll [B], gam_out [B])."""
+    L, B = eh.shape
+    nb = L // unroll
+    tr3 = tr.reshape(nb, unroll, B)
+    trp = jnp.concatenate(
+        [jnp.ones((nb, 1, B), tr.dtype), tr3[:, :unroll - 1]],
+        axis=1).reshape(L, B)
+    blk = jnp.log(jnp.maximum(tr3[:, unroll - 1], cfg.norm_eps))  # [nb, B]
+    offs = jnp.concatenate(
+        [jnp.zeros((1, B), blk.dtype), jnp.cumsum(blk, axis=0)[:-1]],
+        axis=0)
+    gam = gam_in[None] + jnp.repeat(offs, unroll, axis=0)         # [L, B]
+    g = jax.lax.all_gather(jnp.stack([eh, trp, gam]), axis)  # [n, 3, L, B]
+    m = jnp.max(g[:, 2], axis=0)
+    w = jnp.exp(g[:, 2] - m[None])
+    num = jnp.sum(g[:, 0] * w, axis=0)
+    den = jnp.sum(g[:, 1] * w, axis=0)
+    e = num / jnp.maximum(den, cfg.norm_eps)
+    arg = 1.0 + e * seb
+    if cfg.log_eps > 0:
+        arg = jnp.maximum(arg, cfg.log_eps)
+    nll = jax.lax.psum(jnp.sum(-jnp.log(arg), axis=0) / n_model, axis)
+    return nll, gam_in + jnp.sum(blk, axis=0)
+
+
 def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                         num_microbatches: int, mesh: Mesh, axis: str, *,
-                        data_axis: str = None, unroll: int = None,
+                        data_axis: str = None, model_axis: str = None,
+                        unroll: int = None,
                         interpret: bool = None, precision: str = None,
                         stream: bool = None, remat_ticks: bool = None,
                         tick_segment: int = None):
@@ -267,6 +395,15 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     `data_axis`: optional second mesh axis for the DP x pipeline
     composition — each microbatch's examples shard over it (the pipeline
     collectives stay `axis`-local; the loss pmean rides `data_axis`).
+
+    `model_axis`: optional mesh axis sharding SHARED factor rows (the
+    rho family's purification-rank TP, rank_parallel's decomposition)
+    over the same mesh — the TP x PP composition, and with `data_axis`
+    the full 3D DP x TP x PP mesh. Each shard carries its own rows'
+    kernel-frame state through the pipeline plus a per-example log-scale
+    gamma; per tick ONE all_gather of the chunk's [3, Tc, b] partials
+    over `model_axis` reconstructs the global NLL exactly
+    (`_sharded_chunk_nll`).
 
     `stream` / `remat_ticks` / `tick_segment`: all-None auto-resolves
     the backward-residual memory plan (`_fused_pipeline_plan`); any
@@ -303,6 +440,18 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
     precision = precision or cfg.kernel_precision
     per_example = w_pair[0].ndim == 3
     r_loc = w_pair[0].shape[-2]
+    n_model = mesh.shape[model_axis] if model_axis is not None else 1
+    if model_axis is not None:
+        if per_example:
+            raise ValueError(
+                "model_axis shards shared factor rows over the mesh; "
+                "per-example factors (the latent family's rank-1 psi_0) "
+                "have nothing to shard")
+        if r_loc % n_model:
+            raise ValueError(
+                f"purification rank {r_loc} must be divisible by the "
+                f"{model_axis!r} axis size {n_model}")
+        r_loc //= n_model
     r_pad = auto_pad_rank_partials(cfg, b_loc, r_loc, bool(interpret))
     if unroll is not None and Tc % unroll:
         raise ValueError(
@@ -357,11 +506,34 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             seb_chunk.reshape(n_seg, seg_steps, seb_chunk.shape[-1]))
         return t_out, jnp.sum(nlls, axis=0)
 
+    def tick_chunk_sharded(ops, t_in, gam_in, seb_chunk):
+        """Rank-sharded tick: local partials + carried gamma, combined
+        globally per chunk (`_sharded_chunk_nll`). Same segmentation
+        structure as `tick_chunk`."""
+        if not seg_given and n_seg == 1:
+            t_out, (eh, tr) = chunk_fn(ops, t_in, seb_chunk)
+            nll, gam_out = _sharded_chunk_nll(eh, tr, seb_chunk, gam_in,
+                                              u, cfg, model_axis, n_model)
+            return t_out, gam_out, nll
+
+        def seg_fn(carry, se_seg):
+            t, gam = carry
+            t2, (eh, tr) = chunk_fn(ops, t, se_seg)
+            nll, gam2 = _sharded_chunk_nll(eh, tr, se_seg, gam, u, cfg,
+                                           model_axis, n_model)
+            return (t2, gam2), nll
+
+        (t_out, gam_out), nlls = jax.lax.scan(
+            jax.checkpoint(seg_fn), (t_in, gam_in),
+            seb_chunk.reshape(n_seg, seg_steps, seb_chunk.shape[-1]))
+        return t_out, gam_out, jnp.sum(nlls, axis=0)
+
     if remat_ticks and not seg_given:
         # per-tick remat: only the tiny tick-entry states persist across
         # ticks; the backward recomputes one tick's forward at a time
         # (segmented ticks already checkpoint per segment)
         tick_chunk = jax.checkpoint(tick_chunk)
+        tick_chunk_sharded = jax.checkpoint(tick_chunk_sharded)
 
     cc = make_constants(params, cfg)
     # [B, T-1] signal increments / A (the partials' seb), chunked
@@ -398,9 +570,20 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             fresh_t0 = lambda m_c: t0
             t_init = t0
         zero_loss = jnp.zeros((b_loc,), signals.dtype)
+        if model_axis is not None:
+            # this shard's absolute log-scale at injection: t0 is
+            # locally unit-normalized, so gamma starts at log(local tr0)
+            # (zero pad rows leave the trace unchanged)
+            tr0 = jnp.sum(wr * wr + wi * wi)
+            c0 = jnp.broadcast_to(
+                jnp.log(jnp.maximum(tr0, cfg.norm_eps)), (b_loc,))
 
         def tick(acc, t):
-            (tstate, loss_in), losses = acc
+            carry_in, losses = acc
+            if model_axis is not None:
+                tstate, gam_in, loss_in = carry_in
+            else:
+                tstate, loss_in = carry_in
             m = t - s_idx                            # active microbatch
             active = jnp.logical_and(m >= 0, m < M)
             m_c = jnp.clip(m, 0, M - 1)
@@ -409,7 +592,13 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             # stage 0 injects a fresh initial state per new microbatch
             tstate = jnp.where(s_idx == 0, fresh_t0(m_c), tstate)
             loss_in = jnp.where(s_idx == 0, zero_loss, loss_in)
-            t_out, nll_c = tick_chunk(ops, tstate, seb_c)
+            if model_axis is not None:
+                gam_in = jnp.where(s_idx == 0, c0, gam_in)
+                t_out, gam_out, nll_c = tick_chunk_sharded(ops, tstate,
+                                                           gam_in, seb_c)
+                gam_out = jnp.where(active, gam_out, gam_in)
+            else:
+                t_out, nll_c = tick_chunk(ops, tstate, seb_c)
             loss_out = loss_in + nll_c
             t_out = jnp.where(active, t_out, tstate)
             loss_out = jnp.where(active, loss_out, loss_in)
@@ -421,12 +610,15 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
                     ls, loss_out, m_c, axis=0),
                 lambda ls: ls, losses)
             perm = [(i, (i + 1) % S) for i in range(S)]
+            carry_out = ((t_out, gam_out, loss_out)
+                         if model_axis is not None else (t_out, loss_out))
             carry_next = jax.tree.map(
-                lambda x: jax.lax.ppermute(x, axis, perm),
-                (t_out, loss_out))
+                lambda x: jax.lax.ppermute(x, axis, perm), carry_out)
             return (carry_next, losses), None
 
-        init = ((t_init, zero_loss), jnp.zeros((M, b_loc), signals.dtype))
+        carry0 = ((t_init, c0, zero_loss) if model_axis is not None
+                  else (t_init, zero_loss))
+        init = (carry0, jnp.zeros((M, b_loc), signals.dtype))
         (_, losses), _ = jax.lax.scan(tick, init, jnp.arange(M + S - 1))
         losses = jax.lax.psum(
             jnp.where(s_idx == S - 1, losses, jnp.zeros_like(losses)), axis)
@@ -444,10 +636,11 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
             out_specs=P(axis),
             check=False)
         return jnp.mean(sharded(cc, t0_stack, seb))
+    w_spec = P() if model_axis is None else P(model_axis, None)
     sharded = shard_map(
         lambda cc, wr, wi, seb_l: local(cc, wr, wi, None, seb_l),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(None, axis, None, data_axis)),
+        in_specs=(P(), w_spec, w_spec, P(None, axis, None, data_axis)),
         out_specs=P(axis),
         check=False)
     return jnp.mean(sharded(cc, w_pair[0], w_pair[1], seb))
@@ -458,7 +651,9 @@ def rho_nll_pipelined_fused(params, cfg: CMPSConfig, signals, mesh: Mesh,
                             axis: str = TIME_AXIS, **kw):
     """Mixed-state NLL, time axis pipelined over `mesh` with the FUSED
     hot loop (semantics of core.rho_nll, reference model.py:132-142):
-    one carried-state partials kernel call per stage per tick."""
+    one carried-state partials kernel call per stage per tick.
+    `model_axis=...` additionally shards the purification rank over that
+    mesh axis (TP x PP; with `data_axis` the full 3D DP x TP x PP)."""
     M = num_microbatches or signals.shape[0]
     return _pipeline_nll_fused((params.Wx, params.Wy), params, cfg,
                                signals, M, mesh, axis, **kw)

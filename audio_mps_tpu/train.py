@@ -129,6 +129,38 @@ def train(run: RunConfig, cfg: CMPSConfig = None, verbose: bool = True):
             optimizer, step_fn = make_dp_rank_train_step(
                 cfg, make_2d_rank_mesh(a, b), fused=fused)
             opt_state = optimizer.init(params)
+        elif kind in ("rankxtime", "dpxrankxtime"):
+            # rank-TP x temporal pipeline, optionally x DP: the full
+            # (data, model, time) 3D mesh (rho family)
+            if run.mps_model != "rho_mps":
+                raise ValueError(
+                    f"--mesh={run.mesh} shards the purification rank — "
+                    f"a rho_mps strategy (got {run.mps_model})")
+            from .parallel import (make_3d_mesh,
+                                   make_dp_rank_time_train_step)
+            a, b, c = (1,) + dims if kind == "rankxtime" else dims
+            if a * b * c > n_dev:
+                raise ValueError(
+                    f"requested {a}x{b}x{c} devices, have {n_dev}")
+            if cfg.minibatch_size % a:
+                raise ValueError(
+                    f"minibatch_size={cfg.minibatch_size} must be "
+                    f"divisible by the data axis size {a} "
+                    f"(--mesh={run.mesh})")
+            rank = (cfg.initial_rank if cfg.initial_rank is not None
+                    else cfg.bond_dim)
+            if rank % b:
+                raise ValueError(
+                    f"purification rank {rank} must be divisible by the "
+                    f"model axis size {b} (--mesh={run.mesh})")
+            if (run.sample_duration - 1) % c:
+                raise ValueError(
+                    f"sample_duration-1={run.sample_duration - 1} must be "
+                    f"divisible by the time axis size {c} "
+                    f"(--mesh={run.mesh})")
+            optimizer, step_fn = make_dp_rank_time_train_step(
+                cfg, make_3d_mesh(a, b, c), fused=fused)
+            opt_state = optimizer.init(params)
         else:   # dpxtime
             # combined 2D (data x time) mesh: DP x sequence parallelism
             from .parallel import make_2d_mesh, make_dp_time_train_step

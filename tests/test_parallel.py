@@ -923,3 +923,126 @@ def test_latent_elbo_pipelined_knob_validation_and_data_axis():
             num_microbatches=4, data_axis="data")[0])
         np.testing.assert_allclose(got, ref, rtol=1e-5,
                                    err_msg=f"fused={fused}")
+
+
+def test_rank_time_pipeline_matches_single_device():
+    """TP x PP: purification rank sharded over 'model' AND time pipelined
+    over 'time' (a (1, 2, 2) slice of the 3D mesh) == the single-device
+    factor scan — values and gradients, for BOTH hot loops: the fused
+    carried-state kernels (per-tick partials all_gather + carried gamma,
+    _sharded_chunk_nll) and the XLA per-step-psum pipeline
+    (rho_nll_rank_pipelined)."""
+    from audio_mps_tpu.models import core as _core
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.parallel import make_3d_mesh
+    from audio_mps_tpu.parallel.time_pipeline import (
+        rho_nll_pipelined_fused, rho_nll_rank_pipelined)
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T_p = 2 * 24 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T_p, cfg.delta_t)
+    mesh = make_3d_mesh(1, 2, 2)
+
+    for rank_cfg in (cfg, dataclasses.replace(cfg, initial_rank=2)):
+        p = init_rho(jax.random.PRNGKey(1), rank_cfg)
+        ref = float(_core.rho_nll_factor(p, rank_cfg, data))
+        g_ref = jax.grad(
+            lambda q: _core.rho_nll_factor(q, rank_cfg, data))(p)
+        for name, nll in (
+                ("fused", lambda q: rho_nll_pipelined_fused(
+                    q, rank_cfg, data, mesh, num_microbatches=2,
+                    model_axis="model")),
+                ("xla", lambda q: rho_nll_rank_pipelined(
+                    q, rank_cfg, data, mesh, num_microbatches=2))):
+            got = float(nll(p))
+            np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                       err_msg=name)
+            g_got = jax.jit(jax.grad(nll))(p)
+            for a, b in zip(jax.tree.leaves(g_ref),
+                            jax.tree.leaves(g_got)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-6,
+                    err_msg=name)
+
+
+def test_dp_rank_time_3d_step_matches_single_device():
+    """The full 3D DP x TP x PP training step (make_dp_rank_time_train_step
+    on a (2 data, 2 model, 2 time) mesh) reproduces the single-device
+    one-Adam-step parameter trajectory, both hot loops."""
+    from audio_mps_tpu.parallel import (make_3d_mesh,
+                                        make_dp_rank_time_train_step)
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T_p = 2 * 24 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T_p, cfg.delta_t)
+    mesh = make_3d_mesh(2, 2, 2)
+
+    p0 = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+    opt_ref, step_ref = make_train_step("rho_mps", cfg, fused=False)
+    p_ref, _, m_ref = step_ref(p0, opt_ref.init(p0), data)
+
+    for fused in (False, True):
+        p = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+        opt, step = make_dp_rank_time_train_step(cfg, mesh, fused=fused)
+        p1, _, m1 = step(p, opt.init(p), data)
+        np.testing.assert_allclose(
+            float(m1["model_loss"]), float(m_ref["model_loss"]),
+            rtol=1e-5, err_msg=f"fused={fused}")
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-7,
+                                       err_msg=f"fused={fused}")
+
+    with pytest.raises(ValueError, match="axes"):
+        make_dp_rank_time_train_step(cfg, make_mesh(8))
+
+
+def test_rank_time_pipeline_plan_legs_and_validation():
+    """Sharded fused pipeline: the memory-plan legs (remat_ticks /
+    tick_segment — the carried gamma must thread the checkpointed
+    segment scan) agree with the unconstrained run, values AND grads;
+    rank-indivisible and per-example model sharding raise."""
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.parallel import make_3d_mesh
+    from audio_mps_tpu.parallel.time_pipeline import (
+        latent_elbo_pipelined, rho_nll_pipelined_fused)
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0)
+    T_p = 2 * 24 + 1
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T_p, cfg.delta_t)
+    mesh = make_3d_mesh(2, 2, 2)
+    p = init_rho(jax.random.PRNGKey(1), cfg)
+
+    def nll(q, **kw):
+        return rho_nll_pipelined_fused(q, cfg, data, mesh,
+                                       num_microbatches=2,
+                                       data_axis="data",
+                                       model_axis="model", **kw)
+
+    base = float(nll(p))
+    g0 = jax.grad(nll)(p)
+    for kw in ({"remat_ticks": True}, {"tick_segment": 12}):
+        got = float(nll(p, **kw))
+        np.testing.assert_allclose(got, base, rtol=1e-6, err_msg=str(kw))
+        g1 = jax.grad(lambda q: nll(q, **kw))(p)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-8,
+                                       err_msg=str(kw))
+
+    # rank not divisible by the model axis
+    cfg3 = dataclasses.replace(cfg, initial_rank=3)
+    p3 = init_rho(jax.random.PRNGKey(1), cfg3)
+    with pytest.raises(ValueError, match="divisible"):
+        rho_nll_pipelined_fused(p3, cfg3, data, mesh, num_microbatches=2,
+                                model_axis="model")
+
+    # per-example factor rows (the latent family) cannot rank-shard
+    cfg_l = dataclasses.replace(cfg, latent_dim=4, latent_hidden=16)
+    pl = init_params_for("latent", jax.random.PRNGKey(0), cfg_l)
+    data_l = damped_sine_batch(jax.random.PRNGKey(1), 4, 65, cfg_l.delta_t)
+    eps = jax.random.normal(jax.random.PRNGKey(9), (4, cfg_l.latent_dim))
+    with pytest.raises(ValueError, match="per-example"):
+        latent_elbo_pipelined(pl, cfg_l, data_l, mesh, eps=eps,
+                              fused=True, num_microbatches=2,
+                              model_axis="model")

@@ -329,9 +329,11 @@ def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
                      hparams="bond_dim=4,minibatch_size=8,scan_chunk=32")
 
     losses = {}
-    for mesh in ("", "rank:4", "time:4", "dpxrank:2x4", "dpxtime:2x4"):
+    for mesh in ("", "rank:4", "time:4", "dpxrank:2x4", "dpxtime:2x4",
+                 "rankxtime:2x4", "dpxrankxtime:2x2x2"):
         run = dataclasses.replace(
-            base, mesh=mesh, logdir=str(tmp_path / (mesh or "single")))
+            base, mesh=mesh,
+            logdir=str(tmp_path / (mesh.replace(":", "_") or "single")))
         _, metrics = train(run, verbose=False)
         losses[mesh] = float(metrics["model_loss"])
     for mesh, v in losses.items():
@@ -339,13 +341,16 @@ def test_train_cli_all_mesh_strategies_loss_parity(tmp_path):
                                    err_msg=f"--mesh={mesh}")
 
     # --fused=true forces the FUSED temporal pipeline on the dpxtime
-    # 2D mesh (auto stays on pscan off-TPU); same loss through the CLI
-    run_f = dataclasses.replace(base, mesh="dpxtime:2x4", fused="true",
-                                logdir=str(tmp_path / "dpxtime_fused"))
-    _, metrics_f = train(run_f, verbose=False)
-    np.testing.assert_allclose(float(metrics_f["model_loss"]), losses[""],
-                               rtol=5e-5, atol=1e-7,
-                               err_msg="--mesh=dpxtime:2x4 --fused=true")
+    # 2D mesh and the full 3D DP x TP x PP mesh (auto stays on the XLA
+    # paths off-TPU); same loss through the CLI
+    for mesh in ("dpxtime:2x4", "dpxrankxtime:2x2x2"):
+        run_f = dataclasses.replace(
+            base, mesh=mesh, fused="true",
+            logdir=str(tmp_path / (mesh.replace(":", "_") + "_fused")))
+        _, metrics_f = train(run_f, verbose=False)
+        np.testing.assert_allclose(float(metrics_f["model_loss"]),
+                                   losses[""], rtol=5e-5, atol=1e-7,
+                                   err_msg=f"--mesh={mesh} --fused=true")
 
 
 def test_train_cli_latent_time_mesh_loss_parity(tmp_path):
