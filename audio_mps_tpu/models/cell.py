@@ -270,11 +270,19 @@ def psi_sample_step(cc: CellConstants, cfg: CMPSConfig, carry, noise):
     return (pr2, pi2), (inc, state)
 
 
-def rho_factor_loss_step(cc: CellConstants, cfg: CMPSConfig, carry, inc):
+def rho_factor_loss_step(cc: CellConstants, cfg: CMPSConfig, carry, inc,
+                         reduce=None):
     """One hot-loop step in purification-factor form (rho = G^dag G evolves
     as G <- G U^dag — exact, see ops/pallas_scan.py design notes). Shared
-    by core.rho_nll_factor and the temporal pipeline. carry:
-    (gr, gi [B, r, D], loss [B])."""
+    by core.rho_nll_factor, the temporal pipeline, and (via `reduce`) the
+    rank-sharded variants. carry: (gr, gi [B, r, D], loss [B]).
+
+    `reduce` (optional): hook applied to the stacked [2, B] e/tr partial
+    sums before use — the purification-rank-sharded paths pass a psum
+    over their model axis to make the reductions global
+    (rank_parallel.rho_nll_rank_sharded, the TP x PP pipeline); None
+    keeps the local sums (the single-device semantics). This is the ONE
+    transcription of the physics-critical step."""
     import functools as _ft
     mm = _ft.partial(jnp.matmul, precision="highest")
     gr, gi, loss = carry
@@ -290,16 +298,35 @@ def rho_factor_loss_step(cc: CellConstants, cfg: CMPSConfig, carry, inc):
     # e = Re tr(X rho'') = sum Re(G'' . conj(G'' @ X))
     gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
     gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
-    e = jnp.sum(yr * gxr + yi * gxi, axis=(1, 2))
+    part = jnp.stack([
+        jnp.sum(yr * gxr + yi * gxi, axis=(1, 2)),
+        jnp.sum(yr * yr + yi * yi, axis=(1, 2))])
+    if reduce is not None:
+        part = reduce(part)
+    e, tr = part[0], part[1]
     loss = loss + nll_increment(e, s[:, 0, 0], cfg.log_eps)
-    tr = jnp.sum(yr * yr + yi * yi, axis=(1, 2), keepdims=True)
-    inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))
+    inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))[:, None, None]
     yr = yr * inv
     yi = yi * inv
     # rotate: G <- G P (column scale by exp(i f dt))
     nr = yr * cc.p_c - yi * cc.p_s
     ni = yr * cc.p_s + yi * cc.p_c
     return (nr, ni, loss)
+
+
+def rho_factor_state0(params, cfg: CMPSConfig, b: int, reduce=None):
+    """Initial purification factor broadcast to [b, rank, D], normalized
+    to unit trace. `reduce` (optional): hook on the scalar Frobenius
+    trace — rank-sharded variants psum it over their model axis so the
+    LOCAL rows are normalized by the GLOBAL trace; None is the
+    single-device semantics (reference: model.py:57-66 _rho_init)."""
+    wr, wi = params.Wx, params.Wy
+    tr0 = jnp.sum(wr * wr + wi * wi)
+    if reduce is not None:
+        tr0 = reduce(tr0)
+    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
+    return (jnp.broadcast_to(wr * inv0, (b,) + wr.shape),
+            jnp.broadcast_to(wi * inv0, (b,) + wi.shape))
 
 
 # ---------------------------------------------------------------------------

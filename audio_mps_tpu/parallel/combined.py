@@ -32,9 +32,8 @@ from ..config import CMPSConfig
 from ..training import make_loss_fn, make_optimizer
 from .mesh import DATA_AXIS
 from .rank_parallel import MODEL_AXIS
-from .time_pipeline import (TIME_AXIS, _auto_fused_pipeline,
-                            auto_microbatches,
-                            psi_nll_pipelined_fused,
+from .time_pipeline import (TIME_AXIS, psi_nll_pipelined_fused,
+                            resolve_fused_microbatches,
                             rho_nll_pipelined_fused,
                             rho_nll_rank_pipelined)
 from .time_pscan import rho_nll_time_sharded
@@ -98,29 +97,9 @@ def make_dp_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
         S = mesh.shape[TIME_AXIS]
         n_data = mesh.shape[DATA_AXIS]
         r_loc = params.Wx.shape[0] if is_rho else 1
-        M = num_microbatches
-        use_fused = fused
-        if (use_fused or use_fused is None) and B % n_data == 0 \
-                and (T - 1) % S == 0:
-            # fused default: the lane-tile-aware pick over the per-data-
-            # shard width (auto_microbatches' measured tick cost model —
-            # per-example microbatches that leave 128-lane tiles half-
-            # empty cost a full tick each, PIPEBENCH_r04); a divisor of
-            # B // n_data satisfies both divisibility contracts
-            m_fused = M or auto_microbatches(cfg_, B // n_data, r_loc, S)
-            if use_fused is None:
-                use_fused = (B % m_fused == 0
-                             and (B // m_fused) % n_data == 0
-                             and _auto_fused_pipeline(
-                                 cfg_, r_loc, B // m_fused // n_data))
-            if use_fused:
-                M = m_fused
-        elif use_fused is None:
-            use_fused = False
-        # XLA paths: per-example microbatches per data shard (width-
-        # linear per-step cost, so pipeline efficiency is all that
-        # matters)
-        M = M or max(1, B // n_data)
+        use_fused, M = resolve_fused_microbatches(
+            cfg_, fused, num_microbatches, B, r_loc, S, n_data=n_data,
+            structural=(T - 1) % S == 0)
         if use_fused:
             pipelined = (rho_nll_pipelined_fused if is_rho
                          else psi_nll_pipelined_fused)
@@ -203,23 +182,9 @@ def make_dp_rank_time_train_step(cfg: CMPSConfig, mesh: Mesh,
                 f"purification rank {rank} must be divisible by the "
                 f"{MODEL_AXIS!r} axis size {n_model}")
         r_loc = rank // n_model
-        M = num_microbatches
-        use_fused = fused
-        if (use_fused or use_fused is None) and B % n_data == 0 \
-                and (T - 1) % S == 0:
-            m_fused = M or auto_microbatches(cfg_, B // n_data, r_loc, S)
-            if use_fused is None:
-                use_fused = (B % m_fused == 0
-                             and (B // m_fused) % n_data == 0
-                             and _auto_fused_pipeline(
-                                 cfg_, r_loc, B // m_fused // n_data))
-            if use_fused:
-                M = m_fused
-        elif use_fused is None:
-            use_fused = False
-        # XLA default: per-data-shard-example microbatches (width-linear
-        # per-step cost — pipeline efficiency is all that matters)
-        M = M or max(1, B // n_data)
+        use_fused, M = resolve_fused_microbatches(
+            cfg_, fused, num_microbatches, B, r_loc, S, n_data=n_data,
+            structural=(T - 1) % S == 0)
         if use_fused:
             return rho_nll_pipelined_fused(
                 params, cfg_, batch, mesh, num_microbatches=M,

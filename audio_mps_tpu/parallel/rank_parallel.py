@@ -43,8 +43,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .compat import shard_map
 
 from ..config import CMPSConfig
-from ..models import core
-from ..models.cell import make_constants, nll_increment
+from ..models import cell, core
+from ..models.cell import make_constants
 
 MODEL_AXIS = "model"
 
@@ -89,44 +89,18 @@ def rho_nll_rank_sharded(params, cfg: CMPSConfig, signals, mesh: Mesh,
             f"{data_axis!r} axis size {mesh.shape[data_axis]}")
 
     def local(p, sig):
-        # p.Wx/p.Wy are the LOCAL rank rows; all other params replicated
+        # p.Wx/p.Wy are the LOCAL rank rows; all other params replicated.
+        # The hot loop is cell.rho_factor_loss_step — the ONE
+        # transcription of the physics-critical step — with its `reduce`
+        # hook bound to the model-axis psum: the e/tr partial sums (the
+        # ONLY cross-shard traffic, one fused [2, B] psum per step) go
+        # global, and state0's Frobenius trace likewise.
         cc = make_constants(p, cfg)
         incs = (sig[:, 1:] - sig[:, :-1]).T            # [T-1, B]
         B = sig.shape[0]
-        # global Frobenius normalization of the initial factor
-        tr0 = jax.lax.psum(jnp.sum(p.Wx * p.Wx + p.Wy * p.Wy), axis)
-        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-        gr = jnp.broadcast_to((p.Wx * inv0)[None], (B,) + p.Wx.shape)
-        gi = jnp.broadcast_to((p.Wy * inv0)[None], (B,) + p.Wy.shape)
-        mm = partial(jnp.matmul, precision="highest")
-        cdr, cdi = cc.Cr.T, -cc.Ci.T
-        rdr, rdi = cc.Rr.T, -cc.Ri.T
-
-        def step(carry, inc):
-            gr, gi, loss = carry
-            s = (inc / cc.A)[:, None, None]
-            a1r = mm(gr, cdr) - mm(gi, cdi)
-            a1i = mm(gr, cdi) + mm(gi, cdr)
-            a2r = mm(gr, rdr) - mm(gi, rdi)
-            a2i = mm(gr, rdi) + mm(gi, rdr)
-            yr = a1r + s * a2r
-            yi = a1i + s * a2i
-            gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
-            gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
-            # the ONLY cross-shard traffic: one [2, B] psum per step
-            part = jnp.stack([
-                jnp.sum(yr * gxr + yi * gxi, axis=(1, 2)),
-                jnp.sum(yr * yr + yi * yi, axis=(1, 2))])
-            tot = jax.lax.psum(part, axis)
-            e, tr = tot[0], tot[1]
-            loss = loss + nll_increment(e, s[:, 0, 0], cfg.log_eps)
-            inv = jax.lax.rsqrt(jnp.maximum(tr, cfg.norm_eps))[:, None,
-                                                               None]
-            yr = yr * inv
-            yi = yi * inv
-            nr = yr * cc.p_c - yi * cc.p_s
-            ni = yr * cc.p_s + yi * cc.p_c
-            return (nr, ni, loss)
+        red = partial(jax.lax.psum, axis_name=axis)
+        gr, gi = cell.rho_factor_state0(p, cfg, B, reduce=red)
+        step = partial(cell.rho_factor_loss_step, cc, cfg, reduce=red)
 
         carry = (gr, gi, jnp.zeros((B,), sig.dtype))
         _, _, loss = core.chunked_scan(step, carry, incs, cfg.scan_chunk)

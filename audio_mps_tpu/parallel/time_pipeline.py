@@ -182,13 +182,7 @@ def psi_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
                          signals, M, mesh, axis)
 
 
-def _rho_factor_state0(params, cfg, b):
-    wr, wi = params.Wx, params.Wy
-    tr0 = jnp.sum(wr * wr + wi * wi)
-    inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg.norm_eps))
-    g0r = jnp.broadcast_to(wr * inv0, (b,) + wr.shape)
-    g0i = jnp.broadcast_to(wi * inv0, (b,) + wi.shape)
-    return (g0r, g0i)
+_rho_factor_state0 = cell.rho_factor_state0
 
 
 def rho_nll_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
@@ -215,55 +209,20 @@ def rho_nll_rank_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
     Each (model, time) shard carries its local factor rows through the
     pipeline; per step the only cross-shard traffic is rank_parallel's
     one [2, b] psum over `model_axis` (the e/tr partial sums), with the
-    normalization global — exactly rho_nll_rank_sharded's step inside
-    the pipeline's tick machinery."""
+    normalization global — cell.rho_factor_loss_step (the one
+    transcription of the hot loop) with its `reduce` hook bound to the
+    model-axis psum, inside the pipeline's tick machinery."""
     from functools import partial as _part
     from .rank_parallel import _param_specs
-    from ..models.cell import nll_increment
     rank = params.Wx.shape[0]
     n_model = mesh.shape[model_axis]
     if rank % n_model:
         raise ValueError(f"purification rank {rank} must be divisible by "
                          f"the {model_axis!r} axis size {n_model}")
     M = num_microbatches or signals.shape[0]
-
-    def step(cc, cfg_, carry, inc):
-        # cell.rho_factor_loss_step with the e/tr reductions made global
-        # (one fused [2, b] psum per step — rank_parallel's decomposition)
-        mm = _part(jnp.matmul, precision="highest")
-        gr, gi, loss = carry
-        s = (inc / cc.A)[:, None, None]
-        cdr, cdi = cc.Cr.T, -cc.Ci.T
-        rdr, rdi = cc.Rr.T, -cc.Ri.T
-        a1r = mm(gr, cdr) - mm(gi, cdi)
-        a1i = mm(gr, cdi) + mm(gi, cdr)
-        a2r = mm(gr, rdr) - mm(gi, rdi)
-        a2i = mm(gr, rdi) + mm(gi, rdr)
-        yr = a1r + s * a2r
-        yi = a1i + s * a2i
-        gxr = mm(yr, cc.Xr) - mm(yi, cc.Xi)
-        gxi = mm(yr, cc.Xi) + mm(yi, cc.Xr)
-        part = jnp.stack([
-            jnp.sum(yr * gxr + yi * gxi, axis=(1, 2)),
-            jnp.sum(yr * yr + yi * yi, axis=(1, 2))])
-        tot = jax.lax.psum(part, model_axis)
-        e, tr = tot[0], tot[1]
-        loss = loss + nll_increment(e, s[:, 0, 0], cfg_.log_eps)
-        inv = jax.lax.rsqrt(jnp.maximum(tr, cfg_.norm_eps))[:, None, None]
-        yr = yr * inv
-        yi = yi * inv
-        nr = yr * cc.p_c - yi * cc.p_s
-        ni = yr * cc.p_s + yi * cc.p_c
-        return (nr, ni, loss)
-
-    def state0(p, cfg_, b):
-        # local rows, normalized by the GLOBAL initial trace
-        wr, wi = p.Wx, p.Wy
-        tr0 = jax.lax.psum(jnp.sum(wr * wr + wi * wi), model_axis)
-        inv0 = jax.lax.rsqrt(jnp.maximum(tr0, cfg_.norm_eps))
-        return (jnp.broadcast_to(wr * inv0, (b,) + wr.shape),
-                jnp.broadcast_to(wi * inv0, (b,) + wi.shape))
-
+    red = _part(jax.lax.psum, axis_name=model_axis)
+    step = _part(cell.rho_factor_loss_step, reduce=red)
+    state0 = _part(cell.rho_factor_state0, reduce=red)
     return _pipeline_nll(step, state0, params, cfg, signals, M, mesh,
                          axis, param_specs=_param_specs(params, model_axis),
                          data_axis=data_axis)
@@ -357,13 +316,19 @@ def _sharded_chunk_nll(eh, tr, seb, gam_in, unroll: int, cfg: CMPSConfig,
         [jnp.ones((nb, 1, B), tr.dtype), tr3[:, :unroll - 1]],
         axis=1).reshape(L, B)
     blk = jnp.log(jnp.maximum(tr3[:, unroll - 1], cfg.norm_eps))  # [nb, B]
+    # gather the [2, L, B] eh/trp stream plus only the [nb+1, B] scale
+    # seeds (gam_in + per-block log traces) — gamma is derivable from
+    # them, so shipping it would grow the ONLY T-scaling cross-shard
+    # traffic on this path by half for nothing
+    g = jax.lax.all_gather(jnp.stack([eh, trp]), axis)       # [n, 2, L, B]
+    sc = jax.lax.all_gather(
+        jnp.concatenate([gam_in[None], blk], axis=0), axis)  # [n, nb+1, B]
     offs = jnp.concatenate(
-        [jnp.zeros((1, B), blk.dtype), jnp.cumsum(blk, axis=0)[:-1]],
-        axis=0)
-    gam = gam_in[None] + jnp.repeat(offs, unroll, axis=0)         # [L, B]
-    g = jax.lax.all_gather(jnp.stack([eh, trp, gam]), axis)  # [n, 3, L, B]
-    m = jnp.max(g[:, 2], axis=0)
-    w = jnp.exp(g[:, 2] - m[None])
+        [jnp.zeros((n_model, 1, B), blk.dtype),
+         jnp.cumsum(sc[:, 1:], axis=1)[:, :-1]], axis=1)     # [n, nb, B]
+    gam = jnp.repeat(sc[:, :1] + offs, unroll, axis=1)       # [n, L, B]
+    m = jnp.max(gam, axis=0)
+    w = jnp.exp(gam - m[None])
     num = jnp.sum(g[:, 0] * w, axis=0)
     den = jnp.sum(g[:, 1] * w, axis=0)
     e = num / jnp.maximum(den, cfg.norm_eps)
@@ -464,11 +429,21 @@ def _pipeline_nll_fused(w_pair, params, cfg: CMPSConfig, signals,
         stream, remat_ticks, tick_segment = _fused_pipeline_plan(
             cfg, BR, Tc, M + S - 1, u, bool(interpret))
     if tick_segment is not None and (tick_segment < 1
-                                     or Tc % tick_segment
-                                     or tick_segment % u):
+                                     or Tc % tick_segment):
         raise ValueError(
             f"tick_segment {tick_segment} must be a positive divisor of "
-            f"the stage chunk {Tc} in whole unroll blocks (unroll {u})")
+            f"the stage chunk {Tc}")
+    if tick_segment is not None and tick_segment % u:
+        if unroll is not None:
+            raise ValueError(
+                f"tick_segment {tick_segment} must be whole explicit-"
+                f"unroll blocks (unroll {unroll})")
+        # the auto unroll was picked for the FULL stage chunk; a segment
+        # that doesn't land on those block boundaries just needs the
+        # pick re-made against the segment (the factory's
+        # largest-divisor rule — auto-plan segments are always seg * u)
+        u = rank_partials_chunk_unroll(cfg, b_loc, r_pad, tick_segment,
+                                       None)
     # an explicit tick_segment ALWAYS checkpoints per segment (that is
     # what segmentation means here — even tick_segment == Tc degenerates
     # to a checkpointed whole tick), so one segment's residuals bound
@@ -786,6 +761,46 @@ def auto_microbatches(cfg: CMPSConfig, B: int, r_loc: int, S: int,
     return best
 
 
+def resolve_fused_microbatches(cfg: CMPSConfig, fused, M, B: int,
+                               r_loc: int, S: int, n_data: int = 1,
+                               structural: bool = True, extra: bool = True,
+                               xla_default: int = None):
+    """Shared fused-gate / microbatch resolution for every pipeline
+    train-step factory (make_time_train_step, combined's DP x time and
+    DP x rank x time steps, the latent step) — ONE place for the dance:
+
+      - candidate M: the explicit value, else `auto_microbatches`' lane-
+        tile-aware pick over the per-data-shard width (per-example
+        microbatches that leave 128-lane tiles half-empty cost a full
+        tick each — the measured cost model, PIPEBENCH_r04);
+      - `fused=None` auto-selects iff `structural` (the caller's shape
+        divisibility, e.g. (T-1) % S) and `extra` (family gates, e.g.
+        the latent loss type) hold, the candidate divides B into whole
+        data shards, and `_auto_fused_pipeline` accepts the resulting
+        per-shard microbatch width; an explicit True/False is honored
+        (True lets the fused path raise its own contract errors);
+      - the XLA-fallback M: `xla_default`, else per-example per data
+        shard (width-linear per-step cost — pipeline efficiency is all
+        that matters there).
+
+    Returns (use_fused, M)."""
+    use_fused = fused
+    if (use_fused or use_fused is None) and structural and B % n_data == 0:
+        m_fused = M or auto_microbatches(cfg, B // n_data, r_loc, S)
+        if use_fused is None:
+            use_fused = (extra and B % m_fused == 0
+                         and (B // m_fused) % n_data == 0
+                         and _auto_fused_pipeline(cfg, r_loc,
+                                                  B // m_fused // n_data))
+        if use_fused:
+            M = m_fused
+    elif use_fused is None:
+        use_fused = False
+    if M is None:
+        M = xla_default if xla_default is not None else max(1, B // n_data)
+    return use_fused, M
+
+
 def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                          optimizer=None, num_microbatches: int = None,
                          fused=None, axis: str = TIME_AXIS):
@@ -828,18 +843,8 @@ def make_time_train_step(mps_model: str, cfg: CMPSConfig, mesh: Mesh,
                 f"the step was built for {mps_model}")
         B, T = batch.shape
         r_loc = params.Wx.shape[0] if is_rho else 1
-        M = num_microbatches
-        use_fused = fused
-        if use_fused or use_fused is None:
-            # the fused default is the tile-aware pick; the auto gate
-            # judges VMEM fit at that M's microbatch width
-            m_fused = M or auto_microbatches(cfg_, B, r_loc, S)
-            if use_fused is None:
-                use_fused = _auto_fused_pipeline(cfg_, r_loc,
-                                                 B // m_fused)
-            if use_fused:
-                M = m_fused
-        M = M or B
+        use_fused, M = resolve_fused_microbatches(
+            cfg_, fused, num_microbatches, B, r_loc, S, xla_default=B)
         pipelined = {
             (True, True): rho_nll_pipelined_fused,
             (True, False): rho_nll_pipelined,
@@ -881,21 +886,9 @@ def _make_latent_time_step(cfg: CMPSConfig, mesh: Mesh, optimizer,
 
     def loss_fn(params, batch, key):
         B, T = batch.shape
-        M = num_microbatches
-        use_fused = fused
-        if (use_fused or use_fused is None) and B % n_data == 0:
-            m_fused = M or auto_microbatches(cfg, B // n_data, 1, S)
-            if use_fused is None:
-                use_fused = (cfg.latent_loss == "log"
-                             and B % m_fused == 0
-                             and (B // m_fused) % n_data == 0
-                             and _auto_fused_pipeline(
-                                 cfg, 1, B // m_fused // n_data))
-            if use_fused:
-                M = m_fused
-        elif use_fused is None:
-            use_fused = False
-        M = M or B
+        use_fused, M = resolve_fused_microbatches(
+            cfg, fused, num_microbatches, B, 1, S, n_data=n_data,
+            extra=cfg.latent_loss == "log", xla_default=B)
         kw = ({"data_axis": data_axis}
               if (use_fused and data_axis is not None) else {})
         nll, aux = latent_elbo_pipelined(

@@ -516,6 +516,72 @@ def test_auto_microbatches_tile_aware():
         assert B % m == 0
 
 
+def test_resolve_fused_microbatches_gate():
+    """The ONE fused-gate / microbatch resolution shared by every
+    pipeline train-step factory (review r4: the dance had been
+    copy-pasted into four factories with drift risk)."""
+    from audio_mps_tpu.parallel.time_pipeline import (
+        _auto_fused_pipeline, auto_microbatches, resolve_fused_microbatches)
+    cfg = dataclasses.replace(CFG, initial_rank=2)
+    # structural failure (e.g. (T-1) % S != 0): auto falls to XLA with
+    # the per-data-shard per-example default
+    assert resolve_fused_microbatches(cfg, None, None, 8, 2, 4,
+                                      n_data=2, structural=False) \
+        == (False, 4)
+    # explicit False honors the request; explicit M honored
+    assert resolve_fused_microbatches(cfg, False, 3, 8, 2, 4) == (False, 3)
+    # family gate (the latent loss type) only blocks the AUTO pick
+    use, _ = resolve_fused_microbatches(cfg, None, None, 8, 1, 4,
+                                        extra=False)
+    assert use is False
+    assert resolve_fused_microbatches(cfg, True, 2, 8, 1, 4,
+                                      extra=False)[0] is True
+    # auto pick: the tile-aware candidate M, gated on whole data shards
+    # + the VMEM/layout judgement at the per-shard width
+    m = auto_microbatches(cfg, 8, 2, 4)
+    use, got = resolve_fused_microbatches(cfg, None, None, 8, 2, 4)
+    assert got == (m if use else 8)
+    assert use == _auto_fused_pipeline(cfg, 2, 8 // m)
+    # an explicit M that leaves ragged data shards cannot auto-fuse
+    assert resolve_fused_microbatches(cfg, None, 3, 8, 2, 4,
+                                      n_data=2)[0] is False
+    # xla_default overrides the fallback M (the latent family's
+    # replicated-over-data XLA path wants per-example over the FULL B)
+    assert resolve_fused_microbatches(cfg, False, None, 8, 1, 4,
+                                      n_data=2, xla_default=8) \
+        == (False, 8)
+
+
+def test_fused_pipeline_tick_segment_repicks_unroll():
+    """An explicit tick_segment that is a valid divisor of the stage
+    chunk is accepted even when the WHOLE-chunk auto unroll doesn't land
+    on its boundary — the unroll is re-picked against the segment
+    (review r4; an explicit unroll still pins the block grid and
+    rejects misaligned segments like the other kernel knobs)."""
+    from audio_mps_tpu.parallel.time_pipeline import (
+        make_time_mesh, rho_nll_pipelined_fused)
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.models import core as _core
+
+    cfg = dataclasses.replace(CFG, minibatch_size=4, scan_chunk=0,
+                              initial_rank=2)
+    T = 4 * 16 + 1                       # Tc = 16 steps per stage
+    data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
+    mesh = make_time_mesh(4)
+    pr = init_rho(jax.random.PRNGKey(1), cfg)
+    ref = float(_core.rho_nll_factor(pr, cfg, data))
+    # tick_segment=2: whatever divisor-of-16 the auto unroll picked, a
+    # 2-step segment re-picks u in {1, 2} and runs exactly
+    seg = float(rho_nll_pipelined_fused(pr, cfg, data, mesh,
+                                        num_microbatches=2,
+                                        tick_segment=2))
+    np.testing.assert_allclose(seg, ref, rtol=1e-5)
+    # an EXPLICIT unroll that doesn't divide the segment still raises
+    with pytest.raises(ValueError, match="tick_segment"):
+        rho_nll_pipelined_fused(pr, cfg, data, mesh, num_microbatches=2,
+                                unroll=4, tick_segment=2)
+
+
 def test_time_train_step_matches_single_device():
     """make_time_train_step (XLA and fused hot loops) reproduces the
     single-device one-Adam-step parameter trajectory exactly."""
