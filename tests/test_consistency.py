@@ -21,12 +21,13 @@ from audio_mps_tpu.ops.pallas_grad import (psi_nll_pallas_trainable,
 from audio_mps_tpu.ops.pallas_block import (psi_nll_block_trainable,
                                             rho_nll_block_trainable)
 from audio_mps_tpu.ops.pallas_scan import psi_nll_pallas, rho_nll_pallas
-from audio_mps_tpu.parallel.combined import make_2d_mesh
+from audio_mps_tpu.parallel.combined import make_2d_mesh, make_3d_mesh
 from audio_mps_tpu.parallel.time_pipeline import (make_time_mesh,
                                                   psi_nll_pipelined,
                                                   psi_nll_pipelined_fused,
                                                   rho_nll_pipelined,
-                                                  rho_nll_pipelined_fused)
+                                                  rho_nll_pipelined_fused,
+                                                  rho_nll_rank_pipelined)
 from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
 from audio_mps_tpu.parallel.rank_parallel import (make_model_mesh,
                                                   rho_nll_rank_sharded,
@@ -40,7 +41,9 @@ T = 8 * 24 + 1   # T-1 divisible by the 8-stage mesh (and the 4-stage 2D one)
 def _fixture(bond_dim):
     cfg = CMPSConfig(minibatch_size=4, bond_dim=bond_dim, scan_chunk=0)
     data = damped_sine_batch(jax.random.PRNGKey(2), 4, T, cfg.delta_t)
-    return cfg, data, make_time_mesh(8), make_2d_mesh(2, 4)
+    # mesh3: a (model=2, time=4) TP x PP grid (data axis size 1)
+    return (cfg, data, make_time_mesh(8), make_2d_mesh(2, 4),
+            make_3d_mesh(1, 2, 4))
 
 
 def _check(values):
@@ -58,7 +61,7 @@ def _check(values):
 
 @pytest.mark.parametrize("bond_dim", [6, 8])
 def test_rho_nll_all_implementations_agree(bond_dim):
-    cfg, data, mesh, mesh2 = _fixture(bond_dim)
+    cfg, data, mesh, mesh2, mesh3 = _fixture(bond_dim)
     params = init_rho(jax.random.PRNGKey(1), cfg)
     impls = {
         "reference_transcription":
@@ -90,6 +93,9 @@ def test_rho_nll_all_implementations_agree(bond_dim):
         "chunked_remat":
             lambda: core.rho_nll_factor(
                 params, dataclasses.replace(cfg, scan_chunk=32), data),
+        "rank_time_pipelined":
+            lambda: jax.jit(lambda: rho_nll_rank_pipelined(
+                params, cfg, data, mesh3, num_microbatches=4))(),
     }
     if bond_dim % 4 == 0:
         impls.update({
@@ -125,6 +131,10 @@ def test_rho_nll_all_implementations_agree(bond_dim):
             "temporal_pipeline_fused":
                 lambda: rho_nll_pipelined_fused(params, cfg, data, mesh,
                                                 num_microbatches=4),
+            "rank_time_pipelined_fused":
+                lambda: rho_nll_pipelined_fused(params, cfg, data, mesh3,
+                                                num_microbatches=4,
+                                                model_axis="model"),
         })
     _check({name: float(fn()) for name, fn in impls.items()})
 
@@ -174,7 +184,7 @@ def test_latent_recon_all_implementations_agree(bond_dim):
 
 @pytest.mark.parametrize("bond_dim", [6, 8])
 def test_psi_nll_all_implementations_agree(bond_dim):
-    cfg, data, mesh, mesh2 = _fixture(bond_dim)
+    cfg, data, mesh, mesh2, _ = _fixture(bond_dim)
     params = init_psi(jax.random.PRNGKey(1), cfg)
     impls = {
         "reference_transcription":
