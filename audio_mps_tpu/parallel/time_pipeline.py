@@ -784,9 +784,12 @@ def resolve_fused_microbatches(cfg: CMPSConfig, fused, M, B: int,
         that matters there).
 
     Returns (use_fused, M)."""
+    if M is not None and M < 1:
+        raise ValueError(f"num_microbatches must be >= 1, got {M}")
     use_fused = fused
     if (use_fused or use_fused is None) and structural and B % n_data == 0:
-        m_fused = M or auto_microbatches(cfg, B // n_data, r_loc, S)
+        m_fused = (M if M is not None
+                   else auto_microbatches(cfg, B // n_data, r_loc, S))
         if use_fused is None:
             use_fused = (extra and B % m_fused == 0
                          and (B // m_fused) % n_data == 0

@@ -75,6 +75,7 @@ def _rho_fixture():
     return params, sig
 
 
+@pytest.mark.smoke
 def test_fused_rank_tp_one_gather_no_per_step_collectives():
     from audio_mps_tpu.parallel.rank_parallel import (
         make_model_mesh, rho_nll_rank_sharded_fused)

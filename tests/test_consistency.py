@@ -182,6 +182,7 @@ def test_latent_recon_all_implementations_agree(bond_dim):
             err_msg=f"{name} disagrees with the XLA scan: {values}")
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("bond_dim", [6, 8])
 def test_psi_nll_all_implementations_agree(bond_dim):
     cfg, data, mesh, mesh2, _ = _fixture(bond_dim)

@@ -9,6 +9,7 @@ from audio_mps_tpu.data import damped_sine_batch, damped_sine_iterator
 HP = CMPSConfig()
 
 
+@pytest.mark.smoke
 def test_damped_sine_shape():
     # reference tests/test_data.py:12-16
     batch = damped_sine_batch(jax.random.PRNGKey(0), HP.minibatch_size,

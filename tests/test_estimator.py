@@ -2,6 +2,7 @@
 training_estimators.py — the legacy path, here working)."""
 import numpy as np
 
+import pytest
 from audio_mps_tpu.config import CMPSConfig
 from audio_mps_tpu.estimator import (Estimator, EstimatorConfig,
                                      build_input_fn, parse_args)
@@ -9,6 +10,7 @@ from audio_mps_tpu.utils import symmetrize
 import jax.numpy as jnp
 
 
+@pytest.mark.smoke
 def test_parse_args():
     ec = parse_args(["--bond_d=6", "--discr=true", "--viz_steps=3",
                      "--dt=0.001"])

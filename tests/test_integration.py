@@ -5,6 +5,7 @@ dataset -> training. configs[2]: sample from the trained checkpoint.
 """
 import subprocess
 import sys
+import pytest
 
 import jax
 import numpy as np
@@ -93,6 +94,7 @@ def test_make_instrument_dataset_cli_both_synths(tmp_path):
     assert late["organish"] > 0.6, late     # pipe still speaking
 
 
+@pytest.mark.smoke
 def test_make_small_dataset_cli(tmp_path):
     """The ETL tool itself, via its CLI entry."""
     raw = str(tmp_path / "nsynth-test.tfrecord")

@@ -21,6 +21,7 @@ def _data(B=4):
     return damped_sine_batch(jax.random.PRNGKey(1), B, T, CFG.delta_t)
 
 
+@pytest.mark.smoke
 def test_encoder_shapes_and_kl_nonneg():
     params = init_latent(jax.random.PRNGKey(0), CFG, latent_dim=6)
     mu, lv = encode(params, _data())

@@ -1,6 +1,7 @@
 """PsiCMPS tests (reference: tests/test_model.py:105-158) plus
 rotating-frame and gradient anchors."""
 import dataclasses
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,7 @@ def test_warm_start_psi_in_works():
 # New-framework anchors
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_rotating_frame_matches_lab_frame():
     params = init_psi(jax.random.PRNGKey(3), HP)
     data = small_data()

@@ -30,6 +30,7 @@ def test_R_has_no_diagonal_elements():
     np.testing.assert_allclose(np.diag(model.R), np.zeros(HP.bond_dim))
 
 
+@pytest.mark.smoke
 def test_loss_not_nan():
     # reference tests/test_model.py:33-39
     model = RhoCMPS(HP, data_iterator=small_data())

@@ -14,6 +14,7 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native toolchain unavailable")
 
 
+@pytest.mark.smoke
 def test_crc32c_matches_python():
     assert native.crc32c(b"123456789") == 0xE3069283
     rng = np.random.RandomState(0)

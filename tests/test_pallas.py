@@ -21,6 +21,7 @@ def _data():
     return damped_sine_batch(jax.random.PRNGKey(1), 4, T, HP.delta_t)
 
 
+@pytest.mark.smoke
 def test_psi_nll_kernel_matches_core():
     params = init_psi(jax.random.PRNGKey(3), HP)
     ref = float(core.psi_nll(params, HP, _data()))

@@ -33,6 +33,7 @@ def _check_grads(g_ref, g_pal, names):
         assert rel < 1e-4, f"{name}: rel err {rel}"
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("defer", [False, True])
 def test_psi_block_value_and_grads(defer):
     pp = init_psi(jax.random.PRNGKey(3), HP)

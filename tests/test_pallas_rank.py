@@ -106,6 +106,7 @@ def test_partials_high_precision_close():
     np.testing.assert_allclose(hi, ref, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.smoke
 def test_combiner_single_group_identity():
     """One group with combine == the plain fused NLL (the chunked path
     with rank_chunk=rank)."""

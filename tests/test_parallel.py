@@ -23,6 +23,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.size == 8
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("mps_model", ["psi_mps", "rho_mps"])
 def test_dp_step_matches_single_device(mps_model):
     mesh = make_mesh()
@@ -550,6 +551,13 @@ def test_resolve_fused_microbatches_gate():
     assert resolve_fused_microbatches(cfg, False, None, 8, 1, 4,
                                       n_data=2, xla_default=8) \
         == (False, 8)
+    # num_microbatches=0 is rejected up front on EVERY path (ADVICE r4:
+    # the falsy 0 used to slide through the fused branch as "unset" and
+    # through the XLA branch as a literal microbatch count)
+    with pytest.raises(ValueError, match="num_microbatches"):
+        resolve_fused_microbatches(cfg, None, 0, 8, 2, 4)
+    with pytest.raises(ValueError, match="num_microbatches"):
+        resolve_fused_microbatches(cfg, False, 0, 8, 2, 4)
 
 
 def test_fused_pipeline_tick_segment_repicks_unroll():

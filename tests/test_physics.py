@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tools"))
 
 
+@pytest.mark.smoke
 def test_spectral_peak_detector():
     """The FFT-peak helper finds a known tone exactly."""
     from physics_check import spectral_peak_hz

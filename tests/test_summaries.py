@@ -115,6 +115,7 @@ def test_latent_metrics_written(tmp_path):
     assert "recon" in tags and "kl" in tags
 
 
+@pytest.mark.smoke
 def test_waveform_figure():
     fig = waveform_figure(np.sin(np.linspace(0, 6, 64)), 1 / 16000)
     ax = fig.axes[0]

@@ -20,6 +20,7 @@ def test_crc32c_known_vectors():
     assert crc32c(data) == _crc32c_py(data)
 
 
+@pytest.mark.smoke
 def test_record_roundtrip(tmp_path):
     path = str(tmp_path / "x.tfrecords")
     payloads = [b"hello", b"", b"x" * 1000]

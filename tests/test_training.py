@@ -23,6 +23,7 @@ def _params_close(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("mps_model", ["psi_mps", "rho_mps"])
 def test_loss_decreases(mps_model):
     key = jax.random.PRNGKey(0)

@@ -333,3 +333,4 @@ for i in range(6):
         fails += 1
 
 print("FAILURES:", fails, flush=True)
+sys.exit(1 if fails else 0)
