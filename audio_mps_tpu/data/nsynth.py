@@ -72,13 +72,24 @@ class NSynthDataset:
             yield ex
 
     def load_audio(self, length: int = 2 ** 16,
-                   max_examples: Optional[int] = None) -> np.ndarray:
+                   max_examples: Optional[int] = None,
+                   skip: int = 0) -> np.ndarray:
+        """[N, length] array of matching waveforms. `skip` drops the first
+        N matches (chunked ETL over datasets too big to hold at once);
+        a fully-consumed tail returns an empty [0, length] array instead
+        of raising so chunk loops can terminate cleanly."""
         rows = []
+        matched = 0
         for ex in self.examples(length):
+            matched += 1
+            if matched <= skip:
+                continue
             rows.append(ex["audio"])
             if max_examples is not None and len(rows) >= max_examples:
                 break
         if not rows:
+            if skip > 0:
+                return np.zeros((0, length), np.float32)
             raise IOError(f"{self.record_path}: no examples matched "
                           f"instrument={self.instrument} pitch={self.pitch}")
         return np.stack(rows)

@@ -103,9 +103,9 @@ def read_records(path: str, verify: bool = True) -> Iterator[bytes]:
 class RecordWriter:
     """Streaming TFRecord writer (context manager)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, append: bool = False):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self._f = open(path, "wb")
+        self._f = open(path, "ab" if append else "wb")
 
     def write(self, payload: bytes):
         header = struct.pack("<Q", len(payload))
@@ -124,8 +124,12 @@ class RecordWriter:
         self.close()
 
 
-def write_records(path: str, payloads: Iterable[bytes]):
-    with RecordWriter(path) as w:
+def write_records(path: str, payloads: Iterable[bytes],
+                  append: bool = False):
+    """`append=True` extends an existing file (TFRecord framing is a plain
+    record concatenation, so appended files read back seamlessly) — used
+    by the multi-GB dataset synthesizers to flush in chunks."""
+    with RecordWriter(path, append=append) as w:
         for p in payloads:
             w.write(p)
 
@@ -354,8 +358,10 @@ def read_audio_tfrecords(path: str, sample_duration: int = None) -> np.ndarray:
     return np.stack(rows)
 
 
-def write_audio_tfrecords(path: str, waveforms: np.ndarray):
+def write_audio_tfrecords(path: str, waveforms: np.ndarray,
+                          append: bool = False):
     """Write [N, T] waveforms as audio-only Examples
     (reference: make-small-dataset.py:24-32)."""
     waveforms = np.asarray(waveforms, dtype=np.float32)
-    write_records(path, (encode_example({"audio": w}) for w in waveforms))
+    write_records(path, (encode_example({"audio": w}) for w in waveforms),
+                  append=append)

@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints the full result JSON, then a compact
+headline JSON line LAST (tail-capture-proof; the full result is also
+written to BENCH_LOCAL.json so no channel can truncate it).
 
 Primary metric: audio frames/sec/chip for a full training step (forward +
 BPTT + Adam) at bond dimension D=64 on the reference's DEFAULT model
@@ -167,6 +169,52 @@ def bench_lab_train(mps_model, D, B, T, iters):
     return time_train_step(step, params, opt.init(params), batch, iters)
 
 
+def bench_rank_partials_train(D, B, T, iters):
+    """Train-step time through the rank-partials chunked kernel at
+    rank_chunk == full rank — the fused-TP building block, timed
+    single-chip (the BENCH "rank row"). Tries the streamed auto path
+    first and falls back to the RANKBENCH_r04-validated non-streamed
+    partials on any error so the row cannot be lost to an unvalidated
+    kernel. Each attempt gets a REAL params copy (the donated step
+    deletes its inputs). Returns (seconds, mode) with mode "auto"/"off".
+    """
+    import functools
+
+    from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
+    from audio_mps_tpu.training import make_optimizer
+    cfg_p = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
+    params_p = init_rho(jax.random.PRNGKey(0), cfg_p)
+    batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg_p.delta_t)
+    opt_p = make_optimizer(cfg_p)
+
+    def _make_pstep(stream):
+        def _ploss(params, sig):
+            return rho_nll_rank_chunked(params, cfg_p, sig, rank_chunk=D,
+                                        precision="highest", stream=stream)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def pstep(params, opt_state, sig):
+            loss, grads = jax.value_and_grad(_ploss)(params, sig)
+            updates, opt_state = opt_p.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    {"model_loss": loss})
+        return pstep
+
+    def _fresh():
+        return jax.tree.map(lambda a: jnp.array(a, copy=True), params_p)
+
+    try:
+        p0 = _fresh()
+        t_part = time_train_step(_make_pstep(None), p0, opt_p.init(p0),
+                                 batch, iters)
+        return t_part, "auto", None
+    except Exception as e:
+        p0 = _fresh()
+        t_part = time_train_step(_make_pstep(False), p0, opt_p.init(p0),
+                                 batch, iters)
+        return t_part, "off", str(e)[:120]
+
+
 def _mfu(flops_per_step_frame, B, T, t, precision="highest"):
     """(model TFLOP/s, hw MFU % of bf16 peak incl. precision passes)."""
     model_tfs = flops_per_step_frame * B * T / t / 1e12
@@ -174,7 +222,18 @@ def _mfu(flops_per_step_frame, B, T, t, precision="highest"):
     return round(model_tfs, 2), round(hw_pct, 1)
 
 
-def run_physics(out="PHYSICS_r04.json"):
+def _model_flop_mfu(mfu_exec_pct, stream):
+    """48-GEMM-equivalent MFU beside the executed-FLOP one (VERDICT r4
+    weak item 3): the streamed kernels execute 40 GEMMs per step for the
+    same model step the non-streamed rounds counted at 48, so the
+    executed-FLOP MFU is not apples-to-apples across rounds. This key
+    scales it back to the 96 D^2 model-FLOP convention (x 96/80 when the
+    row streamed; identical otherwise)."""
+    return round(mfu_exec_pct * (96.0 / 80.0), 1) if stream \
+        else mfu_exec_pct
+
+
+def run_physics(out="PHYSICS_r05.json"):
     """--physics: re-validate the learned-physics claim on the real chip
     (the 3000-step reference-defaults recipe of tools/physics_check.py)
     and refresh the recorded artifact, so the claim rides the bench
@@ -246,11 +305,15 @@ def main():
         "train_step_ms_headline_transcription": round(t_head_lab * 1e3, 2),
         "model_tflops_per_sec_headline": head_tfs,
         "mfu_pct_headline": head_mfu,
+        "mfu_pct_headline_model_flops": _model_flop_mfu(head_mfu,
+                                                        stream_head),
         "train_step_ms_headline_bf16x3": round(t_head_h3 * 1e3, 2),
         "train_frames_per_sec_headline_bf16x3": round(B_wide * T / t_head_h3,
                                                       1),
         "model_tflops_per_sec_headline_bf16x3": h3_tfs,
         "mfu_pct_headline_bf16x3": h3_mfu,
+        "mfu_pct_headline_bf16x3_model_flops": _model_flop_mfu(
+            h3_mfu, stream_head),
     })
 
     # --- rho (mixed state) at the BENCH_r01 headline config, for
@@ -274,50 +337,11 @@ def main():
     # (the closed 7.2x cliff, RANKBENCH_r04.json) rides the driver
     # artifact
     try:
-        import functools
-
-        import optax
-
-        from audio_mps_tpu.ops.pallas_rank import rho_nll_rank_chunked
-        from audio_mps_tpu.training import make_optimizer
-        cfg_p = CMPSConfig(bond_dim=D, minibatch_size=B, scan_chunk=256)
-        params_p = init_rho(jax.random.PRNGKey(0), cfg_p)
-        opt_p = make_optimizer(cfg_p)
-
-        def _make_pstep(stream):
-            def _ploss(params, sig):
-                return rho_nll_rank_chunked(params, cfg_p, sig,
-                                            rank_chunk=D,
-                                            precision="highest",
-                                            stream=stream)
-
-            @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def pstep(params, opt_state, sig):
-                loss, grads = jax.value_and_grad(_ploss)(params, sig)
-                updates, opt_state = opt_p.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), opt_state,
-                        {"model_loss": loss})
-            return pstep
-
-        # auto (streamed-states where gated on); if the streamed kernel
-        # fails on this backend, fall back to the RANKBENCH_r04-validated
-        # non-streamed partials rather than losing the row. Each attempt
-        # gets a REAL params copy — the donated step deletes its inputs.
-        def _fresh():
-            return jax.tree.map(lambda a: jnp.array(a, copy=True),
-                                params_p)
-
-        try:
-            p0 = _fresh()
-            t_part = time_train_step(_make_pstep(None), p0,
-                                     opt_p.init(p0), batch, iters)
-            detail["rank_partials_stream"] = "auto"
-        except Exception as e:
-            detail["rank_partials_stream_error"] = str(e)[:120]
-            p0 = _fresh()
-            t_part = time_train_step(_make_pstep(False), p0,
-                                     opt_p.init(p0), batch, iters)
-            detail["rank_partials_stream"] = "off"
+        t_part, stream_mode, stream_err = bench_rank_partials_train(
+            D, B, T, iters)
+        detail["rank_partials_stream"] = stream_mode
+        if stream_err:
+            detail["rank_partials_stream_error"] = stream_err
         detail["train_step_ms_rho_rank_partials"] = round(t_part * 1e3, 2)
         detail["rank_partials_vs_xla"] = round(t_xla / t_part, 2)
     except Exception as e:
@@ -374,8 +398,11 @@ def main():
         "train_step_ms_rho_transcription": round(t_rho_lab * 1e3, 2),
         "model_tflops_per_sec_rho": rho_tfs,
         "mfu_pct_rho": rho_mfu,
+        "mfu_pct_rho_model_flops": _model_flop_mfu(rho_mfu, stream_rho),
         "model_tflops_per_sec_rho_bf16x3": h3r_tfs,
         "mfu_pct_rho_bf16x3": h3r_mfu,
+        "mfu_pct_rho_bf16x3_model_flops": _model_flop_mfu(h3r_mfu,
+                                                          stream_rho),
         "model_tflops_per_sec_rho_bf16": bf_tfs,
         "mfu_pct_rho_bf16": bf_mfu,
     })
@@ -543,19 +570,56 @@ def main():
     # the key names the config: BENCH_r01's identically-named headline
     # measured rho B=8 (471k frames/s) — the like-for-like continuation of
     # that number is detail["train_frames_per_sec_rho_D64_B8"], with the
-    # prior rounds' values echoed for longitudinal comparison
+    # prior rounds' values echoed for longitudinal comparison. r01-r03
+    # values were timed at iters=3 and so carry the ~6 ms/step
+    # first-dispatch inflation on fast rows (see time_train_step) —
+    # annotated rather than rewritten, since they quote driver artifacts.
     detail["rho_continuity"] = {
         "metric": f"train_frames_per_sec_rho_D{D}_B{B}",
         "r01_value": 471056.5,
         "r02_value": 869099.2,
+        "r03_value": 1051523.8,
+        "r04_value": 1316276.0,
+        "inflated_timing_rounds": ["r01", "r02", "r03"],
         "current_value": detail.get(f"train_frames_per_sec_rho_D{D}_B{B}"),
     }
-    print(json.dumps({
+    result = {
         "metric": f"train_frames_per_sec_per_chip_D{D}_psi_B{B_wide}",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s",
         "vs_baseline": round(t_head_lab / t_head, 3),
         "detail": detail,
+    }
+    # the full result also goes to disk so NO capture channel can
+    # truncate it (VERDICT r4: the driver keeps only a 2000-char stdout
+    # tail, and BENCH_r04.json lost the fp32 headline to exactly that)
+    import os
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
+    with open(local_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    # compact headline line printed LAST — small enough that a tail
+    # capture always keeps it whole; carries every number BASELINE.md
+    # quotes for the round plus a pointer to the lossless file
+    print(json.dumps({
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "frames/s",
+        "vs_baseline": result["vs_baseline"],
+        "headline": {k: detail.get(k) for k in (
+            "train_step_ms_headline", "mfu_pct_headline",
+            "mfu_pct_headline_model_flops",
+            "train_step_ms_headline_bf16x3",
+            "train_frames_per_sec_headline_bf16x3",
+            "mfu_pct_headline_bf16x3",
+            "train_step_ms_rho_fused", "mfu_pct_rho",
+            f"train_frames_per_sec_rho_D{D}_B{B}",
+            "train_step_ms_rho_fused_bf16x3", "mfu_pct_rho_bf16x3",
+            "train_step_ms_rho_rank_partials", "rank_partials_vs_xla",
+            "pipeline_scaffold_overhead", "mfu_pct_saturated",
+            "timing_iters")},
+        "detail_file": "BENCH_LOCAL.json",
     }))
 
 

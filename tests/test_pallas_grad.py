@@ -209,6 +209,45 @@ def test_beyond_ceiling_precision_gate():
     np.testing.assert_allclose(v_exp, ref, rtol=1e-5)
 
 
+def test_d512_boundary_no_chunk_fits():
+    """The large-D frontier (r5): rank chunking shrinks the LANES, not the
+    [2D,2D] step constants, so past D≈448 NO rank chunk fits VMEM —
+    `rank_chunk_for` returns None, auto falls back to the XLA scan with
+    a warning, and an explicit fused=True raises with the remedy. Pins
+    the guard at D=512 (chip probe: tools/bigd_bench.py)."""
+    import warnings as warnings_mod
+
+    from audio_mps_tpu.data import damped_sine_batch
+    from audio_mps_tpu.models.params import init_rho
+    from audio_mps_tpu.ops.pallas_rank import rank_chunk_for
+    from audio_mps_tpu.training import nll_fn_for
+    import audio_mps_tpu.training as training_mod
+
+    cfg = CMPSConfig(bond_dim=512, minibatch_size=4, scan_chunk=0)
+    assert rank_chunk_for(cfg, 4, 512) is None
+    # D=448 still admits a chunk (the [2D,2D] fixed term crosses the
+    # budget between 448 and 512 at B=4)
+    cfg448 = CMPSConfig(bond_dim=448, minibatch_size=4)
+    assert rank_chunk_for(cfg448, 4, 448) is not None
+
+    params = init_rho(jax.random.PRNGKey(0), cfg)
+    data = damped_sine_batch(jax.random.PRNGKey(1), 4, 3, cfg.delta_t)
+    ref = float(nll_fn_for("rho_mps", fused=False)(params, cfg, data))
+
+    orig = training_mod._on_tpu
+    training_mod._on_tpu = lambda: True
+    try:
+        auto_nll = nll_fn_for("rho_mps", fused=None)
+    finally:
+        training_mod._on_tpu = orig
+    with pytest.warns(UserWarning, match="falling back to the XLA scan"):
+        v = float(auto_nll(params, cfg, data))
+    np.testing.assert_allclose(v, ref, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="VMEM ceiling"):
+        nll_fn_for("rho_mps", fused=True)(params, cfg, data)
+
+
 def test_lane_misalignment_hint():
     """At D>=128 with a lane count not a multiple of 128 the fused path
     emits the measured-2x perf hint (PSIBATCH_r04.json: B=64 half-fills

@@ -89,6 +89,19 @@ def test_audio_tfrecords_roundtrip(tmp_path):
     assert (padded[:, 256:] == 0).all()
 
 
+def test_append_mode_extends_file(tmp_path):
+    """append=True is a plain record concatenation (the chunked multi-GB
+    synthesizer/ETL flush path): the extended file reads back as one
+    seamless dataset, CRCs intact."""
+    path = str(tmp_path / "app.tfrecords")
+    rng = np.random.RandomState(1)
+    a, b = (rng.randn(3, 64).astype(np.float32) for _ in range(2))
+    write_audio_tfrecords(path, a)
+    write_audio_tfrecords(path, b, append=True)
+    out = read_audio_tfrecords(path)
+    np.testing.assert_array_equal(out, np.concatenate([a, b]))
+
+
 def _write_nsynth_fixture(path, n=12):
     """Synthesize a miniature NSynth-schema TFRecord."""
     rng = np.random.RandomState(0)
@@ -118,6 +131,24 @@ def test_nsynth_filtering(tmp_path):
     # combined: guitar AND pitch 50 -> i in {0, 6} (2)
     ds = NSynthDataset(path, instrument="guitar", pitch=50)
     assert ds.load_audio(length=2048).shape == (2, 2048)
+
+
+def test_nsynth_load_audio_skip_chunks(tmp_path):
+    """`skip` pages through matches (chunked ETL): consecutive
+    (skip, max_examples) windows tile the full load, and a fully-consumed
+    tail returns an empty array instead of raising."""
+    path = str(tmp_path / "nsynth.tfrecord")
+    _write_nsynth_fixture(path)
+    ds = NSynthDataset(path, pitch=50)
+    full = ds.load_audio(length=500)
+    parts = [ds.load_audio(length=500, max_examples=4, skip=s)
+             for s in (0, 4)]
+    np.testing.assert_array_equal(np.concatenate(parts), full)
+    assert ds.load_audio(length=500, max_examples=4, skip=6).shape \
+        == (0, 500)
+    # skip=0 with no matches still raises
+    with pytest.raises(IOError):
+        NSynthDataset(path, pitch=99).load_audio(length=500)
 
 
 def test_nsynth_validation(tmp_path):

@@ -1,0 +1,153 @@
+"""Auto-gate boundary revalidation (VERDICT r4 item 7).
+
+The kernel auto-gates encode chip-measured constants: `auto_stream`'s
+6 GiB HBM budget, `auto_pad_cols`/`auto_pad_rank`'s "padding wins iff it
+unlocks streaming and never adds MXU lane tiles" policy, and the sampler
+VMEM ceiling lift (100 MiB). A backend/runtime update that moves HBM
+paging or VMEM behavior would silently turn those measured wins into
+losses. This tool re-checks each decision boundary cheaply ON CHIP (one
+command, serialized A/B pairs, ~3-5 min warm):
+
+  stream_gate_psi   auto(on) vs off at the headline shape — stream must
+                    not lose (>5% slower flags)
+  pad_gate_psi      auto-pad (8->128 lanes) vs off at the reference
+                    batch — pad must win (it did 1.23-1.31x, r4)
+  pad_gate_rho      rank auto-pad (64->128 lanes) vs off at D=8 B=8
+                    rank=8 — pad must win (1.57x, r4)
+  overshoot_guard   forced pad at B=12 rank=8 (1 -> 3 lane tiles) must
+                    still LOSE to auto's decline (it lost 1.8x, r4) —
+                    i.e. the guard's premise still holds
+  sampler_vmem      D=256 full-rank fused sampling still compiles+runs
+                    under the lifted 100 MiB scoped-VMEM limit (fwd-only
+                    kernels fail CLEAN, safe to probe — r4)
+
+Usage:  python tools/gate_check.py [--quick]
+Writes GATECHECK_LOCAL.json; exits nonzero if any gate decision has
+flipped against its measured premise.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from audio_mps_tpu.config import CMPSConfig
+from audio_mps_tpu.data import damped_sine_batch
+from audio_mps_tpu.models.params import init_psi, init_rho
+from audio_mps_tpu.training import init_params_for, make_train_step
+
+import bench  # repo-root harness: time_train_step with readback barriers
+
+# a gate "wins" if its pick is at least this fraction as fast as the
+# alternative (shared-chip run-to-run variance is ~1-3%)
+LOSS_SLACK = 0.95
+
+
+def _time_step(mps_model, cfg, B, T, iters):
+    batch = damped_sine_batch(jax.random.PRNGKey(1), B, T, cfg.delta_t)
+    init = init_rho if mps_model == "rho_mps" else init_psi
+    params = init(jax.random.PRNGKey(0), cfg)
+    opt, step = make_train_step(mps_model, cfg)
+    return bench.time_train_step(step, params, opt.init(params), batch,
+                                 iters)
+
+
+def ab(name, mps_model, base_cfg, B, T, iters, results, a_kw, b_kw,
+       expect="a<=b"):
+    """Serialized A/B pair; records ms and the win verdict."""
+    cfg_a = dataclasses.replace(base_cfg, **a_kw)
+    cfg_b = dataclasses.replace(base_cfg, **b_kw)
+    t_a = _time_step(mps_model, cfg_a, B, T, iters)
+    t_b = _time_step(mps_model, cfg_b, B, T, iters)
+    ok = (t_a <= t_b / LOSS_SLACK) if expect == "a<=b" \
+        else (t_b <= t_a / LOSS_SLACK)
+    results[name] = {"a_ms": round(t_a * 1e3, 2),
+                     "b_ms": round(t_b * 1e3, 2),
+                     "a_over_b": round(t_a / t_b, 3), "ok": ok}
+    print(f"{name}: a={results[name]['a_ms']} ms b={results[name]['b_ms']}"
+          f" ms ratio={results[name]['a_over_b']} ok={ok}", flush=True)
+    return ok
+
+
+def main():
+    quick = "--quick" in sys.argv
+    T = 4097 if quick else 8193
+    iters = 5 if quick else 10
+    t0 = time.time()
+    results = {"T": T, "iters": iters,
+               "device": str(jax.devices()[0])}
+    failures = []
+
+    # 1. streamed-states gate at the headline psi shape (bf16x3 — the
+    # mode users run; the gate resolves identically for fp32)
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=128, scan_chunk=256,
+                     kernel_precision="high")
+    if not ab("stream_gate_psi", "psi_mps", cfg, 128, T, iters, results,
+              {"kernel_stream": "auto"}, {"kernel_stream": "off"}):
+        failures.append("stream_gate_psi")
+
+    # 2. psi lane pad at the reference batch (B=8 -> 128)
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=8, scan_chunk=256,
+                     kernel_precision="high")
+    if not ab("pad_gate_psi", "psi_mps", cfg, 8, T, iters, results,
+              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
+        failures.append("pad_gate_psi")
+
+    # 3. rho rank pad at D=8 B=8 rank=8 (64 -> 128 lanes)
+    cfg = CMPSConfig(bond_dim=8, minibatch_size=8, scan_chunk=256,
+                     kernel_precision="high")
+    if not ab("pad_gate_rho", "rho_mps", cfg, 8, T, iters, results,
+              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
+        failures.append("pad_gate_rho")
+
+    # 4. overshoot guard premise: at B=12 rank=8 (96 lanes, 1 tile) the
+    # uniform pad goes to 3 tiles — forcing it must still lose to auto's
+    # decline (if this flips, the guard is leaving perf on the table)
+    cfg = CMPSConfig(bond_dim=8, minibatch_size=12, scan_chunk=256,
+                     initial_rank=8, kernel_precision="high")
+    if not ab("overshoot_guard", "rho_mps", cfg, 12, T, iters, results,
+              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "on"}):
+        failures.append("overshoot_guard")
+
+    # 5. sampler VMEM ceiling lift: D=256 full-rank fused sampling needs
+    # ~32 MiB scoped VMEM (over the 16 MiB default, under the 100 MiB
+    # limit the kernels request). Fwd-only kernels fail with a CLEAN
+    # scoped-VMEM OOM (r4), so this probe is safe either way.
+    try:
+        from audio_mps_tpu.ops.pallas_scan import rho_sample_pallas
+        D = 64 if quick else 256
+        cfg = CMPSConfig(bond_dim=D, minibatch_size=4, scan_chunk=256)
+        params = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+        noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(2), (512, 4))
+        w = rho_sample_pallas(params, cfg=cfg, noise=noise)
+        ok = bool(jnp.isfinite(jnp.asarray(w)).all())
+        results["sampler_vmem"] = {"D": D, "ok": ok}
+        if not ok:
+            failures.append("sampler_vmem")
+    except Exception as e:
+        results["sampler_vmem"] = {"ok": False, "error": str(e)[:200]}
+        failures.append("sampler_vmem")
+    print(f"sampler_vmem: {results['sampler_vmem']}", flush=True)
+
+    results["failures"] = failures
+    results["ok"] = not failures
+    results["wall_s"] = round(time.time() - t0, 1)
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "GATECHECK_LOCAL.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"gate_check": "ok" if results["ok"] else "FAIL",
+                      "failures": failures,
+                      "wall_s": results["wall_s"]}))
+    sys.exit(0 if results["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,26 +108,39 @@ def organ(rng: np.random.RandomState, f0: float, t_samples: int = NSYNTH_T,
 SYNTHS = {"pluck": pluck, "organ": organ}
 
 
-def synthesize_nsynth(path: str, pitch: int, count: int, family: str,
-                      seed: int = 0, synth: str = "auto"):
+def synthesize_nsynth(path: str, pitch, count: int, family: str,
+                      seed: int = 0, synth: str = "auto",
+                      flush_every: int = 256):
+    """`pitch` may be an int or a list of MIDI pitches — multi-pitch
+    datasets cycle through the list note-by-note (the NSynth-scale
+    streaming soak and the >=4-class latent anchor both need several
+    pitches in ONE file). Records append in chunks so multi-GB datasets
+    never hold all waveforms in memory."""
     rng = np.random.RandomState(seed)
-    f0 = midi_to_hz(pitch)
+    pitches = [pitch] if np.isscalar(pitch) else list(pitch)
     gen = SYNTHS[synth if synth != "auto"
                  else ("organ" if family == "organ" else "pluck")]
-    recs = []
+    recs, written = [], 0
     for i in range(count):
+        p = pitches[i % len(pitches)]
         # small per-note detune, like real instrument takes
-        f = f0 * 2.0 ** (rng.uniform(-10, 10) / 1200.0)
+        f = midi_to_hz(p) * 2.0 ** (rng.uniform(-10, 10) / 1200.0)
         recs.append(encode_example({
             "note": np.array([i], np.int64),
-            "pitch": np.array([pitch], np.int64),
+            "pitch": np.array([p], np.int64),
             "sample_rate": np.array([16000], np.int64),
             "instrument_source_str": [b"acoustic"],
             "instrument_family_str": [family.encode()],
             "audio": gen(rng, f),
         }))
-    write_records(path, recs)
-    return len(recs)
+        if len(recs) >= flush_every:
+            write_records(path, recs, append=written > 0)
+            written += len(recs)
+            recs = []
+    if recs or written == 0:
+        write_records(path, recs, append=written > 0)
+        written += len(recs)
+    return written
 
 
 def main():
@@ -136,6 +149,11 @@ def main():
     ap.add_argument("--name", default="guitarish",
                     help="dataset name; writes <name>.tfrecords")
     ap.add_argument("--pitch", type=int, default=50)
+    ap.add_argument("--pitches", default=None,
+                    help="comma-separated MIDI pitches; overrides --pitch "
+                         "and cycles through the list note-by-note (the "
+                         "NSynth-scale streaming soak / multi-class "
+                         "latent datasets)")
     ap.add_argument("--count", type=int, default=100)
     ap.add_argument("--family", default="guitar")
     ap.add_argument("--synth", default="auto",
@@ -148,19 +166,32 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.output_dir, exist_ok=True)
+    pitches = ([int(p) for p in args.pitches.split(",")]
+               if args.pitches else args.pitch)
     raw = os.path.join(args.output_dir, f"{args.name}-nsynth.tfrecord")
-    n = synthesize_nsynth(raw, args.pitch, args.count, args.family,
+    n = synthesize_nsynth(raw, pitches, args.count, args.family,
                           args.seed, synth=args.synth)
-    print(f"synthesized {n} NSynth-schema notes at MIDI {args.pitch} "
-          f"({midi_to_hz(args.pitch):.1f} Hz) -> {raw}")
+    print(f"synthesized {n} NSynth-schema notes at MIDI {pitches} "
+          f"-> {raw}", flush=True)
 
     # the reference's ETL path: filter + pad + strip to audio-only
-    ds = NSynthDataset(raw, instrument=args.family, pitch=args.pitch)
-    audio = ds.load_audio(length=args.length, max_examples=args.count)
+    # (pitch=-1 = all pitches, reference reader.py:17-20 wildcard)
+    etl_pitch = args.pitch if not args.pitches else -1
+    ds = NSynthDataset(raw, instrument=args.family, pitch=etl_pitch)
     out = os.path.join(args.output_dir, f"{args.name}.tfrecords")
-    write_audio_tfrecords(out, audio)
-    print(f"wrote {audio.shape[0]} examples of length {audio.shape[1]} "
-          f"to {out}")
+    total = 0
+    # chunked ETL: multi-GB datasets never hold every waveform at once
+    chunk = 512
+    while total < args.count:
+        audio = ds.load_audio(length=args.length,
+                              max_examples=min(chunk, args.count - total),
+                              skip=total)
+        if audio.shape[0] == 0:
+            break
+        write_audio_tfrecords(out, audio, append=total > 0)
+        total += audio.shape[0]
+        print(f"  ETL: {total}/{args.count}", flush=True)
+    print(f"wrote {total} examples of length {args.length} to {out}")
 
 
 if __name__ == "__main__":
