@@ -850,10 +850,16 @@ def auto_pad_rank(cfg: CMPSConfig, B: int, rank: int, T: int,
         return rank_p
     if interpret:
         return rank
-    if -(-B * rank_p // 128) != -(-B * rank // 128):
+    if (cfg.bond_dim > 8
+            and -(-B * rank_p // 128) != -(-B * rank // 128)):
         # the uniform per-example pad overshoots the 128-lane tile
         # ceiling (non-power-of-2 B): real extra MXU passes, not
-        # hardware-padded-anyway lanes — auto declines, "on" forces
+        # hardware-padded-anyway lanes — auto declines, "on" forces.
+        # EXCEPT at D <= 8 (r5 boundary sweep, PADRANK_r05.json: full
+        # train step B=12 rank=8 T=16385 bf16x3): the [2D,2D] dots are
+        # so small there that the extra tiles cost less than the
+        # stream/alignment unlock buys — forced pad measured 0.885x at
+        # D=8, and a LOSS from D=16 up (1.047 -> 1.536 at D=64)
         return rank
     from .pallas_grad import fused_supported
     if not fused_supported(cfg, B, rank_p):

@@ -554,13 +554,18 @@ def auto_pad_rank_partials(cfg: CMPSConfig, B: int, r_loc: int,
     # stream unlock is available regardless of the monolithic-path knob
     if interpret or cfg.kernel_stream == "off":
         return r_loc
-    if -(-B * r_p // 128) != -(-B * r_loc // 128):
+    if (cfg.bond_dim > 8
+            and -(-B * r_p // 128) != -(-B * r_loc // 128)):
         # the uniform per-example pad overshoots the 128-lane tile
         # ceiling (non-power-of-2 B, e.g. B=12 r=8: 96 -> 384 lanes =
         # 1 -> 3 MXU tiles): every dot would pay REAL extra passes, not
         # hardware-padded-anyway lanes — measured a 1.65-1.83x LOSS
         # despite the stream unlock (PADRANK_r04.json overshoot rows);
-        # auto declines, "on" still forces
+        # auto declines, "on" still forces. EXCEPT at D <= 8: the r5
+        # boundary sweep (PADRANK_r05.json, caught by tools/gate_check)
+        # measured the forced pad WINNING 0.885x at D=8 — the [2D,2D]
+        # dots are too small for extra tiles to outweigh the unlock —
+        # and losing from D=16 up (1.047 -> 1.536 at D=64)
         return r_loc
     if not partials_supported(cfg, B, r_p):
         return r_loc

@@ -437,10 +437,13 @@ def test_lane_padding_rho_rank_exact_and_gated():
     assert auto_pad_rank(cfg, 4, 3, 2 ** 26, True, False) == 3  # HBM
     # overshoot guard: non-power-of-2 B where the uniform per-example
     # pad adds MXU lane tiles (B=12 r=8: 96 -> 384 lanes = 1 -> 3
-    # tiles) — measured a 1.65-1.83x loss (PADRANK_r04.json), so auto
-    # declines while "on" still forces
-    assert auto_pad_rank(cfg, 12, 8, 67, True, False) == 8
-    assert auto_pad_rank(dc.replace(cfg, kernel_pad_lanes="on"),
+    # tiles) — measured a 1.5-1.8x loss at D>=16 (PADRANK_r04/r05), so
+    # auto declines there; at D<=8 the forced pad WINS (0.885x, r5
+    # boundary sweep) so auto accepts. "on" always forces.
+    assert auto_pad_rank(cfg, 12, 8, 67, True, False) == 32   # D=8: pad
+    cfg16 = dc.replace(cfg, bond_dim=16)
+    assert auto_pad_rank(cfg16, 12, 8, 67, True, False) == 8  # D=16: no
+    assert auto_pad_rank(dc.replace(cfg16, kernel_pad_lanes="on"),
                          12, 8, 67, True, False) == 32
 
     for stream in (False, True):

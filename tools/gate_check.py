@@ -107,14 +107,25 @@ def main():
               {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
         failures.append("pad_gate_rho")
 
-    # 4. overshoot guard premise: at B=12 rank=8 (96 lanes, 1 tile) the
-    # uniform pad goes to 3 tiles — forcing it must still lose to auto's
-    # decline (if this flips, the guard is leaving perf on the table)
-    cfg = CMPSConfig(bond_dim=8, minibatch_size=12, scan_chunk=256,
+    # 4. overshoot guard premise at D=64 (the PADRANK_r04 shape): at
+    # B=12 rank=8 (96 lanes, 1 tile) the uniform pad goes to 3 tiles —
+    # forcing it must still lose to auto's decline. NOTE the first r5
+    # run of this check at D=8 CAUGHT a real premise violation: the
+    # forced pad WINS at D=8 (0.885x), so the auto gate now accepts
+    # overshoot pads at D<=8 (PADRANK_r05.json boundary sweep) and this
+    # check runs both sides of the boundary.
+    cfg = CMPSConfig(bond_dim=64, minibatch_size=12, scan_chunk=256,
                      initial_rank=8, kernel_precision="high")
     if not ab("overshoot_guard", "rho_mps", cfg, 12, T, iters, results,
               {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "on"}):
         failures.append("overshoot_guard")
+    # 4b. small-D side: at D=8 auto now PADS (overshoot accepted) and
+    # must beat pad-off
+    cfg = CMPSConfig(bond_dim=8, minibatch_size=12, scan_chunk=256,
+                     initial_rank=8, kernel_precision="high")
+    if not ab("overshoot_smalld", "rho_mps", cfg, 12, T, iters, results,
+              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
+        failures.append("overshoot_smalld")
 
     # 5. sampler VMEM ceiling lift: D=256 full-rank fused sampling needs
     # ~32 MiB scoped VMEM (over the 16 MiB default, under the 100 MiB
