@@ -508,21 +508,84 @@ def _rank_partials_factory(cfg: CMPSConfig, B: int, T: int, r_loc: int,
     return fused
 
 
-# Calibrated to the MEASURED compile boundary on v5e (r4): the partials
-# backward streams two extra cotangent inputs plus the dse/ck blocks on
-# top of the defer backward's live set, so its budget on the SAME
-# fused_vmem_bytes estimate is tighter than the single-kernel 48 MiB.
-# D=256 B=8: chunk=128 (estimate 35.7 MB) hit a clean scoped-VMEM OOM at
-# 105.25M/100.5M; chunk=64 (estimate 23 MB) compiles and runs.
-PARTIALS_VMEM_LIMIT = 32 * 1024 * 1024
+# Three-coefficient real-VMEM model for the partials backward, fitted to
+# EVERY measured boundary point (r4 + two rounds of r5 chip probes,
+# tools/bigd_bench.py / /tmp/frontier_probe): real scoped-VMEM usage
+# scales ~3.4x on the lane-proportional live set, ~1.8x on the
+# [2D,2D]-constant block, and ~1.1x on the extra per-unrolled-step
+# [2D,2D] term beyond the minimum unroll of 2. Anchors
+# (lane MB, const MB -> predicted MB at these coefficients, outcome):
+#   D=256 B=8 c=128  (25.2, 10.5) -> 104.6  OOM (measured 105.25M)
+#   D=256 B=8 c=64   (12.6, 10.5) ->  61.7  runs (r4 production)
+#   D=320 B=4 c=160  (19.7, 16.4) ->  96.5  runs
+#   D=384 B=4 c=96   (14.2, 23.6) ->  90.8  runs
+#   D=448 B=4 c=64   (11.0, 32.1) ->  95.2  runs
+#   D=512 B=4 c=32   ( 6.3, 41.9) ->  96.8  runs  <- the D=512 frontier
+#   D=512 B=4 c=64   (12.6, 41.9) -> 118.2  helper-500 (scoped OOM)
+#   D=576 B=4 c=24   ( 5.3, 50.6) -> 109.1  helper-500
+#   D=448 B=4 c=8 u=12 (unroll excess 30.6) -> 110.9  OOM (109.96M)
+# The 97 MB budget admits every measured-OK point (the tightest sit at
+# 95-97) and rejects every measured failure (nearest at 104.6); anything
+# unmeasured that lands in the 97-104 gap is rejected — the conservative
+# side of a helper crash.
+PARTIALS_REAL_VMEM_LIMIT = 97 * 1024 * 1024
+
+
+def partials_real_vmem_bytes(bond_dim: int, cols: int,
+                             unroll: int = 2) -> float:
+    """The three terms: lane-proportional live set, the ~10 resident
+    [2D,2D] constants/accumulators, and the per-EXTRA-unrolled-step
+    [2D,2D] contribution the backward keeps live beyond the minimum
+    unroll of 2 — the term the r5 OOM exposed (D=448 cols=32 at the
+    D-blind auto unroll of 12 needed 109.96M where unroll 2 fits)."""
+    d2 = 2 * bond_dim
+    lane = (unroll + 1) * (4 * d2 * cols * 4) + unroll * cols * 8
+    const = 10 * d2 * d2 * 4
+    excess = max(0, unroll - 2) * d2 * d2 * 4
+    return 3.4 * lane + 1.8 * const + 1.1 * excess
+
+
+# The unroll CLAMP uses a tighter ceiling than the admit/reject budget:
+# the excess-unroll coefficient is fitted to a single OOM anchor (D=448
+# cols=32 auto-unroll-12 -> measured 109.96M), so expanded-unroll picks
+# keep an extra ~10% margin below the admit budget.
+PARTIALS_UNROLL_CLAMP_LIMIT = 88 * 1024 * 1024
+
+
+def partials_unroll(bond_dim: int, cols: int,
+                    unroll: Optional[int]) -> int:
+    """auto_unroll clamped by the real-VMEM model: auto_unroll budgets
+    only the [2D, cols] live set, which at large bond_dim lets the
+    per-step [2D,2D] terms blow the scoped limit (measured r5, above).
+    The auto pick shrinks until the model fits (floor 2 — the guard
+    already rejected anything that misses there); an EXPLICIT unroll is
+    honored and surfaces the backend's own OOM if oversized."""
+    if unroll is not None:
+        return unroll
+    u = auto_unroll(2 * bond_dim, cols, None)
+    while u > 2 and partials_real_vmem_bytes(bond_dim, cols, u) \
+            > PARTIALS_UNROLL_CLAMP_LIMIT:
+        u -= 1
+    return u
 
 
 def partials_supported(cfg: CMPSConfig, batch: int, r_loc: int) -> bool:
     """Does the partials backward fit VMEM at (D, B, r_loc)? Same live-set
-    STRUCTURE as the single-kernel defer backward (fused_vmem_bytes), with
-    cols = B * r_loc — but under the tighter measured budget above."""
-    return fused_vmem_bytes(cfg.bond_dim, batch * r_loc, 2) \
-        <= PARTIALS_VMEM_LIMIT
+    STRUCTURE as the single-kernel defer backward (fused_vmem_bytes with
+    cols = B * r_loc), but judged by the fitted real-usage model above —
+    a single scalar budget on the raw estimate cannot represent the
+    measured boundary, which is lane-heavy in one regime (B=8 rank
+    chunks) and constant-heavy in the other (large bond_dim).
+
+    The hard bond_dim cap is the measured compile frontier: D=512
+    (chunk 32) compiles and runs; D=576 dies in the compile helper even
+    at predicted-in-budget tiny chunks' const-dominated regime — the
+    model's extrapolation is not trustworthy past the last measured
+    point, so the cap stays at it."""
+    if cfg.bond_dim > 512:
+        return False
+    return partials_real_vmem_bytes(cfg.bond_dim, batch * r_loc, 2) \
+        <= PARTIALS_REAL_VMEM_LIMIT
 
 
 def auto_pad_rank_partials(cfg: CMPSConfig, B: int, r_loc: int,
@@ -720,7 +783,7 @@ def rho_nll_rank_partials(params, cfg: CMPSConfig, signals, *,
     D = cfg.bond_dim
     r_loc = params.Wx.shape[0]
     r_pad = auto_pad_rank_partials(cfg, B, r_loc, bool(interpret))
-    unroll = auto_unroll(2 * D, B * r_pad, unroll)
+    unroll = partials_unroll(D, B * r_pad, unroll)
     n_steps = T - 1
     D2, BR = 2 * D, B * r_pad
     n_blocks = max(1, -(-n_steps // unroll))
@@ -893,7 +956,7 @@ def rank_partials_chunk_unroll(cfg: CMPSConfig, B: int, r_pad: int,
     gave unroll=1 and 347 ms where the monolithic kernel runs 99).
     (Pure helper: `rank_partials_chunk_factory` separately REJECTS an
     explicit non-divisor unroll rather than silently adjusting it.)"""
-    u = max(1, int(auto_unroll(2 * cfg.bond_dim, B * r_pad, unroll)))
+    u = max(1, int(partials_unroll(cfg.bond_dim, B * r_pad, unroll)))
     cs = int(chunk_steps)
     return next(d for d in range(min(u, cs), 0, -1) if cs % d == 0)
 

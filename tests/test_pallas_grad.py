@@ -126,7 +126,11 @@ def test_vmem_ceiling_guard():
     assert fused_vmem_bytes(512, 8 * 512, 2) > fused_vmem_bytes(256, 8 * 256,
                                                                 2)
 
-    cfg = CMPSConfig(bond_dim=512, minibatch_size=8, scan_chunk=0)
+    # D=512 is no longer "beyond everything": the r5 refit guard admits
+    # rank chunks there (chip-validated — see test_large_d_frontier_guard),
+    # so the no-remedy legs below use D=576, past the measured compile
+    # frontier where rank_chunk_for is None.
+    cfg = CMPSConfig(bond_dim=576, minibatch_size=8, scan_chunk=0)
     params = init_rho(jax.random.PRNGKey(0), cfg)
     data = damped_sine_batch(jax.random.PRNGKey(1), 8, 2, cfg.delta_t)
 
@@ -209,26 +213,37 @@ def test_beyond_ceiling_precision_gate():
     np.testing.assert_allclose(v_exp, ref, rtol=1e-5)
 
 
-def test_d512_boundary_no_chunk_fits():
-    """The large-D frontier (r5): rank chunking shrinks the LANES, not the
-    [2D,2D] step constants, so past D≈448 NO rank chunk fits VMEM —
-    `rank_chunk_for` returns None, auto falls back to the XLA scan with
-    a warning, and an explicit fused=True raises with the remedy. Pins
-    the guard at D=512 (chip probe: tools/bigd_bench.py)."""
+def test_large_d_frontier_guard():
+    """The large-D frontier (r5, chip-measured via tools/bigd_bench.py +
+    frontier probes): rank chunking shrinks the LANES but the [2D,2D]
+    step constants stay full-D in VMEM, so the guard is the fitted
+    real-VMEM model `partials_real_vmem_bytes` plus the measured hard
+    cap at D=512. Pins: D=512 admits chunk 32 (compiles and runs on
+    chip — the frontier); D=576 admits nothing (compile-helper death
+    measured even const-dominated) -> auto falls back to the XLA scan
+    with a warning and an explicit fused=True raises; the D-blind auto
+    unroll that OOM'd at D=448 cols=32 (unroll 12 -> 109.96M) is
+    clamped."""
     import warnings as warnings_mod
 
     from audio_mps_tpu.data import damped_sine_batch
     from audio_mps_tpu.models.params import init_rho
-    from audio_mps_tpu.ops.pallas_rank import rank_chunk_for
+    from audio_mps_tpu.ops.pallas_rank import (partials_unroll,
+                                               rank_chunk_for)
     from audio_mps_tpu.training import nll_fn_for
     import audio_mps_tpu.training as training_mod
 
-    cfg = CMPSConfig(bond_dim=512, minibatch_size=4, scan_chunk=0)
-    assert rank_chunk_for(cfg, 4, 512) is None
-    # D=448 still admits a chunk (the [2D,2D] fixed term crosses the
-    # budget between 448 and 512 at B=4)
-    cfg448 = CMPSConfig(bond_dim=448, minibatch_size=4)
-    assert rank_chunk_for(cfg448, 4, 448) is not None
+    # measured frontier picks (see partials_real_vmem_bytes anchors)
+    for D, B, chunk in ((256, 8, 64), (320, 4, 160), (384, 4, 96),
+                        (448, 4, 64), (512, 4, 32)):
+        cfg_d = CMPSConfig(bond_dim=D, minibatch_size=B)
+        assert rank_chunk_for(cfg_d, B, D) == chunk, (D, B)
+    # the unroll clamp: auto at D=448 cols=32 stays under the budget
+    assert partials_unroll(448, 32, None) <= 7
+    assert partials_unroll(64, 512, None) == 5     # small-D unchanged
+
+    cfg = CMPSConfig(bond_dim=576, minibatch_size=4, scan_chunk=0)
+    assert rank_chunk_for(cfg, 4, 576) is None
 
     params = init_rho(jax.random.PRNGKey(0), cfg)
     data = damped_sine_batch(jax.random.PRNGKey(1), 4, 3, cfg.delta_t)

@@ -3,21 +3,19 @@ what users get past it (VERDICT r4 item 3: "extend the large-D story to
 D=512 — measure it, or record the precise boundary with a guard + test").
 
 Structural fact (ops/pallas_rank.py): rank chunking shrinks the LANE
-dimension (B * rank_chunk) but the [2D, 2D] step constants stay full-D in
-VMEM — `fused_vmem_bytes`'s fixed term is 10 * (2D)^2 * 4 bytes = 10.5 MB
-at D=256, 42 MB at D=512 — so past some D no rank chunk fits and
-`rank_chunk_for` returns None (D=512 already does). This tool:
+dimension (B * rank_chunk) but the [2D, 2D] step constants stay full-D
+in VMEM, and the backward keeps an extra [2D,2D]-sized term per unrolled
+step beyond 2 — `partials_real_vmem_bytes` models all three terms,
+fitted to the measured r4+r5 boundary anchors (see its comment), and
+`partials_unroll` clamps the auto unroll so the model fits. This tool:
 
-  1. COMPILE-PROBES the chunked partials kernel at D = 320..512 with the
-     guard bypassed (forced fused) to find the MEASURED boundary. Safe:
-     the chunked partials backward fails with a CLEAN scoped-VMEM OOM
-     (measured r4: D=256 chunk=128 died 105.25M/100.5M and raised), not
-     the helper crash the monolithic trainable kernel suffers.
-  2. TIMES the largest fused D (both precisions, streamed auto) vs the
-     XLA factor scan at the same (T, B, value+grad, donated, readback)
-     semantics — RANKBENCH rows beyond 256.
-  3. TIMES the D=512 XLA fallback users actually get (iters reduced: the
-     fp32 roofline alone is ~26 s/step at B=4 T=16385).
+  1. COMPILE-PROBES the chunked partials kernel at the guard's own picks
+     across D = 320..512 to validate the fitted boundary on chip. The
+     failure mode past it is a scoped-VMEM OOM surfaced as a helper
+     HTTP-500 (readable cause, chip survives — observed r5).
+  2. TIMES the frontier Ds (448, 512) at the guard's picks, fused (both
+     precisions, streamed auto) vs the XLA factor scan at the same
+     (T, B, value+grad, donated, readback) semantics.
 
 Usage:  python tools/bigd_bench.py [--T 16385] [--iters 4]
             [--only probe|time|d512]
@@ -51,9 +49,10 @@ def _copy(params):
 
 def compile_probe(D, B, T_probe=257, chunk=None):
     """Try ONE value+grad of the chunked partials kernel at tiny T.
-    Returns (ok, rank_chunk_used, err)."""
+    Returns (ok, rank_chunk_used, err). Default chunk = the guard's own
+    pick (falls back to 64 where the guard declines, to probe beyond)."""
     cfg = CMPSConfig(bond_dim=D, minibatch_size=B)
-    chunk = chunk or 64
+    chunk = chunk or rank_chunk_for(cfg, B, D) or 64
     params = init_rho(jax.random.PRNGKey(0), cfg)
     sig = damped_sine_batch(jax.random.PRNGKey(1), B, T_probe, cfg.delta_t)
 
@@ -129,37 +128,40 @@ def main():
                 break
 
     if args.only in (None, "time"):
-        # time the largest D the GUARD admits (probe may show more — the
-        # guard is deliberately conservative of the helper-crash zone)
-        D_big = max((D for D in (320, 384, 448)
-                     if rank_chunk_for(CMPSConfig(bond_dim=D,
-                                                  minibatch_size=B), B, D)),
-                    default=None)
-        if D_big is None:
-            out["timed_big_d"] = None
-        else:
+        # time the frontier Ds at the guard's own picks, fused (both
+        # precisions) vs the XLA factor scan
+        for D_big in (448, 512):
             cfg = CMPSConfig(bond_dim=D_big, minibatch_size=B)
             chunk = rank_chunk_for(cfg, B, D_big)
-            out["timed_big_d"] = D_big
-            out["timed_big_chunk"] = chunk
+            out[f"timed_chunk_D{D_big}"] = chunk
+            if chunk is None:
+                continue
             for prec in ("highest", "high"):
-                ms, loss = time_case(cfg, B, args.T, args.iters,
-                                     chunk=chunk, precision=prec)
-                out[f"d{D_big}_fused_{prec}_ms"] = round(ms, 2)
-                out[f"d{D_big}_fused_{prec}_loss"] = round(loss, 5)
-                print(f"D={D_big} fused {prec}: {ms:.1f} ms", flush=True)
-            ms, loss = time_case(cfg, B, args.T, max(2, args.iters // 2),
-                                 xla=True)
-            out[f"d{D_big}_xla_ms"] = round(ms, 2)
-            out[f"d{D_big}_xla_loss"] = round(loss, 5)
-            print(f"D={D_big} xla: {ms:.1f} ms", flush=True)
+                it = args.iters if prec == "high" else max(
+                    2, args.iters // 2)
+                try:
+                    ms, loss = time_case(cfg, B, args.T, it,
+                                         chunk=chunk, precision=prec)
+                    out[f"d{D_big}_fused_{prec}_ms"] = round(ms, 2)
+                    out[f"d{D_big}_fused_{prec}_loss"] = round(loss, 5)
+                    print(f"D={D_big} fused {prec}: {ms:.1f} ms",
+                          flush=True)
+                except Exception as e:
+                    out[f"d{D_big}_fused_{prec}_error"] = repr(e)[:160]
+                    print(f"D={D_big} fused {prec}: ERR {e!r}", flush=True)
 
     if args.only in (None, "d512"):
-        cfg = CMPSConfig(bond_dim=512, minibatch_size=B)
-        ms, loss = time_case(cfg, B, args.T, args.iters_d512, xla=True)
-        out["d512_xla_ms"] = round(ms, 2)
-        out["d512_xla_loss"] = round(loss, 5)
-        print(f"D=512 xla: {ms:.1f} ms", flush=True)
+        for D_big in (448, 512):
+            cfg = CMPSConfig(bond_dim=D_big, minibatch_size=B)
+            try:
+                ms, loss = time_case(cfg, B, args.T, args.iters_d512,
+                                     xla=True)
+                out[f"d{D_big}_xla_ms"] = round(ms, 2)
+                out[f"d{D_big}_xla_loss"] = round(loss, 5)
+                print(f"D={D_big} xla: {ms:.1f} ms", flush=True)
+            except Exception as e:
+                out[f"d{D_big}_xla_error"] = repr(e)[:160]
+                print(f"D={D_big} xla: ERR {e!r}", flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), args.out)
