@@ -115,6 +115,13 @@ class CMPSConfig:
     latent_hidden: int = 128
     latent_beta: float = 1.0
     latent_loss: str = "log"
+    # Free bits (per-latent-dimension KL floor, nats): dimensions whose
+    # KL is already below the floor contribute the constant floor to the
+    # loss instead — no gradient pressure toward zero — the standard
+    # posterior-collapse guard. 0 disables. Measured (r5): the 4-pitch
+    # anchor collapses (KL ~0.01, one dominant emission line) at
+    # beta=0.15 with 0, and trains with 0.25.
+    latent_free_bits: float = 0.0
 
     def __post_init__(self):
         # Mosaic lowers only HIGHEST and DEFAULT dot precisions; "high" is
@@ -159,6 +166,10 @@ class CMPSConfig:
             raise ValueError(
                 f"latent_loss must be 'log' or 'quadratic', got "
                 f"{self.latent_loss!r}")
+        if self.latent_free_bits < 0:
+            raise ValueError(
+                f"latent_free_bits must be >= 0, got "
+                f"{self.latent_free_bits}")
 
     def parse(self, overrides: str) -> "CMPSConfig":
         """Apply a comma-separated ``k=v,...`` override string.
@@ -208,6 +219,7 @@ _FIELD_TYPES = {
     "latent_hidden": int,
     "latent_beta": float,
     "latent_loss": str,
+    "latent_free_bits": float,
 }
 
 

@@ -173,9 +173,23 @@ def recon_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, psi0_pair,
     return loss
 
 
+def kl_terms(mu, logvar, free_bits: float = 0.0):
+    """Per-example KL [B] and the loss-side KL with the per-dimension
+    free-bits floor (cfg.latent_free_bits): dims whose KL sits below the
+    floor contribute the constant floor instead, removing the gradient
+    pressure that collapses the posterior (measured r5: the 4-pitch
+    anchor collapses to KL ~0.01 at beta=0.15 without it). Returns
+    (kl_true, kl_loss) — aux reporting uses the true KL."""
+    kl_i = 0.5 * (mu ** 2 + jnp.exp(logvar) - 1.0 - logvar)
+    kl = jnp.sum(kl_i, axis=-1)
+    if free_bits > 0.0:
+        return kl, jnp.sum(jnp.maximum(kl_i, free_bits), axis=-1)
+    return kl, kl
+
+
 def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
               beta: float = 1.0, loss_type: str = "log",
-              fused: bool = False, eps=None):
+              fused: bool = False, eps=None, free_bits: float = 0.0):
     """Negative ELBO (mean over batch): recon + beta KL.
 
     Returns (loss, aux dict). `fused=True` uses the Pallas fused
@@ -194,8 +208,8 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
     psi0_pair = decode_psi0(params, z, cfg)
     recon = recon_loss(params, cfg, signals, psi0_pair, loss_type=loss_type,
                        fused=fused)
-    kl = 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=-1)
-    loss = jnp.mean(recon + beta * kl)
+    kl, kl_loss = kl_terms(mu, logvar, free_bits)
+    loss = jnp.mean(recon + beta * kl_loss)
     return loss, {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}
 
 

@@ -709,10 +709,11 @@ def latent_elbo_pipelined(params, cfg: CMPSConfig, signals, mesh: Mesh,
                    else latent_lib._psi_quadratic_step)
         recon = _pipeline_nll(step_fn, None, params, cfg, signals, M,
                               mesh, axis, state0_stack=(pr, pi))
-    kl = 0.5 * jnp.sum(mu ** 2 + jnp.exp(logvar) - 1.0 - logvar, axis=-1)
-    kl_mean = jnp.mean(kl)
+    kl, kl_loss = latent_lib.kl_terms(mu, logvar,
+                                      cfg.latent_free_bits)
     # the pipeline returns the batch-mean recon directly
-    return recon + beta * kl_mean, {"recon": recon, "kl": kl_mean}
+    return (recon + beta * jnp.mean(kl_loss),
+            {"recon": recon, "kl": jnp.mean(kl)})
 
 
 def _auto_fused_pipeline(cfg: CMPSConfig, r_loc: int, b: int) -> bool:

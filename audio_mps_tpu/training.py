@@ -227,7 +227,8 @@ def make_latent_loss_fn(cfg: CMPSConfig, fused: Optional[bool] = None):
     def loss_fn(params, batch, key=None, eps=None):
         nll, aux = latent_lib.elbo_loss(
             params, cfg, batch, key, beta=cfg.latent_beta,
-            loss_type=cfg.latent_loss, fused=fused, eps=eps)
+            loss_type=cfg.latent_loss, fused=fused, eps=eps,
+            free_bits=cfg.latent_free_bits)
         total, (h_sq, r_sq) = core.regularized_loss(nll, params, cfg)
         return total, {"model_loss": nll, "total_loss": total,
                        "recon": aux["recon"], "kl": aux["kl"],

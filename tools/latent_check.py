@@ -99,7 +99,7 @@ def fisher_ratio(mu, labels):
 def run(steps=3000, T=2 ** 14, bond_dim=16, batch=16, latent_dim=8,
         seed=0, lr=1e-3, beta=1.0, sample_temp=1e-6, fused=None,
         n_eval=64, tol_hz=40.0, verbose=True, precision="highest",
-        pitches_hz=PITCHES_HZ, n_cond=16):
+        pitches_hz=PITCHES_HZ, n_cond=16, free_bits=0.0):
     pitches_hz = tuple(float(p) for p in pitches_hz)
     from audio_mps_tpu.config import CMPSConfig
     from audio_mps_tpu.data.synthetic import multi_pitch_batch
@@ -109,6 +109,7 @@ def run(steps=3000, T=2 ** 14, bond_dim=16, batch=16, latent_dim=8,
     cfg = CMPSConfig(bond_dim=bond_dim, minibatch_size=batch,
                      learning_rate=lr, scan_chunk=256,
                      latent_dim=latent_dim, latent_beta=beta,
+                     latent_free_bits=free_bits,
                      kernel_precision=precision)
     key = jax.random.PRNGKey(seed)
     key, ik = jax.random.split(key)
@@ -170,7 +171,8 @@ def run(steps=3000, T=2 ** 14, bond_dim=16, batch=16, latent_dim=8,
     result = {
         "config": {"steps": steps, "T": T, "bond_dim": bond_dim,
                    "batch": batch, "latent_dim": latent_dim, "lr": lr,
-                   "beta": beta, "seed": seed, "precision": precision,
+                   "beta": beta, "free_bits": free_bits, "seed": seed,
+                   "precision": precision,
                    "device": str(jax.devices()[0])},
         "pitches_hz": list(pitches_hz),
         **lines,
@@ -198,7 +200,7 @@ def main(argv):
     casts = {"steps": int, "T": int, "bond_dim": int, "batch": int,
              "latent_dim": int, "seed": int, "lr": float, "beta": float,
              "sample_temp": float, "n_eval": int, "tol_hz": float,
-             "precision": str, "n_cond": int,
+             "precision": str, "n_cond": int, "free_bits": float,
              "pitches_hz": lambda v: tuple(
                  float(x) for x in v.split(","))}
     for a in argv:
