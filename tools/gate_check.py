@@ -24,6 +24,12 @@ command, serialized A/B pairs, ~3-5 min warm):
 Usage:  python tools/gate_check.py [--quick]
 Writes GATECHECK_LOCAL.json; exits nonzero if any gate decision has
 flipped against its measured premise.
+
+Each A/B case runs in a FRESH SUBPROCESS: a process that has already
+run a few-hundred-MB-stream case measures later small kernels 1.6-2x
+slow (the CLAUDE.md r4 HBM-pressure caveat — observed here when the
+small-D overshoot case followed the D=64 cases in one process and
+read 12.9 ms where a fresh process reads 6.9).
 """
 from __future__ import annotations
 
@@ -76,76 +82,106 @@ def ab(name, mps_model, base_cfg, B, T, iters, results, a_kw, b_kw,
     return ok
 
 
-def main():
-    quick = "--quick" in sys.argv
+CASES = ("stream_gate_psi", "pad_gate_psi", "pad_gate_rho",
+         "overshoot_guard", "overshoot_smalld", "sampler_vmem")
+
+
+def run_case(name: str, quick: bool, results: dict):
+    """One gate case; returns ok. Mutates `results` with its rows."""
     T = 4097 if quick else 8193
     iters = 5 if quick else 10
+    results.setdefault("T", T)
+    results.setdefault("iters", iters)
+    if name == "stream_gate_psi":
+        # streamed-states gate at the headline psi shape (bf16x3 — the
+        # mode users run; the gate resolves identically for fp32)
+        cfg = CMPSConfig(bond_dim=64, minibatch_size=128, scan_chunk=256,
+                         kernel_precision="high")
+        return ab(name, "psi_mps", cfg, 128, T, iters, results,
+                  {"kernel_stream": "auto"}, {"kernel_stream": "off"})
+    if name == "pad_gate_psi":
+        # psi lane pad at the reference batch (B=8 -> 128)
+        cfg = CMPSConfig(bond_dim=64, minibatch_size=8, scan_chunk=256,
+                         kernel_precision="high")
+        return ab(name, "psi_mps", cfg, 8, T, iters, results,
+                  {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"})
+    if name == "pad_gate_rho":
+        # rho rank pad at D=8 B=8 rank=8 (64 -> 128 lanes)
+        cfg = CMPSConfig(bond_dim=8, minibatch_size=8, scan_chunk=256,
+                         kernel_precision="high")
+        return ab(name, "rho_mps", cfg, 8, T, iters, results,
+                  {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"})
+    if name == "overshoot_guard":
+        # overshoot premise at D=64 (the PADRANK_r04 shape): B=12 rank=8
+        # pads 96 -> 384 lanes (1 -> 3 tiles); forcing it must lose to
+        # auto's decline
+        cfg = CMPSConfig(bond_dim=64, minibatch_size=12, scan_chunk=256,
+                         initial_rank=8, kernel_precision="high")
+        return ab(name, "rho_mps", cfg, 12, T, iters, results,
+                  {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "on"})
+    if name == "overshoot_smalld":
+        # the other side of the r5 boundary: at D<=8 auto ACCEPTS the
+        # overshoot pad (PADRANK_r05.json) and must not lose to pad-off
+        cfg = CMPSConfig(bond_dim=8, minibatch_size=12, scan_chunk=256,
+                         initial_rank=8, kernel_precision="high")
+        return ab(name, "rho_mps", cfg, 12, T, iters, results,
+                  {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"})
+    if name == "sampler_vmem":
+        # sampler VMEM ceiling lift: D=256 full-rank fused sampling needs
+        # ~32 MiB scoped VMEM (over the 16 MiB default, under the 100 MiB
+        # limit the kernels request). Fwd-only kernels fail with a CLEAN
+        # scoped-VMEM OOM (r4), so this probe is safe either way.
+        try:
+            from audio_mps_tpu.ops.pallas_scan import rho_sample_pallas
+            D = 64 if quick else 256
+            cfg = CMPSConfig(bond_dim=D, minibatch_size=4, scan_chunk=256)
+            params = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
+            noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(2),
+                                             (512, 4))
+            w = rho_sample_pallas(params, cfg=cfg, noise=noise)
+            ok = bool(jnp.isfinite(jnp.asarray(w)).all())
+            results[name] = {"D": D, "ok": ok}
+            return ok
+        except Exception as e:
+            results[name] = {"ok": False, "error": str(e)[:200]}
+            return False
+    raise ValueError(f"unknown case {name!r}")
+
+
+def main():
+    import json as json_mod
+    import subprocess
+    quick = "--quick" in sys.argv
+    if "--case" in sys.argv:
+        name = sys.argv[sys.argv.index("--case") + 1]
+        results = {}
+        ok = run_case(name, quick, results)
+        print("GATECASE " + json_mod.dumps({"name": name, "ok": ok,
+                                            "rows": results}))
+        sys.exit(0 if ok else 1)
+
     t0 = time.time()
-    results = {"T": T, "iters": iters,
-               "device": str(jax.devices()[0])}
+    results = {"device": str(jax.devices()[0])}
     failures = []
-
-    # 1. streamed-states gate at the headline psi shape (bf16x3 — the
-    # mode users run; the gate resolves identically for fp32)
-    cfg = CMPSConfig(bond_dim=64, minibatch_size=128, scan_chunk=256,
-                     kernel_precision="high")
-    if not ab("stream_gate_psi", "psi_mps", cfg, 128, T, iters, results,
-              {"kernel_stream": "auto"}, {"kernel_stream": "off"}):
-        failures.append("stream_gate_psi")
-
-    # 2. psi lane pad at the reference batch (B=8 -> 128)
-    cfg = CMPSConfig(bond_dim=64, minibatch_size=8, scan_chunk=256,
-                     kernel_precision="high")
-    if not ab("pad_gate_psi", "psi_mps", cfg, 8, T, iters, results,
-              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
-        failures.append("pad_gate_psi")
-
-    # 3. rho rank pad at D=8 B=8 rank=8 (64 -> 128 lanes)
-    cfg = CMPSConfig(bond_dim=8, minibatch_size=8, scan_chunk=256,
-                     kernel_precision="high")
-    if not ab("pad_gate_rho", "rho_mps", cfg, 8, T, iters, results,
-              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
-        failures.append("pad_gate_rho")
-
-    # 4. overshoot guard premise at D=64 (the PADRANK_r04 shape): at
-    # B=12 rank=8 (96 lanes, 1 tile) the uniform pad goes to 3 tiles —
-    # forcing it must still lose to auto's decline. NOTE the first r5
-    # run of this check at D=8 CAUGHT a real premise violation: the
-    # forced pad WINS at D=8 (0.885x), so the auto gate now accepts
-    # overshoot pads at D<=8 (PADRANK_r05.json boundary sweep) and this
-    # check runs both sides of the boundary.
-    cfg = CMPSConfig(bond_dim=64, minibatch_size=12, scan_chunk=256,
-                     initial_rank=8, kernel_precision="high")
-    if not ab("overshoot_guard", "rho_mps", cfg, 12, T, iters, results,
-              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "on"}):
-        failures.append("overshoot_guard")
-    # 4b. small-D side: at D=8 auto now PADS (overshoot accepted) and
-    # must beat pad-off
-    cfg = CMPSConfig(bond_dim=8, minibatch_size=12, scan_chunk=256,
-                     initial_rank=8, kernel_precision="high")
-    if not ab("overshoot_smalld", "rho_mps", cfg, 12, T, iters, results,
-              {"kernel_pad_lanes": "auto"}, {"kernel_pad_lanes": "off"}):
-        failures.append("overshoot_smalld")
-
-    # 5. sampler VMEM ceiling lift: D=256 full-rank fused sampling needs
-    # ~32 MiB scoped VMEM (over the 16 MiB default, under the 100 MiB
-    # limit the kernels request). Fwd-only kernels fail with a CLEAN
-    # scoped-VMEM OOM (r4), so this probe is safe either way.
-    try:
-        from audio_mps_tpu.ops.pallas_scan import rho_sample_pallas
-        D = 64 if quick else 256
-        cfg = CMPSConfig(bond_dim=D, minibatch_size=4, scan_chunk=256)
-        params = init_params_for("rho_mps", jax.random.PRNGKey(0), cfg)
-        noise = 1e-4 * jax.random.normal(jax.random.PRNGKey(2), (512, 4))
-        w = rho_sample_pallas(params, cfg=cfg, noise=noise)
-        ok = bool(jnp.isfinite(jnp.asarray(w)).all())
-        results["sampler_vmem"] = {"D": D, "ok": ok}
-        if not ok:
-            failures.append("sampler_vmem")
-    except Exception as e:
-        results["sampler_vmem"] = {"ok": False, "error": str(e)[:200]}
-        failures.append("sampler_vmem")
-    print(f"sampler_vmem: {results['sampler_vmem']}", flush=True)
+    here = os.path.abspath(__file__)
+    for name in CASES:
+        cmd = [sys.executable, here, "--case", name] + (
+            ["--quick"] if quick else [])
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("GATECASE ")), None)
+        if line is None:
+            results[name] = {"ok": False,
+                             "error": (r.stderr or r.stdout)[-300:]}
+            failures.append(name)
+            print(f"{name}: SUBPROCESS ERROR", flush=True)
+            continue
+        payload = json_mod.loads(line[len("GATECASE "):])
+        results.update(payload["rows"])
+        if not payload["ok"]:
+            failures.append(name)
+        print(f"{name}: ok={payload['ok']} "
+              f"{payload['rows'].get(name, '')}", flush=True)
 
     results["failures"] = failures
     results["ok"] = not failures
