@@ -249,11 +249,15 @@ def main():
     result["wall_s"] = round(time.time() - t0, 1)
     with open(os.path.join(REPO, "REGRESS_LOCAL.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({"regress_check": "ok" if result["ok"] else "FAIL",
-                      "failures": result["failures"],
-                      "rows": result["rows"],
-                      "baseline": base_path,
-                      "wall_s": result["wall_s"]}))
+    summary = {"regress_check": "ok" if result["ok"] else "FAIL",
+               "failures": result["failures"],
+               "rows": result["rows"],
+               "baseline": base_path,
+               "wall_s": result["wall_s"]}
+    if args.full:
+        summary["conformance_ok"] = result.get("conformance_ok")
+        summary["certificate_ok"] = result.get("certificate_ok")
+    print(json.dumps(summary))
     sys.exit(0 if result["ok"] else 1)
 
 
