@@ -189,7 +189,7 @@ def kl_terms(mu, logvar, free_bits: float = 0.0):
 
 def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
               beta: float = 1.0, loss_type: str = "log",
-              fused: bool = False, eps=None, free_bits: float = 0.0):
+              fused: bool = False, eps=None, free_bits=None):
     """Negative ELBO (mean over batch): recon + beta KL.
 
     Returns (loss, aux dict). `fused=True` uses the Pallas fused
@@ -208,6 +208,8 @@ def elbo_loss(params: LatentCMPSParams, cfg: CMPSConfig, signals, key=None,
     psi0_pair = decode_psi0(params, z, cfg)
     recon = recon_loss(params, cfg, signals, psi0_pair, loss_type=loss_type,
                        fused=fused)
+    if free_bits is None:          # default from the config the caller
+        free_bits = cfg.latent_free_bits   # already hands us (review r5)
     kl, kl_loss = kl_terms(mu, logvar, free_bits)
     loss = jnp.mean(recon + beta * kl_loss)
     return loss, {"recon": jnp.mean(recon), "kl": jnp.mean(kl)}

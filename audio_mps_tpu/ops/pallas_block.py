@@ -850,17 +850,20 @@ def auto_pad_rank(cfg: CMPSConfig, B: int, rank: int, T: int,
         return rank_p
     if interpret:
         return rank
-    if (cfg.bond_dim > 8
-            and -(-B * rank_p // 128) != -(-B * rank // 128)):
+    if -(-B * rank_p // 128) != -(-B * rank // 128):
         # the uniform per-example pad overshoots the 128-lane tile
         # ceiling (non-power-of-2 B): real extra MXU passes, not
         # hardware-padded-anyway lanes — auto declines, "on" forces.
-        # EXCEPT at D <= 8 (r5 boundary sweep, PADRANK_r05.json: full
-        # train step B=12 rank=8 T=16385 bf16x3): the [2D,2D] dots are
-        # so small there that the extra tiles cost less than the
-        # stream/alignment unlock buys — forced pad measured 0.885x at
-        # D=8, and a LOSS from D=16 up (1.047 -> 1.536 at D=64)
-        return rank
+        # EXCEPT inside the measured win envelope (r5 boundary sweep,
+        # PADRANK_r05.json: full train step B=12 rank=8 T=16385 bf16x3):
+        # at D <= 8 the [2D,2D] dots are so small that the extra tiles
+        # cost less than the stream/alignment unlock buys — forced pad
+        # 0.885x at D=8, a LOSS from D=16 up (1.047 -> 1.536 at D=64).
+        # The envelope is bounded at the measured 3 padded tiles: an
+        # unbounded exception would auto-force e.g. B=67 r=8 from 5 to
+        # 67 tiles (13x the passes) on an unmeasured premise.
+        if not (cfg.bond_dim <= 8 and B * rank_p <= 3 * 128):
+            return rank
     from .pallas_grad import fused_supported
     if not fused_supported(cfg, B, rank_p):
         return rank

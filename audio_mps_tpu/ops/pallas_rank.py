@@ -617,18 +617,20 @@ def auto_pad_rank_partials(cfg: CMPSConfig, B: int, r_loc: int,
     # stream unlock is available regardless of the monolithic-path knob
     if interpret or cfg.kernel_stream == "off":
         return r_loc
-    if (cfg.bond_dim > 8
-            and -(-B * r_p // 128) != -(-B * r_loc // 128)):
+    if -(-B * r_p // 128) != -(-B * r_loc // 128):
         # the uniform per-example pad overshoots the 128-lane tile
         # ceiling (non-power-of-2 B, e.g. B=12 r=8: 96 -> 384 lanes =
         # 1 -> 3 MXU tiles): every dot would pay REAL extra passes, not
         # hardware-padded-anyway lanes — measured a 1.65-1.83x LOSS
         # despite the stream unlock (PADRANK_r04.json overshoot rows);
-        # auto declines, "on" still forces. EXCEPT at D <= 8: the r5
-        # boundary sweep (PADRANK_r05.json, caught by tools/gate_check)
-        # measured the forced pad WINNING 0.885x at D=8 — the [2D,2D]
-        # dots are too small for extra tiles to outweigh the unlock —
-        # and losing from D=16 up (1.047 -> 1.536 at D=64)
+        # auto declines, "on" still forces. NOTE: the monolithic-kernel
+        # pad (pallas_block.auto_pad_rank) accepts small-D overshoots —
+        # its D=8 forced pad measured a 0.885x WIN — but that win does
+        # NOT transfer to this partials family: chip A/B at the same
+        # shape through rho_nll_rank_chunked (rank_chunk=8, B=12,
+        # bf16x3, T=16385) measured the forced pad LOSING 1.095x
+        # (24.50 vs 22.38 ms), so the partials decline stays
+        # unconditional (review r5).
         return r_loc
     if not partials_supported(cfg, B, r_p):
         return r_loc

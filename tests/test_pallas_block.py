@@ -445,6 +445,10 @@ def test_lane_padding_rho_rank_exact_and_gated():
     assert auto_pad_rank(cfg16, 12, 8, 67, True, False) == 8  # D=16: no
     assert auto_pad_rank(dc.replace(cfg16, kernel_pad_lanes="on"),
                          12, 8, 67, True, False) == 32
+    # the D<=8 acceptance is BOUNDED at the measured 3-padded-tile
+    # envelope (review r5): B=67 r=8 would pad 536 -> 8576 lanes
+    # (5 -> 67 tiles, 13x the passes) — auto still declines that
+    assert auto_pad_rank(cfg, 67, 8, 67, True, False) == 8
 
     for stream in (False, True):
         def nll(params, c):

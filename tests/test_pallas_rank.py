@@ -451,10 +451,11 @@ def test_auto_pad_rank_partials_policy():
     # auto on "TPU" (interpret=False): pads when the padded kernel fits
     assert auto_pad_rank_partials(cfg, 8, 5, False) == 16
     # overshoot guard: B=12 r=8 would pad 96 -> 384 lanes (1 -> 3 MXU
-    # tiles) — a 1.5-1.8x measured loss at D>=16 (PADRANK_r04/r05), so
-    # auto declines there; at D<=8 the forced pad WINS (0.885x, r5
-    # boundary sweep via tools/gate_check) so auto accepts
-    assert auto_pad_rank_partials(cfg, 12, 8, False) == 32    # D=8: pad
+    # tiles) — auto declines at EVERY D on the partials family (the
+    # monolithic kernel's D<=8 win, PADRANK_r05, does NOT transfer:
+    # the forced pad measured 1.095x SLOWER through rho_nll_rank_chunked
+    # at D=8 — see the auto_pad_rank_partials comment); "on" forces
+    assert auto_pad_rank_partials(cfg, 12, 8, False) == 8     # D=8: no
     cfg16 = dataclasses.replace(cfg, bond_dim=16)
     assert auto_pad_rank_partials(cfg16, 12, 8, False) == 8   # D=16: no
     assert auto_pad_rank_partials(

@@ -14,9 +14,12 @@ command, serialized A/B pairs, ~3-5 min warm):
                     batch — pad must win (it did 1.23-1.31x, r4)
   pad_gate_rho      rank auto-pad (64->128 lanes) vs off at D=8 B=8
                     rank=8 — pad must win (1.57x, r4)
-  overshoot_guard   forced pad at B=12 rank=8 (1 -> 3 lane tiles) must
-                    still LOSE to auto's decline (it lost 1.8x, r4) —
-                    i.e. the guard's premise still holds
+  overshoot_guard   forced pad at D=64 B=12 rank=8 (1 -> 3 lane tiles)
+                    must still LOSE to auto's decline (it lost 1.5-1.8x,
+                    r4/r5) — i.e. the guard's premise still holds
+  overshoot_smalld  the other side of the r5 boundary: at D=8 auto
+                    ACCEPTS the overshoot pad (PADRANK_r05) and must
+                    not lose to pad-off
   sampler_vmem      D=256 full-rank fused sampling still compiles+runs
                     under the lifted 100 MiB scoped-VMEM limit (fwd-only
                     kernels fail CLEAN, safe to probe — r4)
@@ -65,18 +68,26 @@ def _time_step(mps_model, cfg, B, T, iters):
                                  iters)
 
 
-def ab(name, mps_model, base_cfg, B, T, iters, results, a_kw, b_kw,
-       expect="a<=b"):
-    """Serialized A/B pair; records ms and the win verdict."""
+def ab(name, mps_model, base_cfg, B, T, iters, results, a_kw, b_kw):
+    """Serialized A/B pair; a must not lose to b beyond the slack. A
+    failing first attempt re-measures both sides once before the
+    verdict (transient shared-chip interference inflated a whole case
+    family 2.5-3x in one r5 run; the retry pair read clean)."""
     cfg_a = dataclasses.replace(base_cfg, **a_kw)
     cfg_b = dataclasses.replace(base_cfg, **b_kw)
-    t_a = _time_step(mps_model, cfg_a, B, T, iters)
-    t_b = _time_step(mps_model, cfg_b, B, T, iters)
-    ok = (t_a <= t_b / LOSS_SLACK) if expect == "a<=b" \
-        else (t_b <= t_a / LOSS_SLACK)
+    attempts = []
+    for _ in range(2):
+        t_a = _time_step(mps_model, cfg_a, B, T, iters)
+        t_b = _time_step(mps_model, cfg_b, B, T, iters)
+        attempts.append((t_a, t_b))
+        if t_a <= t_b / LOSS_SLACK:
+            break
+    t_a, t_b = attempts[-1]
+    ok = t_a <= t_b / LOSS_SLACK
     results[name] = {"a_ms": round(t_a * 1e3, 2),
                      "b_ms": round(t_b * 1e3, 2),
-                     "a_over_b": round(t_a / t_b, 3), "ok": ok}
+                     "a_over_b": round(t_a / t_b, 3), "ok": ok,
+                     "attempts": len(attempts)}
     print(f"{name}: a={results[name]['a_ms']} ms b={results[name]['b_ms']}"
           f" ms ratio={results[name]['a_over_b']} ok={ok}", flush=True)
     return ok
@@ -148,16 +159,22 @@ def run_case(name: str, quick: bool, results: dict):
     raise ValueError(f"unknown case {name!r}")
 
 
+# bound each case subprocess: the chip's outage mode is a HANG (probes
+# hang, not error) — an unbounded gate would wedge silently instead of
+# reporting failure. Worst legit case is ~3 min warm; first-Mosaic-
+# compile cold starts can reach ~5 min, so the bound leaves headroom.
+CASE_TIMEOUT_S = 900
+
+
 def main():
-    import json as json_mod
     import subprocess
     quick = "--quick" in sys.argv
     if "--case" in sys.argv:
         name = sys.argv[sys.argv.index("--case") + 1]
         results = {}
         ok = run_case(name, quick, results)
-        print("GATECASE " + json_mod.dumps({"name": name, "ok": ok,
-                                            "rows": results}))
+        print("GATECASE " + json.dumps({"name": name, "ok": ok,
+                                        "rows": results}))
         sys.exit(0 if ok else 1)
 
     t0 = time.time()
@@ -167,7 +184,16 @@ def main():
     for name in CASES:
         cmd = [sys.executable, here, "--case", name] + (
             ["--quick"] if quick else [])
-        r = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=CASE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            results[name] = {"ok": False,
+                             "error": f"timeout after {CASE_TIMEOUT_S}s "
+                                      "(chip hang?)"}
+            failures.append(name)
+            print(f"{name}: TIMEOUT", flush=True)
+            continue
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("GATECASE ")), None)
         if line is None:
@@ -176,7 +202,7 @@ def main():
             failures.append(name)
             print(f"{name}: SUBPROCESS ERROR", flush=True)
             continue
-        payload = json_mod.loads(line[len("GATECASE "):])
+        payload = json.loads(line[len("GATECASE "):])
         results.update(payload["rows"])
         if not payload["ok"]:
             failures.append(name)

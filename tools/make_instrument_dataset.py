@@ -180,17 +180,22 @@ def main():
     ds = NSynthDataset(raw, instrument=args.family, pitch=etl_pitch)
     out = os.path.join(args.output_dir, f"{args.name}.tfrecords")
     total = 0
-    # chunked ETL: multi-GB datasets never hold every waveform at once
-    chunk = 512
-    while total < args.count:
-        audio = ds.load_audio(length=args.length,
-                              max_examples=min(chunk, args.count - total),
-                              skip=total)
-        if audio.shape[0] == 0:
+    # chunked ETL in ONE pass over the source (review r5: paging with
+    # load_audio(skip=...) re-parses the whole prefix per chunk — O(N^2)
+    # at NSynth scale); multi-GB datasets never hold every waveform
+    chunk, rows = 512, []
+    for ex in ds.examples(args.length):
+        rows.append(ex["audio"])
+        if len(rows) >= chunk or total + len(rows) >= args.count:
+            write_audio_tfrecords(out, np.stack(rows), append=total > 0)
+            total += len(rows)
+            rows = []
+            print(f"  ETL: {total}/{args.count}", flush=True)
+        if total >= args.count:
             break
-        write_audio_tfrecords(out, audio, append=total > 0)
-        total += audio.shape[0]
-        print(f"  ETL: {total}/{args.count}", flush=True)
+    if rows:
+        write_audio_tfrecords(out, np.stack(rows), append=total > 0)
+        total += len(rows)
     print(f"wrote {total} examples of length {args.length} to {out}")
 
 

@@ -136,8 +136,6 @@ def load_baseline(path):
                           data["tail"])
             if m:
                 detail[k] = float(m.group(1))
-    if detail is None and "detail" in data:
-        detail = data["detail"]
     if not detail:
         raise SystemExit(f"cannot extract baseline rows from {path}")
     rows = {name: detail[key] for name, key in BENCH_DETAIL_KEYS.items()
@@ -182,6 +180,7 @@ def main():
     t0 = time.time()
     result = {"quick": args.quick, "rows": {}, "pairs": {}, "losses": {},
               "failures": []}
+    result["shapes"] = "D16_B32_T4096" if args.quick else "D64_B128_T16384"
 
     for name, fn in _rows(args.quick):
         val, vals = measure_row(fn)
@@ -213,6 +212,17 @@ def main():
                          "(or pass --baseline)")
     baseline = load_baseline(base_path)
     result["baseline"] = base_path
+    # rows are only comparable at the same shapes: a --quick baseline
+    # against a full run (or vice versa) would flag spurious 8x
+    # "regressions" in one direction and mask real ones in the other
+    base_shapes = baseline.get("shapes",
+                               "D16_B32_T4096" if baseline.get("quick")
+                               else "D64_B128_T16384")
+    if base_shapes != result["shapes"]:
+        raise SystemExit(
+            f"baseline {base_path} was recorded at {base_shapes}, this "
+            f"run is {result['shapes']} — re-record with --record"
+            f"{' --quick' if args.quick else ''}")
 
     for name, val in result["rows"].items():
         ref = baseline["rows"].get(name)
