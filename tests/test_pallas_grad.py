@@ -233,9 +233,10 @@ def test_large_d_frontier_guard():
     from audio_mps_tpu.training import nll_fn_for
     import audio_mps_tpu.training as training_mod
 
-    # measured frontier picks (see partials_real_vmem_bytes anchors)
+    # measured frontier picks (see partials_real_vmem_bytes anchors);
+    # D=512 B=8 -> 16 is the B=8 flavor, compile-probed ok on chip (r5)
     for D, B, chunk in ((256, 8, 64), (320, 4, 160), (384, 4, 96),
-                        (448, 4, 64), (512, 4, 32)):
+                        (448, 4, 64), (512, 4, 32), (512, 8, 16)):
         cfg_d = CMPSConfig(bond_dim=D, minibatch_size=B)
         assert rank_chunk_for(cfg_d, B, D) == chunk, (D, B)
     # the unroll clamp: auto at D=448 cols=32 stays under the budget
